@@ -11,13 +11,27 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // µs parquet timestamps (not INT96) so the driver's DuckDB/pyarrow
+      // side reads the same logical type Spark computed (SURVEY.md §7.4.2).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Write timestamps as TIMESTAMP_NTZ: the session TZ is UTC, so the
+      // wall-clock values equal the instants, and DuckDB reads the same
+      // naive TIMESTAMP type its oracle SQL computes (SURVEY.md §7.4.2).
+      try {
+        val out = fn(spark, sfDir)
+        val ntz = out.select(out.schema.fields.map { f =>
+          if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+          else col(f.name)
+        }.toSeq: _*)
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline-parity operators: what the reference's Go code does in-process and
+  * what its ClickHouse DDL delegates to the storage engine (SURVEY.md §2
+  * groups B, C, D).
+  *
+  *  - JSON field projection keeping the raw payload verbatim
+  *    (ref: internal/gh/gh.go:92-125)
+  *  - JSON array decode → rows (ref: internal/gh/gh.go:198-212)
+  *  - exact dedup keyed on event id (ref: cmd/gh-archived/main.go:153-162)
+  *  - replace-by-key keep-one semantics of ReplacingMergeTree
+  *    (ref: README.md:14,16)
+  *  - TTL retention (ref: README.md:17)
+  *  - day-partitioned, (ts,id)-sorted, zstd-compressed sink + the partition
+  *    pruning / sorted range scans the DDL buys (ref: README.md:13-17)
+  */
+object PipelineOps {
+  import Tables.dec
+
+  /** Deterministic per-sfDir scratch dir for sink round-trip queries. The
+    * write is part of the operator under test (C5/D1/D2/D5), so each query
+    * rebuilds it — idempotent overwrite, exactly like the reference's
+    * at-least-once + ReplacingMergeTree design (SURVEY.md §5.1).
+    */
+  private def scratch(sfDir: String, name: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-sink/$key/$name"
+  }
+
+  /** C5+D1+D2+D5: the ClickHouse-table analog — day-partitioned, sorted by
+    * (ts, event_id) within partitions, zstd parquet. Returns the round-trip
+    * read so correctness covers write+read.
+    */
+  private def writeSink(s: SparkSession, sfDir: String): String = {
+    val out = scratch(sfDir, "events_by_date")
+    val e = Tables.events(s, sfDir)
+      .withColumn("d", to_date(col("ts")))
+      .repartition(col("d"))
+      .sortWithinPartitions("ts", "event_id")
+    e.write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("d")
+      .parquet(out)
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1/B2: single-pass JSON projection — extract typed fields, keep raw.
+    "json_project" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          col("props"))
+        .orderBy("event_id")
+    }),
+
+    // A5: JSON array decode → one row per element (jx array walk analog).
+    "json_array_explode" -> ((s, dir) => {
+      val elemType = ArrayType(StructType(Seq(StructField("k", LongType))))
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          explode(from_json(concat(lit("["), col("props"), lit("]")), elemType)).as("elem"))
+        .select(col("event_id"), col("elem.k").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // A2: hour-keyed archive scan (one gharchive hour-file worth of events).
+    "scan_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-01 06:00:00").cast(TimestampType) &&
+                col("ts") <  lit("2024-01-01 07:00:00").cast(TimestampType))
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // C1: exact keyed dedup across an at-least-once replay (union = replay).
+    "dedup_exact" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      e.unionAll(e)
+        .dropDuplicates("event_id")
+        .orderBy("event_id")
+    }),
+
+    // C2/D4: ReplacingMergeTree keep-one-per-key with a deterministic
+    // version rule (latest ts, then highest event_id — SURVEY.md §7.4.3).
+    "replace_by_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // D3: TTL — keep rows within 3 days of the newest event (data-driven
+    // "now", so the query is scale-independent).
+    "ttl_filter" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val mx = e.agg(max(col("ts")).as("mx"))
+      e.crossJoin(broadcast(mx))
+        .filter(col("ts") >= col("mx") - expr("INTERVAL 3 DAYS"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // D1: partition pruning — predicate on the day-partition column of the
+    // sink; Catalyst prunes to 2 of N day directories (verify via .explain).
+    "partition_prune" -> ((s, dir) => {
+      val path = writeSink(s, dir)
+      s.read.parquet(path)
+        .filter(col("d").between(lit("2024-01-01").cast(DateType), lit("2024-01-02").cast(DateType)))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_events"), sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("d")
+    }),
+
+    // D2: primary-key range scan — ts-sorted parquet gives min/max row-group
+    // skipping for the time-range predicate.
+    "sorted_range_scan" -> ((s, dir) => {
+      val path = writeSink(s, dir)
+      s.read.parquet(path)
+        .filter(col("ts").between(
+          lit("2024-01-01 06:00:00").cast(TimestampType),
+          lit("2024-01-01 18:00:00").cast(TimestampType)))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // C5/D5: full sink round-trip — every row survives the partitioned,
+    // sorted, zstd write byte-for-byte.
+    "sink_partitioned_write" -> ((s, dir) => {
+      val path = writeSink(s, dir)
+      s.read.parquet(path)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props", "d")
+        .orderBy("event_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "json_project" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "json_array_explode" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "scan_events" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01 06:00:00' AND ts < TIMESTAMP '2024-01-01 07:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "replace_by_key" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "ttl_filter" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE ts >= (SELECT max(ts) - INTERVAL 3 DAY FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-02'
+        |GROUP BY d ORDER BY d""".stripMargin,
+    "sorted_range_scan" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-01 06:00:00' AND TIMESTAMP '2024-01-01 18:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "sink_partitioned_write" ->
+      """SELECT event_id, ts, user_id, event_type, value, props, CAST(ts AS DATE) AS d
+        |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev tooling only — the
+Scala library has no Python dependency).
+
+Runs DuckDB on SparkEntry.oracleSql against the sfDir parquet tables and
+compares with the parquet files graft.Verify wrote, mimicking the driver:
+row count, schema (column names sorted), and exact values.
+
+Usage: sbt 'runMain graft.Verify /root/testdata/sf0.01 /tmp/graft-verify'
+       python3 tools/verify_local.py /root/testdata/sf0.01 /tmp/graft-verify
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.sql(sql)
+            wcols = sorted(want.columns)
+            wrows = [tuple(norm(r[want.columns.index(c)]) for c in wcols)
+                     for r in want.fetchall()]
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = sorted(got.columns)
+            grows = [tuple(norm(r[got.columns.index(c)]) for c in gcols)
+                     for r in got.fetchall()]
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if gcols != wcols:
+            print(f"FAIL {name}: schema spark={gcols} oracle={wcols}")
+            n_fail += 1
+        elif len(grows) != len(wrows):
+            print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
+            n_fail += 1
+        elif grows != wrows:
+            bad = next(i for i, (g, w) in enumerate(zip(grows, wrows)) if g != w)
+            print(f"FAIL {name}: first diff at row {bad}:\n  spark : {grows[bad]}\n  oracle: {wrows[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
