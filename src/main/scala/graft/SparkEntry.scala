@@ -35,10 +35,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.PipelineOps.queries
+    operators.PipelineOps.queries ++
+    operators.RelationalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.PipelineOps.oracle
+    operators.PipelineOps.oracle ++
+    operators.RelationalOps.oracle
 }

@@ -1,0 +1,432 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core over the archive (SURVEY.md §2 group E).
+  *
+  * The reference delegates this whole surface to ClickHouse SQL
+  * (ref: README.md:4-6, 8-17); here it is the Spark DataFrame API, leaving
+  * join selection, pushdown, pruning and partial aggregation to Catalyst.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (`region`, `nation`, `part`, `supplier`) broadcast
+  *    explicitly — no shuffle of the fact side;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    reuse that partitioning through the downstream aggregation;
+  *  - every aggregate is expressed so Catalyst plans partial (map-side)
+  *    aggregation before the exchange;
+  *  - money sums go through decimal(18,2) (exact, order-independent) and
+  *    are cast back to double at the edge (Tables.dec).
+  */
+object RelationalOps {
+  import Tables.dec
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1: projection + predicate algebra (IN, BETWEEN, LIKE, IS NULL, bool).
+    "filter_pred" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(
+          col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(1000.0, 200000.0) &&
+          col("o_orderpriority").like("1%") &&
+          col("o_orderdate").isNotNull &&
+          !(col("o_custkey") % 7 === 0))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // E2: equi inner join on the fact-fact edge; Spark picks SMJ/SHJ.
+    "join_inner" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderstatus"), dec(col("l_extendedprice")).cast(DoubleType).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // E3: broadcast join — small dim shipped to every task, zero fact shuffle.
+    "join_broadcast" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === "Brand#3")
+        .select("l_orderkey", "l_linenumber", "p_name", "p_brand")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // E4: left outer join — customers with zero orders survive.
+    "join_outer" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,2)"))
+            .cast(DoubleType).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    // E5: semi + anti in one result, flagged.
+    "join_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("kind"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("kind"))
+      semi.unionAll(anti).orderBy("c_custkey", "kind")
+    }),
+
+    // E6: theta/range join against a tiny literal band table (broadcast NLJ).
+    "join_range" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 500.0), ("mid", 500.0, 1200.0), ("high", 1200.0, 1e9))
+        .toDF("band", "lo", "hi")
+      Tables.part(s, dir)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .select("p_partkey", "p_name", "band")
+        .orderBy("p_partkey")
+    }),
+
+    // E7: as-of join — for each purchase, the latest same-user click at or
+    // before it. Composition: range join + row_number()=1 (SURVEY.md §7.3);
+    // at scale: range-join on a bucketed user_id partitioning, AQE skew-split.
+    "join_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
+      purchases
+        .join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_id"), col("p_user"), col("p_ts"), col("c_ts").as("asof_click_ts"))
+        .orderBy("p_id")
+    }),
+
+    // E8: cross join (tiny×tiny only — a guard rail, not a pattern).
+    "join_cross" -> ((s, dir) => {
+      Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+        .crossJoin(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
+        .orderBy("r_regionkey", "n_nationkey")
+    }),
+
+    // E9: hash aggregate with partial+final (TPC-H Q1 shape).
+    "agg_group" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // E10: distinct + per-group count distinct.
+    "agg_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // E11: approximate distinct (HLL++) — no oracle (approximate by design).
+    "agg_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // E12a: rollup with grouping_id; NULL group keys coalesced for ordering.
+    "agg_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // E12b: cube.
+    "agg_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // E13: filtered/conditional aggregation — one pass, no extra scan.
+    "agg_conditional" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice")))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast(DoubleType).as("returned_price"),
+          count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    }),
+
+    // E14: ranking window functions (unique tie-break keeps row_number/ntile
+    // deterministic).
+    "window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        // ranks cast to long: DuckDB's window ranks are BIGINT and the
+        // driver compares schemas, not just values.
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rn"),
+          rank().over(w).cast(LongType).as("rnk"),
+          dense_rank().over(w).cast(LongType).as("drnk"),
+          ntile(4).over(w).cast(LongType).as("quartile"))
+        .filter(col("rn") <= 50)
+        .orderBy("o_orderstatus", "rn")
+    }),
+
+    // E15: analytic window functions over event streams per user.
+    "window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first(col("event_id")).over(wAll).as("first_event"),
+          last(col("event_id")).over(wAll).as("last_event"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // E16: aggregate-over-window with frames — running and moving sums.
+    "window_running" -> ((s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val moving = ord.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          sum(dec(col("value"))).over(running).cast(DoubleType).as("running_sum"),
+          sum(dec(col("value"))).over(moving).cast(DoubleType).as("moving_sum3"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // E17: multi-key sort with explicit null placement.
+    "sort_multi" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("F")).as("status_or_null"),
+          col("o_totalprice"))
+        .orderBy(col("status_or_null").desc_nulls_first,
+          col("o_totalprice").asc, col("o_orderkey").asc)
+    }),
+
+    // E18: global top-k (TakeOrderedAndProject — no full sort at scale).
+    "topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    }),
+
+    // E19: top-k per group via ranking window.
+    "topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rn")
+    }),
+
+    // E20: union all + aggregate (map-side combine across both inputs).
+    "set_union" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").cast(IntegerType).as("nationkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_nationkey").cast(IntegerType).as("nationkey"))
+      c.unionAll(sup).groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+    }),
+
+    // E21: intersect + except, flagged in one result.
+    "set_intersect_except" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").cast(IntegerType).as("nationkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_nationkey").cast(IntegerType).as("nationkey"))
+      val both = c.intersect(sup).select(col("nationkey"), lit("both").as("kind"))
+      val onlyC = c.except(sup).select(col("nationkey"), lit("customer_only").as("kind"))
+      both.unionAll(onlyC).orderBy("nationkey", "kind")
+    }),
+
+    // E22: pivot — fixed value list so the output schema is static (at scale
+    // an unbounded pivot would force a driver-side distinct first).
+    "pivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType))
+        .orderBy("l_returnflag")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','O')
+        |  AND o_totalprice BETWEEN 1000.0 AND 200000.0
+        |  AND o_orderpriority LIKE '1%'
+        |  AND o_orderdate IS NOT NULL
+        |  AND NOT (o_custkey % 7 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#3'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS kind FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS kind FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey, kind""".stripMargin,
+    "join_range" ->
+      """SELECT p_partkey, p_name, band
+        |FROM part
+        |JOIN (VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1200.0), ('high', 1200.0, 1e9))
+        |     AS bands(band, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |ORDER BY p_partkey""".stripMargin,
+    "join_asof" ->
+      """SELECT p_id, p_user, p_ts, asof_click_ts FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+        |         c.ts AS asof_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "agg_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "agg_conditional" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN l_returnflag = 'R'
+        |                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_price,
+        |       count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "window_rank" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, rn, rnk, drnk, quartile FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 50 ORDER BY o_orderstatus, rn""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       lead(value, 1) OVER w AS next_value,
+        |       first_value(event_id) OVER wa AS first_event,
+        |       last_value(event_id) OVER wa AS last_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       wa AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "window_running" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "sort_multi" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS status_or_null, o_totalprice
+        |FROM orders
+        |ORDER BY status_or_null DESC NULLS FIRST, o_totalprice ASC, o_orderkey ASC""".stripMargin,
+    "topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
+    "set_union" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+        |) GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "set_intersect_except" ->
+      """SELECT nationkey, 'both' AS kind FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS kind FROM (
+        |  SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier)
+        |ORDER BY nationkey, kind""".stripMargin,
+    "pivot" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN l_linestatus = 'F'
+        |                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |       CAST(sum(CASE WHEN l_linestatus = 'O'
+        |                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

@@ -47,6 +47,12 @@ def main(sf_dir, out_dir):
             gcols = sorted(got.columns)
             grows = [tuple(norm(r[got.columns.index(c)]) for c in gcols)
                      for r in got.fetchall()]
+            wtypes = {c: str(t) for c, t in zip(want.columns, want.types)}
+            gtypes = {c: str(t) for c, t in zip(got.columns, got.types)}
+            dt = [f"{c}: spark={gtypes[c]} oracle={wtypes[c]}"
+                  for c in wcols if c in gtypes and gtypes[c] != wtypes[c]]
+            if dt:
+                print(f"WARN {name}: dtype drift — {'; '.join(dt)}")
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
