@@ -72,11 +72,12 @@ object PipelineOps {
         .orderBy("event_id")
     }),
 
-    // A2: hour-keyed archive scan (one gharchive hour-file worth of events).
+    // A2: archive time-key scan (one gharchive day worth of events — a day
+    // rather than an hour so the smallest sf0.001 scale still has rows).
     "scan_events" -> ((s, dir) => {
       Tables.events(s, dir)
-        .filter(col("ts") >= lit("2024-01-01 06:00:00").cast(TimestampType) &&
-                col("ts") <  lit("2024-01-01 07:00:00").cast(TimestampType))
+        .filter(col("ts") >= lit("2024-01-01 00:00:00").cast(TimestampType) &&
+                col("ts") <  lit("2024-01-02 00:00:00").cast(TimestampType))
         .select("event_id", "ts", "event_type", "value")
         .orderBy("event_id")
     }),
@@ -153,7 +154,7 @@ object PipelineOps {
         |FROM events ORDER BY event_id""".stripMargin,
     "scan_events" ->
       """SELECT event_id, ts, event_type, value FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-01 06:00:00' AND ts < TIMESTAMP '2024-01-01 07:00:00'
+        |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'
         |ORDER BY event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT event_id, ts, user_id, event_type, value
