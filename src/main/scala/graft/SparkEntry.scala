@@ -36,11 +36,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.PipelineOps.queries ++
-    operators.RelationalOps.queries
+    operators.RelationalOps.queries ++
+    operators.FunctionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.PipelineOps.oracle ++
-    operators.RelationalOps.oracle
+    operators.RelationalOps.oracle ++
+    operators.FunctionOps.oracle
 }

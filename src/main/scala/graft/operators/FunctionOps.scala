@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function surface (SURVEY.md §2 group F) — all built-in
+  * `org.apache.spark.sql.functions` (codegen'd, no UDFs), one composite
+  * query per family, each with a DuckDB oracle twin.
+  *
+  * The reference interprets exactly two JSON fields and otherwise treats
+  * payloads as opaque strings (ref: internal/gh/gh.go:92-125); the full
+  * scalar surface is what its downstream ClickHouse SQL provides
+  * (ref: README.md:4-6). Dialect traps handled here:
+  *  - Spark `floor`/`ceil` return LONG, DuckDB's return DOUBLE → cast SQL side;
+  *  - Spark `log` is natural log, DuckDB `log` is log10 → `ln` in SQL;
+  *  - natural log last-ulp libm drift → round(.,6) both sides;
+  *  - DuckDB casts DOUBLE→BIGINT by rounding, Spark truncates → trunc() in SQL;
+  *  - DuckDB lists are 1-based; Spark `element_at` is 1-based too;
+  *  - integer-ish outputs normalized to LongType (DuckDB defaults to BIGINT).
+  */
+object FunctionOps {
+  import Tables.dec
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: strings over part names.
+    "fn_string" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lo"),
+          upper(col("p_brand")).as("up"),
+          trim(concat(lit("  "), col("p_type"), lit(" "))).as("trimmed"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          length(col("p_name")).cast(LongType).as("len"),
+          lpad(col("p_partkey").cast(StringType), 8, "0").as("padded"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          element_at(split(col("p_name"), " "), 1).as("tok1"))
+        .orderBy("p_partkey")
+    }),
+
+    // F2: date/time over orders (ms-precision timestamps — no ns hazard).
+    "fn_datetime" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          hour(col("o_orderdate")).cast(LongType).as("h"),
+          date_add(to_date(col("o_orderdate")), 7).as("plus7"),
+          datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast(DateType))
+            .cast(LongType).as("days_since"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F3: math over lineitem.
+    "fn_math" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("abs_d"),
+          round(dec(col("l_extendedprice")), 1).cast(DoubleType).as("round1"),
+          floor(col("l_quantity")).as("flr"),
+          ceil(col("l_quantity")).as("cl"),
+          pow(col("l_quantity"), 2).as("sq"),
+          sqrt(col("l_extendedprice")).as("rt"),
+          round(log(col("l_extendedprice")), 6).as("ln6"),
+          greatest(col("l_tax"), col("l_discount")).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("ls"),
+          pmod(col("l_partkey"), lit(7)).as("pm"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F4: conditional / null handling.
+    "fn_conditional" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("<bldg>")).as("seg"),
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("rich").as("bucket"),
+          nvl(nullif(col("c_nationkey"), lit(0)).cast(LongType), lit(-1L)).as("nation_or"))
+        .orderBy("c_custkey")
+    }),
+
+    // F5: array higher-order functions over tokenized documents.
+    "fn_array" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          array_contains(col("toks"), "the").as("has_the"),
+          size(filter(col("toks"), t => length(t) > 4)).cast(LongType).as("n_long"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast(LongType))
+            .as("sum_len"),
+          element_at(sort_array(col("toks")), 1).as("tok_min"),
+          aggregate(
+            zip_with(transform(col("toks"), t => length(t).cast(LongType)),
+                     transform(col("toks"), t => length(t).cast(LongType)),
+                     (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("sum_len_sq"))
+        .orderBy("doc_id")
+    }),
+
+    // F6: map construction + access (testdata has no map column — built
+    // in-query from event fields, FIXTURES.md).
+    "fn_map" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("m", map(lit("type"), col("event_type"), lit("uid"), col("user_id").cast(StringType)))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "type").as("m_type"),
+          element_at(col("m"), "uid").as("m_uid"),
+          concat_ws(",", map_keys(col("m"))).as("keys"),
+          concat_ws(",", map_values(col("m"))).as("vals"),
+          size(col("m")).cast(LongType).as("m_size"))
+        .orderBy("event_id")
+    }),
+
+    // F7: JSON — the heart of the raw-archive model (ref: internal/gh/gh.go:92-125).
+    "fn_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          json_tuple(col("props"), "k").as("k_str"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k_typed"),
+          to_json(struct(col("event_id").as("id"))).as("packed"))
+        .orderBy("event_id")
+    }),
+
+    // F8: casts across numeric/string/timestamp.
+    "fn_cast" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").cast(StringType).as("key_str"),
+          col("o_orderkey").cast(StringType).cast(LongType).as("key_rt"),
+          col("o_totalprice").cast(LongType).as("price_trunc"),
+          dec(col("o_totalprice")).cast(StringType).as("price_dec_str"),
+          col("o_orderdate").cast(DateType).as("as_date"),
+          col("o_orderdate").cast(DateType).cast(StringType).as("date_str"),
+          lit("3.5").cast(DoubleType).as("parsed"))
+        .orderBy("o_orderkey")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |       lower(p_name) AS lo,
+        |       upper(p_brand) AS up,
+        |       trim(concat('  ', p_type, ' ')) AS trimmed,
+        |       substring(p_name, 1, 5) AS sub5,
+        |       concat_ws('-', p_brand, p_type) AS joined,
+        |       regexp_replace(p_name, ' ', '_', 'g') AS snake,
+        |       CAST(length(p_name) AS BIGINT) AS len,
+        |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |       string_split(p_name, ' ')[1] AS tok1
+        |FROM part WHERE p_name LIKE '%a%'
+        |ORDER BY p_partkey""".stripMargin,
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS d,
+        |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |       CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |       CAST(hour(o_orderdate) AS BIGINT) AS h,
+        |       CAST(o_orderdate AS DATE) + 7 AS plus7,
+        |       date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |       CAST(trunc(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS abs_d,
+        |       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS round1,
+        |       CAST(floor(l_quantity) AS BIGINT) AS flr,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS cl,
+        |       pow(l_quantity, 2) AS sq,
+        |       sqrt(l_extendedprice) AS rt,
+        |       round(ln(l_extendedprice), 6) AS ln6,
+        |       greatest(l_tax, l_discount) AS gr,
+        |       least(l_tax, l_discount) AS ls,
+        |       l_partkey % 7 AS pm
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_conditional" ->
+      """SELECT c_custkey,
+        |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<bldg>') AS seg,
+        |       CASE WHEN c_acctbal < 0 THEN 'debt'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'rich' END AS bucket,
+        |       COALESCE(CAST(NULLIF(c_nationkey, 0) AS BIGINT), -1) AS nation_or
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_array" ->
+      """SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_toks,
+        |       list_contains(toks, 'the') AS has_the,
+        |       CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+        |       CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+        |       list_sort(toks)[1] AS tok_min,
+        |       CAST(list_sum(list_transform(toks, t -> length(t) * length(t))) AS BIGINT) AS sum_len_sq
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |       event_type AS m_type,
+        |       CAST(user_id AS VARCHAR) AS m_uid,
+        |       'type,uid' AS keys,
+        |       concat_ws(',', event_type, CAST(user_id AS VARCHAR)) AS vals,
+        |       CAST(2 AS BIGINT) AS m_size
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |       CAST(props->>'$.k' AS BIGINT) AS k,
+        |       props->>'$.k' AS k_str,
+        |       CAST(props->>'$.k' AS BIGINT) AS k_typed,
+        |       concat('{"id":', CAST(event_id AS VARCHAR), '}') AS packed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_cast" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderkey AS VARCHAR) AS key_str,
+        |       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
+        |       CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec_str,
+        |       CAST(o_orderdate AS DATE) AS as_date,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+        |       CAST('3.5' AS DOUBLE) AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
