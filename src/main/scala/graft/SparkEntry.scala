@@ -38,7 +38,11 @@ object SparkEntry {
     operators.PipelineOps.queries ++
     operators.RelationalOps.queries ++
     operators.FunctionOps.queries ++
-    operators.WindowOps.queries
+    operators.WindowOps.queries ++
+    operators.DedupOps.queries ++
+    operators.SimOps.queries ++
+    operators.TextOps.queries ++
+    operators.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +50,9 @@ object SparkEntry {
     operators.PipelineOps.oracle ++
     operators.RelationalOps.oracle ++
     operators.FunctionOps.oracle ++
-    operators.WindowOps.oracle
+    operators.WindowOps.oracle ++
+    operators.DedupOps.oracle ++
+    operators.SimOps.oracle ++
+    operators.TextOps.oracle ++
+    operators.MultimodalOps.oracle
 }

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for training-data pipelines (SURVEY.md §2 group H;
+  * north star per BASELINE.json:6). The reference dedups events exactly by id
+  * (ref: cmd/gh-archived/main.go:153-162) and by storage key
+  * (ref: README.md:14); these operators generalize that to content identity
+  * over the `documents` table.
+  *
+  * Every operator returns the RETAINED document set (survivors), with the
+  * canonical rule "keep the smallest doc_id of each duplicate group" — the
+  * deterministic analog of ReplacingMergeTree's keep-one (SURVEY.md §7.4.3).
+  *
+  * Scale design (100 TB discipline):
+  *  - no O(n²) anywhere: candidate pairs come from equality joins on
+  *    LSH band hashes / shared shingles (shuffle on the band key, which is
+  *    high-cardinality and well distributed);
+  *  - signatures are computed with built-in codegen'd higher-order functions
+  *    (transform/aggregate/xxhash64) — whole-stage codegen, no UDFs, no
+  *    driver-side loops;
+  *  - the verify step (true Jaccard / Hamming / cosine) touches only
+  *    candidate pairs, never the corpus cross product.
+  */
+object DedupOps {
+
+  /** Distinct word-3-gram shingles of `text` — the unit of near-dup identity.
+    * Guarded for texts shorter than 3 tokens.
+    */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+      .otherwise(array(text))
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  /** docs with (doc_id, sh) shingle-set column. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+
+  /** Retained = documents minus those with a verified duplicate of smaller id.
+    * `pairs` must carry (a_id, b_id) with a_id < b_id.
+    */
+  private def retain(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on full text, keep min doc_id per group.
+    "dedup_text_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val keep = d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      d.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH: 64-permutation signature (xxhash64 seeded per
+    // permutation via a mixed-in constant), 16 bands x 4 rows; band-bucket
+    // equi-join proposes candidates, true shingle Jaccard >= 0.7 confirms.
+    "dedup_minhash" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sig = sh.withColumn("sig",
+        transform(sequence(lit(0), lit(63)),
+          k => array_min(transform(col("sh"), t => xxhash64(k, t)))))
+      val bands = sig.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(15)),
+            b => xxhash64(
+              element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
+              element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4)))))
+        .toDF("doc_id", "band", "bhash")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val verified = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.7)
+        .select("a_id", "b_id")
+      retain(Tables.documents(s, dir), verified)
+    }),
+
+    // SimHash: 64-bit signature (per-bit majority over token hashes);
+    // Hamming <= 3 found via 4 x 16-bit band exact-match (pigeonhole:
+    // <=3 flipped bits leave at least one of 4 bands intact), then
+    // popcount-verified. Hash-function-dependent -> no SQL oracle.
+    "dedup_simhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = array_distinct(split(col("text"), " "))
+      val sim = d.select(col("doc_id"),
+        aggregate(
+          sequence(lit(0), lit(63)),
+          lit(0L),
+          (acc, i) => acc.bitwiseOR(
+            call_function("shiftleft",
+              when(aggregate(toks, lit(0L),
+                (c, t) => c + when(call_function("shiftright", xxhash64(t), i.cast(IntegerType))
+                  .bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0, lit(1L)).otherwise(lit(0L)),
+              i.cast(IntegerType)))).as("sig"))
+      val bands = sim.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => call_function("shiftright", col("sig"), b.cast(IntegerType) * 16)
+              .bitwiseAND(0xFFFFL))))
+        .toDF("doc_id", "band", "bval")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val verified = cand
+        .join(sim.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), Seq("a_id"))
+        .join(sim.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
+        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
+        .select("a_id", "b_id")
+      retain(d, verified)
+    }),
+
+    // N-gram Jaccard via inverted index: explode shingles, self-join the
+    // postings (equality on the shingle — the scalable candidate generator),
+    // count shared shingles per pair, Jaccard >= 0.8 confirms.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val shared = postings.as("x").join(postings.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      val pairs = shared
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .filter(col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType) >= 0.8)
+        .select("a_id", "b_id")
+      retain(Tables.documents(s, dir), pairs)
+    }),
+
+    // Embedding cosine near-dup: label-bucketed candidate join (the corpus
+    // is pre-clustered by `label`; at 100 TB the bucket key would be an LSH
+    // or IVF cell id — see sim_topk_lsh), cosine >= 0.95 confirms, smaller
+    // vec_id retained.
+    "dedup_embedding" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val pairs = e.as("x").join(e.as("y"),
+          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+        .filter(SimOps.cosine(col("x.v"), col("y.v")) >= 0.95)
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      Tables.embeddings(s, dir)
+        .join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"), size(col("embedding")).cast(LongType).as("dim"))
+        .orderBy("vec_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "dedup_text_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" ->
+      // LSH recall for J>=0.7 at 16x4 bands is ~99%; the testdata's only
+      // near-dups are exact dups (J=1), which every band catches, so the
+      // verified result equals the exact Jaccard answer computed here.
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |           THEN list_distinct(list_transform(range(len(toks)-2),
+        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |           ELSE [text] END AS g
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+        |dups AS (
+        |  SELECT DISTINCT b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.7)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT b_id FROM dups)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |           THEN list_distinct(list_transform(range(len(toks)-2),
+        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |           ELSE [text] END AS g
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+        |dups AS (
+        |  SELECT DISTINCT b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT b_id FROM dups)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |dups AS (
+        |  SELECT DISTINCT y.vec_id AS b_id
+        |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.v, y.v)
+        |        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |        >= 0.95)
+        |SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings WHERE vec_id NOT IN (SELECT b_id FROM dups)
+        |ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 group H,
+  * north star per BASELINE.json:6): brute-force cosine as the exact
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * Cosine is built from codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), evaluated in double precision with a fixed left-to-right
+  * summation order — the same order the DuckDB oracle's
+  * `list_dot_product` uses, so values compare exactly after round(.,6).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the corpus once — a map-only plan, no shuffle, no driver
+  * collect; top-k per query is a bounded window over (query, score). The
+  * LSH path replaces the corpus stream with an equality join on bucket id,
+  * cutting the candidate set by ~2^bits; at 100 TB the bucket id becomes
+  * the shuffle/bucketing key and each cell is searched independently.
+  */
+object SimOps {
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+
+  /** Deterministic pseudo-random +-1 hyperplane component for (plane, dim):
+    * sign of xxhash64 — a public-knowledge random-projection LSH
+    * (sign-random-projection / SimHash for vectors).
+    */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    when(xxhash64(plane, dim).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+
+  /** 4-bit sign-random-projection bucket id of vector column `v`. */
+  def lshBucket(v: Column, bits: Int = 4): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) => {
+      val proj = aggregate(
+        zip_with(v, transform(sequence(lit(0), size(v) - 1), d => planeComponent(p, d)),
+          (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+      acc.bitwiseOR(call_function("shiftleft",
+        when(proj >= 0, lit(1L)).otherwise(lit(0L)), p.cast(IntegerType)))
+    })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Cosine of every corpus vector against the query vector (vec_id 0) —
+    // broadcast the single query row, map-only over the corpus.
+    "sim_cosine" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("v"), col("qv")), 6).as("cos"))
+        .orderBy("vec_id")
+    }),
+
+    // Brute-force top-10 neighbors for each of 5 query vectors: broadcast
+    // queries x streamed corpus, bounded rank window per query.
+    "sim_topk" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 10)
+        .orderBy("q_id", "rk")
+    }),
+
+    // LSH-bucketed ANN: candidates share the query's 4-bit
+    // sign-random-projection bucket; approximate by construction -> no
+    // SQL oracle (driver records rows-only).
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = vecs(s, dir).withColumn("bucket", lshBucket(col("v")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 10)
+        .orderBy("q_id", "rk")
+    }),
+
+    // Multimodal record: text + embedding + metadata bundled in one struct
+    // column (documents joined to embeddings on doc_id = vec_id, dimension
+    // broadcast), fields projected back out as scalars.
+    "multimodal_struct" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      d.join(e, col("doc_id") === col("vec_id"))
+        .withColumn("rec", struct(
+          col("doc_id"), col("lang"), col("source"),
+          struct(col("label"), col("embedding")).as("vec"),
+          struct(col("n_chars")).as("meta")))
+        .select(
+          col("rec.doc_id").as("doc_id"),
+          col("rec.lang").as("lang"),
+          col("rec.vec.label").as("label"),
+          size(col("rec.vec.embedding")).cast(LongType).as("dim"),
+          round(element_at(col("rec.vec.embedding"), 1).cast(DoubleType), 6).as("e1"),
+          col("rec.meta.n_chars").as("n_chars"))
+        .orderBy("doc_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "sim_cosine" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       round(list_dot_product(e.v, q.qv)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        |             6) AS cos
+        |FROM e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         round(list_dot_product(e.v, q.qv)
+        |               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        |               6) AS cos
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, cos,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |FROM scored QUALIFY rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    "multimodal_struct" ->
+      """SELECT doc_id, lang, label,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(embedding[1]::DOUBLE, 6) AS e1,
+        |       n_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2 group H, north
+  * star per BASELINE.json:6) over the `documents` table: term frequency,
+  * language-ID heuristic, quality scoring, token counting, fingerprinting.
+  *
+  * All pure built-in expressions (split/explode/aggregate/regexp) — fully
+  * codegen'd, map-side partial aggregation, no UDFs. Each has an exact
+  * DuckDB oracle twin.
+  */
+object TextOps {
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Marker-word profiles for the language-ID heuristic: per candidate
+    * language, a tiny stopword set; prediction = argmax marker-hit ratio,
+    * 'und' (undetermined) when nothing scores. (A real system ships char
+    * n-gram profiles; the mechanism — score per language, argmax — is the
+    * same and the whole computation stays in one codegen'd expression.)
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "les", "et"))
+
+  private def hitRatio(markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+      .cast(DoubleType) / size(toks).cast(DoubleType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Global term frequency, top 30 terms (count desc, term asc tiebreak).
+    "text_termfreq" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(toks).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(30)
+    }),
+
+    // Language-ID heuristic: argmax of marker-word hit ratio.
+    "text_langid" -> ((s, dir) => {
+      val scored = profiles.foldLeft(Tables.documents(s, dir)) {
+        case (df, (lang, markers)) => df.withColumn(s"score_$lang", hitRatio(markers))
+      }
+      val best = profiles.map { case (lang, _) =>
+        struct(round(col(s"score_$lang"), 6).as("score"), lit(lang).as("lang"))
+      }
+      scored
+        .withColumn("top", greatest(best: _*))
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          when(col("top.score") > 0, col("top.lang")).otherwise("und").as("pred_lang"),
+          col("top.score").as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length, token stats, stopword ratio, type-token
+    // ratio, composite score — the standard pre-training filter features.
+    "text_quality" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      val nTok = size(toks).cast(DoubleType)
+      val stopRatio = size(filter(toks, t => stop.map(m => t === m).reduce(_ || _))) / nTok
+      val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
+      val avgLen = (length(col("text")) - size(toks) + 1).cast(DoubleType) / nTok
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_m"),
+          size(toks).cast(LongType).as("n_toks"),
+          round(avgLen, 6).as("avg_tok_len"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(ttr, 6).as("ttr"),
+          round(
+            when(nTok >= 20, 0.5).otherwise(0.0) +
+            when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
+            when(ttr > 0.3, 0.25).otherwise(0.0), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace tokens vs regex word tokens vs a BPE-ish
+    // "word or leading-space word-piece" segmentation bound.
+    "text_tokencount" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("ws_toks"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast(LongType)
+            .as("re_toks"),
+          // 4-chars-per-token heuristic upper bound (ceil(len/4))
+          ceil(length(col("text")).cast(DoubleType) / 4.0).cast(LongType).as("bpe_est"))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling polynomial fingerprint over token codes, mod 1e9+7 — a
+    // deterministic document signature (content-defined, order-sensitive).
+    "text_fingerprint" -> ((s, dir) => {
+      val M = 1000000007L
+      val code = (t: Column) => (length(t).cast(LongType) * 131L + ascii(t)) % M
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          aggregate(toks, lit(0L), (acc, t) => (acc * 31L + code(t)) % M).as("fp"))
+        .orderBy("doc_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "text_termfreq" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 30""".stripMargin,
+    "text_langid" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang AS labeled_lang, string_split(text,' ') AS t FROM documents),
+        |s AS (
+        |  SELECT doc_id, labeled_lang,
+        |    round(len(list_filter(t, x -> x IN ('the','a','of')))::DOUBLE / len(t), 6) AS s_en,
+        |    round(len(list_filter(t, x -> x IN ('el','la','de')))::DOUBLE / len(t), 6) AS s_es,
+        |    round(len(list_filter(t, x -> x IN ('le','les','et')))::DOUBLE / len(t), 6) AS s_fr
+        |  FROM f)
+        |SELECT doc_id, labeled_lang,
+        |       CASE WHEN greatest(s_en, s_es, s_fr) = 0 THEN 'und'
+        |            WHEN s_fr >= s_es AND s_fr >= s_en THEN 'fr'
+        |            WHEN s_es >= s_en THEN 'es'
+        |            ELSE 'en' END AS pred_lang,
+        |       greatest(s_en, s_es, s_fr) AS score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH f AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    CAST(len(t) AS BIGINT) AS n_toks,
+        |    (length(text) - len(t) + 1)::DOUBLE / len(t) AS avg_tok_len,
+        |    len(list_filter(t, x -> x IN ('the','a','of','and','to')))::DOUBLE / len(t) AS stop_ratio,
+        |    len(list_distinct(t))::DOUBLE / len(t) AS ttr
+        |  FROM f)
+        |SELECT doc_id, n_chars_m, n_toks,
+        |       round(avg_tok_len, 6) AS avg_tok_len,
+        |       round(stop_ratio, 6) AS stop_ratio,
+        |       round(ttr, 6) AS ttr,
+        |       round((CASE WHEN n_toks >= 20 THEN 0.5 ELSE 0.0 END
+        |            + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END
+        |            + CASE WHEN ttr > 0.3 THEN 0.25 ELSE 0.0 END)::DOUBLE, 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_tokencount" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text,' ')) AS BIGINT) AS ws_toks,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_toks,
+        |       CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_concat([0::BIGINT],
+        |           list_transform(string_split(text,' '),
+        |             t -> (length(t)::BIGINT * 131 + ascii(t)) % 1000000007)),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{DedupOps, MultimodalOps, SimOps}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Semantics of the dedup / similarity / multimodal operators, proven on
+  * planted duplicates (the driver testdata has none at small scales): a tiny
+  * synthetic documents/embeddings pair is written in the same parquet layout
+  * and the SAME query closures run against it.
+  */
+class NorthStarSpec extends SparkSpec {
+
+  private lazy val planted: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-planted-").toString
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"tok$i").mkString(" ") + " changed"
+    val other = (1 to 60).map(i => s"other$i").mkString(" ")
+    Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, base, "en", "srcB", base.length.toLong),      // exact dup of 0
+      (2L, nearDup, "en", "srcC", nearDup.length.toLong), // near dup of 0
+      (3L, other, "es", "srcD", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val v0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v2 = v0.clone(); v2(0) = v0(0) + 0.01f  // ~0.9999 cosine
+    val orth = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    Seq(
+      (0L, v0.toSeq, 1), (1L, v0.toSeq, 1),   // exact dup pair
+      (2L, v2.toSeq, 1),                        // near dup, same label
+      (3L, orth.toSeq, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def retainedDocs(name: String): Seq[Long] =
+    SparkEntry.queries(name)(spark, planted)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("dedup_text_exact drops the exact duplicate, keeps min doc_id") {
+    assert(retainedDocs("dedup_text_exact") == Seq(0L, 2L, 3L))
+  }
+
+  test("dedup_minhash drops exact and near duplicates (J >= 0.7)") {
+    assert(retainedDocs("dedup_minhash") == Seq(0L, 3L))
+  }
+
+  test("dedup_ngram_jaccard drops exact and near duplicates (J >= 0.8)") {
+    // near-dup shares 57 of 58+58-57 shingles: J ~ 0.966
+    assert(retainedDocs("dedup_ngram_jaccard") == Seq(0L, 3L))
+  }
+
+  test("dedup_simhash drops the exact duplicate (Hamming 0)") {
+    val kept = retainedDocs("dedup_simhash")
+    assert(!kept.contains(1L) && kept.contains(0L) && kept.contains(3L))
+  }
+
+  test("dedup_embedding drops exact and near duplicate vectors (cos >= 0.95)") {
+    val kept = SparkEntry.queries("dedup_embedding")(spark, planted)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(0L, 3L))
+  }
+
+  test("sim_topk ranks the exact duplicate first for query 0") {
+    val top = SparkEntry.queries("sim_topk")(spark, planted)
+      .filter(col("q_id") === 0 && col("rk") === 1)
+      .select("vec_id", "cos").head()
+    assert(top.getLong(0) == 1L)
+    assert(top.getDouble(1) == 1.0)
+  }
+
+  test("lshBucket puts identical vectors in the same bucket") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, planted)
+      .select(col("vec_id"), SimOps.lshBucket(
+        transform(col("embedding"), x => x.cast("double"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e(0L) == e(1L))
+    assert(e.values.forall(b => b >= 0 && b < 16))
+  }
+
+  test("multimodal feature extraction: stub decode is deterministic, batch shape real") {
+    import spark.implicits._
+    val out = SparkEntry.queries("multimodal_features")(spark, planted).collect()
+    assert(out.length == 4)
+    val again = SparkEntry.queries("multimodal_features")(spark, planted).collect()
+    assert(out.toSeq == again.toSeq)
+    // byte_len is the real payload length, not a stub value
+    val row0 = out.find(_.getLong(0) == 0L).get
+    assert(row0.getLong(1) == (1 to 60).map(i => s"tok$i").mkString(" ").length.toLong)
+    // decode stub bounds
+    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 1920))
+  }
+
+  test("text fingerprint: identical texts agree, different texts differ") {
+    val fp = SparkEntry.queries("text_fingerprint")(spark, planted)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(3L))
+  }
+}
