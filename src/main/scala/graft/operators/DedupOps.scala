@@ -68,16 +68,20 @@ object DedupOps {
     // MinHash + LSH: 64-permutation signature (xxhash64 seeded per
     // permutation via a mixed-in constant), 16 bands x 4 rows; band-bucket
     // equi-join proposes candidates, true shingle Jaccard >= 0.7 confirms.
+    // Shape: explode shingles once, then ONE groupBy(doc_id) carrying 64
+    // min() aggregates — partial aggregation collapses each doc's shingles
+    // map-side, and the shingle expression is evaluated exactly once per
+    // shingle (a nested-lambda formulation would recompute it per
+    // permutation after projection collapse — measured 40x slower).
     "dedup_minhash" -> ((s, dir) => {
       val sh = shingled(s, dir)
-      val sig = sh.withColumn("sig",
-        transform(sequence(lit(0), lit(63)),
-          k => array_min(transform(col("sh"), t => xxhash64(k, t)))))
+      val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val minCols = (0 until 64).map(k => min(xxhash64(lit(k), col("g"))).as(s"m$k"))
+      val sig = posts.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
       val bands = sig.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(15)),
-            b => xxhash64(
-              element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
-              element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4)))))
+          posexplode(array((0 until 16).map(b => xxhash64(
+            col(s"m${b * 4}"), col(s"m${b * 4 + 1}"),
+            col(s"m${b * 4 + 2}"), col(s"m${b * 4 + 3}"))): _*)))
         .toDF("doc_id", "band", "bhash")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
@@ -96,23 +100,25 @@ object DedupOps {
     // Hamming <= 3 found via 4 x 16-bit band exact-match (pigeonhole:
     // <=3 flipped bits leave at least one of 4 bands intact), then
     // popcount-verified. Hash-function-dependent -> no SQL oracle.
+    // Shape: explode distinct tokens, hash each ONCE, then one
+    // groupBy(doc_id) with 64 conditional-sum aggregates (one per bit,
+    // static shift amounts keep everything in whole-stage codegen); the
+    // signature long is folded from the 64 sums with static shifts.
     "dedup_simhash" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val toks = array_distinct(split(col("text"), " "))
-      val sim = d.select(col("doc_id"),
-        aggregate(
-          sequence(lit(0), lit(63)),
-          lit(0L),
-          (acc, i) => acc.bitwiseOR(
-            call_function("shiftleft",
-              when(aggregate(toks, lit(0L),
-                (c, t) => c + when(call_function("shiftright", xxhash64(t), i.cast(IntegerType))
-                  .bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0, lit(1L)).otherwise(lit(0L)),
-              i.cast(IntegerType)))).as("sig"))
+      val toks = d.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+      val bitSums = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
+      val sim = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("sig"))
       val bands = sim.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            b => call_function("shiftright", col("sig"), b.cast(IntegerType) * 16)
-              .bitwiseAND(0xFFFFL))))
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
         .toDF("doc_id", "band", "bval")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
@@ -155,9 +161,10 @@ object DedupOps {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        .withColumn("nrm", sqrt(SimOps.dot(col("v"), col("v"))))
       val pairs = e.as("x").join(e.as("y"),
           col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-        .filter(SimOps.cosine(col("x.v"), col("y.v")) >= 0.95)
+        .filter(SimOps.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= 0.95)
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       Tables.embeddings(s, dir)
         .join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")

@@ -24,16 +24,22 @@ import org.apache.spark.sql.types._
   */
 object SimOps {
 
-  /** Cosine similarity of two double-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Left-to-right double dot product of two array columns. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Corpus vectors with the L2 norm precomputed once per vector — every
+    * downstream pair then costs ONE dot product, not three (same arithmetic,
+    * same rounding: sqrt of the self-dot, multiplied at the pair).
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** Deterministic pseudo-random +-1 hyperplane component for (plane, dim):
     * sign of xxhash64 — a public-knowledge random-projection LSH
@@ -58,10 +64,11 @@ object SimOps {
     // broadcast the single query row, map-only over the corpus.
     "sim_cosine" -> ((s, dir) => {
       val e = vecs(s, dir)
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(cosine(col("v"), col("qv")), 6).as("cos"))
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
         .orderBy("vec_id")
     }),
 
@@ -70,11 +77,11 @@ object SimOps {
     "sim_topk" -> ((s, dir) => {
       val e = vecs(s, dir)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(cosine(col("v"), col("qv")), 6).as("cos"))
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
         .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= 10)
         .orderBy("q_id", "rk")
@@ -86,12 +93,13 @@ object SimOps {
     "sim_topk_lsh" -> ((s, dir) => {
       val e = vecs(s, dir).withColumn("bucket", lshBucket(col("v")))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("bucket"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(cosine(col("v"), col("qv")), 6).as("cos"))
+          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
         .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= 10)
         .orderBy("q_id", "rk")
