@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of each named query
+  * (default: a scale-critical subset) so shuffle/broadcast/pushdown shape
+  * can be reviewed. `runMain graft.Explain [sfDir] [name ...]`
+  */
+object Explain {
+  val headline: Seq[String] = Seq(
+    "join_inner", "join_broadcast", "join_outer", "join_asof",
+    "agg_group", "filter_pred", "topk", "window_rank",
+    "partition_prune", "sorted_range_scan", "replace_by_key",
+    "dedup_minhash", "sim_topk", "text_termfreq")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else headline
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
