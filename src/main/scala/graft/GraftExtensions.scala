@@ -1,0 +1,20 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension: registers the engine's custom expressions for SQL use
+  * (`SELECT cosine_sim(a, b) ...`). Activate with
+  * `spark.sql.extensions=graft.GraftExtensions`; the DataFrame API path
+  * (`graft.functions.api`) needs no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("graft.functions.CosineSimilarity", "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+  }
+}

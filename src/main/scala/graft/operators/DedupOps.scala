@@ -161,10 +161,9 @@ object DedupOps {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .withColumn("nrm", sqrt(SimOps.dot(col("v"), col("v"))))
       val pairs = e.as("x").join(e.as("y"),
           col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-        .filter(SimOps.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= 0.95)
+        .filter(graft.functions.api.cosineSim(col("x.v"), col("y.v")) >= 0.95)
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       Tables.embeddings(s, dir)
         .join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")

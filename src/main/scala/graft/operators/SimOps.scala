@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.api
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,22 +25,22 @@ import org.apache.spark.sql.types._
   */
 object SimOps {
 
-  /** Left-to-right double dot product of two array columns. */
+  /** Left-to-right double dot product of two array columns (built-in
+    * higher-order functions — the reference formulation).
+    */
   def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity of two double-array columns. */
+  /** Cosine similarity via built-ins — kept as the semantics reference;
+    * bit-identical to the codegen'd `graft.functions.api.cosineSim` hot path
+    * (asserted in CosineSpec), which pair-heavy operators use instead.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Corpus vectors with the L2 norm precomputed once per vector — every
-    * downstream pair then costs ONE dot product, not three (same arithmetic,
-    * same rounding: sqrt of the self-dot, multiplied at the pair).
-    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
 
   /** Deterministic pseudo-random +-1 hyperplane component for (plane, dim):
     * sign of xxhash64 — a public-knowledge random-projection LSH
@@ -64,11 +65,10 @@ object SimOps {
     // broadcast the single query row, map-only over the corpus.
     "sim_cosine" -> ((s, dir) => {
       val e = vecs(s, dir)
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
         .orderBy("vec_id")
     }),
 
@@ -77,11 +77,11 @@ object SimOps {
     "sim_topk" -> ((s, dir) => {
       val e = vecs(s, dir)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
         .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= 10)
         .orderBy("q_id", "rk")
@@ -93,13 +93,12 @@ object SimOps {
     "sim_topk_lsh" -> ((s, dir) => {
       val e = vecs(s, dir).withColumn("bucket", lshBucket(col("v")))
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6).as("cos"))
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
         .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= 10)
         .orderBy("q_id", "rk")
