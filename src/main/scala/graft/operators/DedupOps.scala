@@ -133,22 +133,35 @@ object DedupOps {
       retain(d, verified)
     }),
 
-    // N-gram Jaccard via inverted index: explode shingles, self-join the
-    // postings (equality on the shingle — the scalable candidate generator),
-    // count shared shingles per pair, Jaccard >= 0.8 confirms.
+    // N-gram Jaccard with prefix filtering (AllPairs/PPJoin family, public
+    // literature): under a fixed global shingle order, any pair with
+    // J >= t must share a shingle within each side's first
+    // n - ceil(t*n) + 1 sorted shingles — so the inverted index is built
+    // over PREFIXES only, then true Jaccard over the full sets confirms.
+    // The global order is ASCENDING DOCUMENT FREQUENCY (the AllPairs
+    // ordering): prefixes then hold each doc's rarest shingles, so posting
+    // lists in the candidate join are short — a lexicographic order would
+    // concentrate the corpus's most common shingles into every prefix and
+    // make the join quadratic again (measured 2x WORSE than no prefix).
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val sh = shingled(s, dir)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val shared = postings.as("x").join(postings.as("y"),
+      val posts = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("g"))
+      val dfreq = posts.groupBy("g").agg(count(lit(1)).as("dfc"))
+      val w = Window.partitionBy("doc_id").orderBy("dfc", "g")
+      val prefixPosts = posts.join(dfreq, Seq("g"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("n") - ceil(col("n") * 0.8) + 1)
+        .select("doc_id", "g")
+      val cand = prefixPosts.as("x").join(prefixPosts.as("y"),
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      val pairs = shared
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-        .filter(col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter")).cast(DoubleType) >= 0.8)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)
         .select("a_id", "b_id")
       retain(Tables.documents(s, dir), pairs)
     }),
