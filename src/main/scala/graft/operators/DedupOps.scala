@@ -27,24 +27,41 @@ import org.apache.spark.sql.types._
   */
 object DedupOps {
 
-  /** Distinct word-3-gram shingles of `text` — the unit of near-dup identity.
-    * Guarded for texts shorter than 3 tokens.
+  /** Distinct word-3-gram shingles of `text`, HASHED to 64-bit longs — the
+    * unit of near-dup identity. Hashing at creation (xxhash64 over the three
+    * tokens, no string concat) makes every downstream op — explode, groupBy,
+    * equi-join, array_intersect in the verify step — operate on fixed-width
+    * longs instead of variable-length strings; 64-bit collisions are
+    * negligible at any corpus size. Guarded for texts shorter than 3 tokens.
     */
   private def shingles(text: Column): Column = {
     val toks = split(text, " ")
     when(size(toks) >= 3,
       array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-      .otherwise(array(text))
+        i => xxhash64(element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
+      .otherwise(array(xxhash64(text)))
   }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
 
-  /** docs with (doc_id, sh) shingle-set column. */
+  /** docs with (doc_id, sh) shingle-set column, persisted: every near-dup
+    * pipeline references it from BOTH sides of a self-join and again in the
+    * verify step, and a self-join duplicates the unpersisted subtree in the
+    * physical plan (ReuseExchange dedups only the shuffle, not the scan +
+    * shingle computation). At 100 TB this is the standard
+    * materialize-the-signatures step; here MEMORY_AND_DISK spills safely.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+    cached(s, dir + "#shingled",
+      Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("sh")))
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cached(s: SparkSession, key: String, df: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(key,
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Retained = documents minus those with a verified duplicate of smaller id.
     * `pairs` must carry (a_id, b_id) with a_id < b_id.
@@ -78,11 +95,13 @@ object DedupOps {
       val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val minCols = (0 until 64).map(k => min(xxhash64(lit(k), col("g"))).as(s"m$k"))
       val sig = posts.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      val bands = sig.select(col("doc_id"),
+      // persisted: the self-join below would otherwise run the 64-aggregate
+      // signature computation once per side
+      val bands = cached(s, dir + "#mh_bands", sig.select(col("doc_id"),
           posexplode(array((0 until 16).map(b => xxhash64(
             col(s"m${b * 4}"), col(s"m${b * 4 + 1}"),
             col(s"m${b * 4 + 2}"), col(s"m${b * 4 + 3}"))): _*)))
-        .toDF("doc_id", "band", "bhash")
+        .toDF("doc_id", "band", "bhash"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -111,11 +130,14 @@ object DedupOps {
         .withColumn("h", xxhash64(col("t")))
       val bitSums = (0 until 64).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
-      val sim = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(i =>
-            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)).as("sig"))
+      // persisted: referenced by both self-join sides AND the popcount
+      // verify step — three plan copies of the 64-aggregate otherwise
+      val sim = cached(s, dir + "#sh_sig",
+        toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 64).map(i =>
+              when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+              .reduce(_.bitwiseOR(_)).as("sig")))
       val bands = sim.select(col("doc_id"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -150,12 +172,19 @@ object DedupOps {
         explode(col("sh")).as("g"))
       val dfreq = posts.groupBy("g").agg(count(lit(1)).as("dfc"))
       val w = Window.partitionBy("doc_id").orderBy("dfc", "g")
-      val prefixPosts = posts.join(dfreq, Seq("g"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= col("n") - ceil(col("n") * 0.8) + 1)
-        .select("doc_id", "g")
+      // persisted: both self-join sides reference it; unpersisted, the
+      // dfreq join + window would run once per side
+      val prefixPosts = cached(s, dir + "#jac_prefix",
+        posts.join(dfreq, Seq("g"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= col("n") - ceil(col("n") * 0.8) + 1)
+          .select("doc_id", "n", "g"))
+      // AllPairs length filter: J >= t forces t*|b| <= |a| (for |a| <= |b|),
+      // so size-incompatible pairs are pruned inside the candidate join.
       val cand = prefixPosts.as("x").join(prefixPosts.as("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") >= ceil(col("y.n") * 0.8) &&
+          col("y.n") >= ceil(col("x.n") * 0.8))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       val pairs = cand
