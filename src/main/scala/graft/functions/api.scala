@@ -13,4 +13,13 @@ object api {
     graftBridge.column(CosineSimilarity(
       graftBridge.expression(a.cast(dd)), graftBridge.expression(b.cast(dd))))
   }
+
+  /** Squared Euclidean distance of two numeric-array columns — built-in
+    * higher-order functions (codegen'd enough for index-build paths; the
+    * per-pair hot path is cosineSim above).
+    */
+  def sqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.aggregate(
+      org.apache.spark.sql.functions.zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      org.apache.spark.sql.functions.lit(0.0), (acc, v) => acc + v)
 }

@@ -104,6 +104,62 @@ object SimOps {
         .orderBy("q_id", "rk")
     }),
 
+    // IVF-Flat ANN (the index family behind FAISS-style vector search,
+    // public literature): partition the corpus into K Voronoi cells around
+    // data-dependent centroids, search only the query's nprobe nearest
+    // cells. Centroids: deterministic pseudo-random K-sample (order by
+    // xxhash64 of vec_id) refined by ONE Lloyd step — sample → assign →
+    // per-cell element-wise mean — all as DataFrame ops (posexplode +
+    // groupBy(cell, dim) avg + re-assemble; no driver-side iteration).
+    // At 100 TB: K ~ sqrt(N) cells become the bucketing/shuffle key, the
+    // corpus is written bucketed by cell, and each probe is a cell-local
+    // scan. Approximate by construction -> no SQL oracle (rows-only).
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val k = 16
+      val seeds = e.orderBy(xxhash64(col("vec_id"))).limit(k)
+        .select(row_number().over(Window.orderBy(xxhash64(col("vec_id"))))
+          .as("cid0"), col("v").as("cv"))
+      // one Lloyd refinement: assign every vector to its nearest seed
+      // (groupBy carries only vec_id; v is constant per key so first(v) is
+      // value-deterministic)...
+      val assign0 = e.crossJoin(broadcast(seeds))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          min_by(col("cid0"), api.sqDist(col("v"), col("cv"))).as("cell"))
+      // ...then recompute each cell's centroid as the element-wise mean
+      val centroids = assign0
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), p => p("m")).as("cv"))
+      // production note: at scale the K centroids are collected once as
+      // index metadata, making this assignment a map-only argmin with no
+      // shuffle; here it stays fully declarative
+      val assigned = e.crossJoin(broadcast(centroids))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          min_by(col("cell"), api.sqDist(col("v"), col("cv"))).as("cell"))
+      // queries probe their nprobe=2 nearest cells; candidates are the
+      // union of those cells only
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("pk", row_number().over(
+          Window.partitionBy("q_id").orderBy(api.sqDist(col("qv"), col("cv")), col("cell"))))
+        .filter(col("pk") <= 2)
+        .select(col("q_id"), col("qv"), col("cell"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(probes, Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 10)
+        .orderBy("q_id", "rk")
+    }),
+
     // Multimodal record: text + embedding + metadata bundled in one struct
     // column (documents joined to embeddings on doc_id = vec_id, dimension
     // broadcast), fields projected back out as scalars.

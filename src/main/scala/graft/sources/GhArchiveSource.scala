@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+/** Hour-keyed archive source — the reference's backfill input
+  * (ref: cmd/gh-load/main.go:46-99): a directory of `YYYY-MM-DD-H.json.gz`
+  * NDJSON files, one per hour, gzip'd.
+  *
+  * Spark-first mapping:
+  *  - the hour-range task generator (ref: cmd/gh-load/main.go:301-314)
+  *    becomes LISTING-LEVEL pruning: `read(from, to)` enumerates only the
+  *    in-range hour files and hands exactly those paths to the reader — at
+  *    100 TB (years x 24 files) nothing outside the range is listed, opened,
+  *    or scheduled, the file-granularity analog of partition pruning;
+  *  - gzip + NDJSON line scan (ref: main.go:80-99) are native to the JSON
+  *    datasource, one Spark task per (file-split) — the `-jobs` worker pool
+  *    (ref: main.go:239-269) is Spark task parallelism;
+  *  - the 100 MB line cap / abort-on-parse-error policy (ref: main.go:97-99,
+  *    131-134) maps to reader modes: FAILFAST (the reference's behavior) or
+  *    PERMISSIVE with a corrupt-record column (B3);
+  *  - the hour key itself is surfaced as an `hour` timestamp column derived
+  *    from `_metadata.file_path`, so downstream windows/joins can group by
+  *    archive hour without re-parsing event time.
+  *
+  * The fixed projection schema mirrors Event.Parse (ref: internal/gh/gh.go:
+  * 92-125): only `id` and `created_at` are interpreted; the payload stays
+  * opaque in downstream use (schema-on-read via get_json_object).
+  */
+object GhArchiveSource {
+
+  private val hourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd-H")
+  private val fileRe = raw"^(\d{4}-\d{2}-\d{2}-\d{1,2})\.json\.gz$$".r
+
+  /** Minimal read schema: the two fields the reference materializes. The
+    * JSON reader prunes every other key at parse time (early projection,
+    * ref: internal/gh/gh.go:115-120).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("created_at", StringType)))
+
+  /** Parse an hour key ("2024-01-15-7") to its LocalDateTime. */
+  def parseHourKey(key: String): LocalDateTime =
+    LocalDateTime.parse(key, hourFmt)
+
+  /** List the hour files of `dir` whose hour lies in [from, to) — pure
+    * driver-side listing, no Spark job. Returns (path, hourKey) sorted.
+    */
+  def listHours(dir: String, from: Option[LocalDateTime] = None,
+                to: Option[LocalDateTime] = None): Seq[(String, String)] = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+    files.flatMap { f =>
+      f.getName match {
+        case fileRe(key) =>
+          val h = parseHourKey(key)
+          val in = from.forall(!h.isBefore(_)) && to.forall(h.isBefore(_))
+          if (in) Some(f.getAbsolutePath -> key) else None
+        case _ => None
+      }
+    }.sortBy(_._2)
+  }
+
+  /** Batch read of an hour range as (id, created_at ts, raw, hour).
+    * `failFast = true` reproduces the reference's abort-on-parse-error
+    * (ref: cmd/gh-load/main.go:131-134); false keeps malformed rows with
+    * null fields (PERMISSIVE).
+    */
+  def read(spark: SparkSession, dir: String,
+           from: Option[LocalDateTime] = None, to: Option[LocalDateTime] = None,
+           failFast: Boolean = true): DataFrame = {
+    val paths = listHours(dir, from, to).map(_._1)
+    require(paths.nonEmpty, s"no hour files in range under $dir")
+    val raw = spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(paths: _*)
+      .select(col("id"), col("created_at"), col("_metadata.file_path").as("fp"))
+    raw.select(
+      col("id"),
+      to_timestamp(col("created_at")).as("ts"),
+      to_timestamp(
+        regexp_extract(col("fp"), raw"(\d{4}-\d{2}-\d{2}-\d{1,2})\.json\.gz$$", 1),
+        "yyyy-MM-dd-H").as("hour"))
+  }
+
+  /** Streaming read over the same directory — the live-poll analog (A1) for
+    * offline use: new hour files are discovered per micro-batch, and
+    * `maxFilesPerTrigger` is the rate-pacing knob (C6,
+    * ref: cmd/gh-archived/main.go:180-193 adaptive pacing; here the
+    * static Spark equivalent).
+    */
+  def readStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(s"$dir/*.json.gz")
+      .select(col("id"), to_timestamp(col("created_at")).as("ts"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.GhArchiveSource
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.file.Files
+import java.time.LocalDateTime
+import java.util.zip.GZIPOutputStream
+
+/** The hour-keyed archive source: listing-level range pruning, gzip NDJSON
+  * decode, hour-column derivation, malformed-row policy.
+  */
+class GhArchiveSourceSpec extends SparkSpec {
+
+  private def writeHourFile(dir: String, key: String, lines: Seq[String]): Unit = {
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(new FileOutputStream(s"$dir/$key.json.gz")), "UTF-8"))
+    try lines.foreach { l => w.write(l); w.newLine() } finally w.close()
+  }
+
+  private lazy val archiveDir: String = {
+    val dir = Files.createTempDirectory("graft-gha-").toString
+    def ev(id: Long, ts: String) =
+      s"""{"id":$id,"created_at":"$ts","type":"PushEvent","actor":{"login":"u$id"}}"""
+    writeHourFile(dir, "2024-01-15-0", Seq(ev(1, "2024-01-15T00:10:00Z"), ev(2, "2024-01-15T00:20:00Z")))
+    writeHourFile(dir, "2024-01-15-1", Seq(ev(3, "2024-01-15T01:05:00Z")))
+    writeHourFile(dir, "2024-01-15-2", Seq(ev(4, "2024-01-15T02:30:00Z")))
+    Files.write(java.nio.file.Paths.get(s"$dir/not-an-hour-file.txt"),
+      "ignored".getBytes("UTF-8"))
+    dir
+  }
+
+  test("listHours prunes to the requested range at listing time") {
+    val all = GhArchiveSource.listHours(archiveDir)
+    assert(all.map(_._2) == Seq("2024-01-15-0", "2024-01-15-1", "2024-01-15-2"))
+    val ranged = GhArchiveSource.listHours(archiveDir,
+      from = Some(LocalDateTime.of(2024, 1, 15, 1, 0)),
+      to = Some(LocalDateTime.of(2024, 1, 15, 2, 0)))
+    assert(ranged.map(_._2) == Seq("2024-01-15-1"))
+  }
+
+  test("read decodes gzip NDJSON, derives the hour column, prunes files") {
+    val df = GhArchiveSource.read(spark, archiveDir,
+      from = Some(LocalDateTime.of(2024, 1, 15, 0, 0)),
+      to = Some(LocalDateTime.of(2024, 1, 15, 2, 0)))
+    // only the two in-range files reach the scan
+    assert(df.inputFiles.length == 2)
+    val rows = df.collect().map(r => (r.getLong(0),
+      r.getTimestamp(1).toString, r.getTimestamp(2).toString)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0)._2 == "2024-01-15 00:10:00.0")
+    assert(rows(2)._3 == "2024-01-15 01:00:00.0") // hour key, not event ts
+  }
+
+  test("permissive mode keeps malformed rows as nulls; failfast aborts") {
+    val dir = Files.createTempDirectory("graft-gha-bad-").toString
+    writeHourFile(dir, "2024-01-15-0",
+      Seq("""{"id":1,"created_at":"2024-01-15T00:10:00Z"}""", "{not json"))
+    val permissive = GhArchiveSource.read(spark, dir, failFast = false).collect()
+    assert(permissive.length == 2)
+    assert(permissive.count(_.isNullAt(0)) == 1)
+    intercept[org.apache.spark.SparkException] {
+      GhArchiveSource.read(spark, dir, failFast = true).collect()
+    }
+  }
+
+  test("streaming read paces by maxFilesPerTrigger and reaches all rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = GhArchiveSource.readStream(spark, archiveDir, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("gha_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("select id from gha_stream")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+    // AvailableNow + maxFilesPerTrigger=1 → one micro-batch per hour file
+    assert(q.recentProgress.map(_.numInputRows).sum == 4)
+  }
+}

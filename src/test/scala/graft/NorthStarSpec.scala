@@ -72,6 +72,15 @@ class NorthStarSpec extends SparkSpec {
     assert(top.getDouble(1) == 1.0)
   }
 
+  test("sim_topk_ivf recalls the exact duplicate for query 0 (same cell)") {
+    val top = SparkEntry.queries("sim_topk_ivf")(spark, planted)
+      .filter(col("q_id") === 0 && col("rk") === 1)
+      .select("vec_id", "cos").head()
+    // identical vectors land in the same Voronoi cell, so IVF cannot miss
+    assert(top.getLong(0) == 1L)
+    assert(top.getDouble(1) == 1.0)
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     import spark.implicits._
     val e = Tables.embeddings(spark, planted)
