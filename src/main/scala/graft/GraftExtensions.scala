@@ -16,5 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.CosineSimilarity", "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo("graft.functions.MinHashSignature", "minhash_sig"),
+      (children: Seq[Expression]) =>
+        graft.functions.MinHashSignature(children.head).toAggregateExpression()))
   }
 }

@@ -14,6 +14,13 @@ object api {
       graftBridge.expression(a.cast(dd)), graftBridge.expression(b.cast(dd))))
   }
 
+  /** MinHash signature aggregate over a pre-hashed (bigint) shingle column:
+    * one `array<bigint>` of `numPerms` per-permutation minima per group.
+    */
+  def minHashSig(shingleHash: Column, numPerms: Int = 64): Column =
+    graftBridge.column(MinHashSignature(
+      graftBridge.expression(shingleHash), numPerms).toAggregateExpression())
+
   /** Squared Euclidean distance of two numeric-array columns — built-in
     * higher-order functions (codegen'd enough for index-build paths; the
     * per-pair hot path is cosineSim above).

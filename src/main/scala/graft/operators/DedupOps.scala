@@ -82,25 +82,31 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
-    // MinHash + LSH: 64-permutation signature (xxhash64 seeded per
-    // permutation via a mixed-in constant), 16 bands x 4 rows; band-bucket
-    // equi-join proposes candidates, true shingle Jaccard >= 0.7 confirms.
-    // Shape: explode shingles once, then ONE groupBy(doc_id) carrying 64
-    // min() aggregates — partial aggregation collapses each doc's shingles
-    // map-side, and the shingle expression is evaluated exactly once per
-    // shingle (a nested-lambda formulation would recompute it per
-    // permutation after projection collapse — measured 40x slower).
+    // MinHash + LSH: 64-permutation signature, 16 bands x 4 rows;
+    // band-bucket equi-join proposes candidates, true shingle Jaccard
+    // >= 0.7 confirms. The signature is ONE custom TypedImperativeAggregate
+    // (graft.functions.MinHashSignature): a long[64] sketch buffer updated
+    // in a tight loop — one multiply-add universal hash per permutation
+    // over the pre-hashed shingle — with map-side partial aggregation, vs
+    // 64 independent min(hash(k, g)) aggregate columns (64x the hash work
+    // and a quadratic codegen surface).
     "dedup_minhash" -> ((s, dir) => {
+      // ObjectHashAggregate (the TypedImperativeAggregate executor) falls
+      // back to SORT-based aggregation after 128 groups/partition — a
+      // default sized for unbounded buffers (collect_list). The signature
+      // buffer is a fixed 512 B, so 100k in-memory groups cost ~50 MB per
+      // task: keep the hash path, never pay a posting sort.
+      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
       val sh = shingled(s, dir)
       val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val minCols = (0 until 64).map(k => min(xxhash64(lit(k), col("g"))).as(s"m$k"))
-      val sig = posts.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-      // persisted: the self-join below would otherwise run the 64-aggregate
-      // signature computation once per side
+      val sig = posts.groupBy("doc_id")
+        .agg(graft.functions.api.minHashSig(col("g")).as("sig"))
+      // persisted: the self-join below would otherwise run the signature
+      // computation once per side
       val bands = cached(s, dir + "#mh_bands", sig.select(col("doc_id"),
           posexplode(array((0 until 16).map(b => xxhash64(
-            col(s"m${b * 4}"), col(s"m${b * 4 + 1}"),
-            col(s"m${b * 4 + 2}"), col(s"m${b * 4 + 3}"))): _*)))
+            element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
+            element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4))): _*)))
         .toDF("doc_id", "band", "bhash"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&

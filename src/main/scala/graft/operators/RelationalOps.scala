@@ -127,6 +127,25 @@ object RelationalOps {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // E9b: skew-resistant two-phase salted aggregation. `event_type` has ~5
+    // values over the whole archive — at 100 TB a direct groupBy sends every
+    // row of a hot key to ONE reducer. Salting spreads each key over 16
+    // sub-keys for the (partial-friendly) first phase; the second phase
+    // re-aggregates 5x16 tiny rows. Same result as direct groupBy (the
+    // oracle checks exactly that); sums stay in decimal so the two-phase
+    // summation order cannot change the value.
+    "agg_skew_salted" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val salted = e
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"))
+      salted.groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pv")).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // E10: distinct + per-group count distinct.
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -339,6 +358,11 @@ object RelationalOps {
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_skew_salted" ->
+      // the salted two-phase plan must equal the direct aggregate
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |       count(DISTINCT l_partkey) AS n_part, count(*) AS n

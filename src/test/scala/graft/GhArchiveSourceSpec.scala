@@ -63,6 +63,34 @@ class GhArchiveSourceSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end service analog: hour files → stream → dedup → partitioned archive") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    // the whole reference service (poll → dedup → ClickHouse table) offline:
+    // hour-keyed gzip NDJSON in, day-partitioned sorted zstd parquet out
+    val dir = Files.createTempDirectory("graft-gha-e2e-").toString
+    def ev(id: Long, ts: String) = s"""{"id":$id,"created_at":"$ts"}"""
+    writeHourFile(dir, "2024-01-15-0", Seq(
+      ev(1, "2024-01-15T00:10:00Z"),
+      ev(1, "2024-01-15T00:10:00Z"),   // within-file duplicate
+      ev(2, "2024-01-15T00:20:00Z")))
+    writeHourFile(dir, "2024-01-16-0", Seq(ev(3, "2024-01-16T00:05:00Z")))
+    val out = Files.createTempDirectory("graft-gha-e2e-out-").toString
+    val ckpt = Files.createTempDirectory("graft-gha-e2e-ckpt-").toString
+    val src = GhArchiveSource.readStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = streaming.ArchiveStream.archive(
+      src.withColumn("raw", org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(col("id")))),
+      out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val archived = spark.read.parquet(out)
+    assert(archived.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // day partitioning materialized as d=... directories
+    val parts = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("d="))
+    assert(parts.toSet == Set("d=2024-01-15", "d=2024-01-16"))
+  }
+
   test("streaming read paces by maxFilesPerTrigger and reaches all rows") {
     import org.apache.spark.sql.streaming.Trigger
     val q = GhArchiveSource.readStream(spark, archiveDir, maxFilesPerTrigger = 1)
