@@ -10,7 +10,8 @@ object Explain {
     "join_inner", "join_broadcast", "join_outer", "join_asof",
     "agg_group", "filter_pred", "topk", "window_rank",
     "partition_prune", "sorted_range_scan", "replace_by_key",
-    "dedup_minhash", "sim_topk", "text_termfreq")
+    "dedup_minhash", "dedup_ngram_jaccard", "sim_topk", "sim_topk_ivf",
+    "agg_skew_salted", "text_termfreq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -6,12 +6,15 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session extension: registers the engine's custom expressions for SQL use
-  * (`SELECT cosine_sim(a, b) ...`). Activate with
+  * (`SELECT cosine_sim(a, b) ...`) and the TTL-enforcement optimizer rule
+  * (graft.plans.TtlEnforcement — transparent retention over registered
+  * archive paths, SURVEY.md §2 D3). Activate with
   * `spark.sql.extensions=graft.GraftExtensions`; the DataFrame API path
   * (`graft.functions.api`) needs no registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(s => graft.plans.TtlEnforcement(s))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.CosineSimilarity", "cosine_sim"),

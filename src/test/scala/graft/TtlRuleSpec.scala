@@ -1,0 +1,60 @@
+package graft
+
+import graft.plans.TtlPolicy
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** The TTL-enforcement optimizer rule: transparent retention over registered
+  * paths, pushdown of the injected predicate, no effect on other reads.
+  */
+class TtlRuleSpec extends SparkSpec with BeforeAndAfterEach {
+
+  override def afterEach(): Unit = TtlPolicy.clear()
+
+  private def day(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+
+  private lazy val archive: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ttl-").toString + "/archive"
+    (1 to 10).map(d => (d.toLong, day(d))).toDF("id", "ts")
+      .withColumn("d", to_date(col("ts")))
+      .write.partitionBy("d").parquet(dir)
+    dir
+  }
+
+  test("registered path: expired rows vanish from every query, unregistered reads see all") {
+    val all = spark.read.parquet(archive)
+    assert(all.count() == 10)
+    TtlPolicy.register(archive, "ts", 3, day(10))
+    // no query rewrite by the user — the rule injects the retention filter;
+    // cutoff = day10 noon - 3 days = day7 noon, and >= keeps the boundary row
+    assert(spark.read.parquet(archive).count() == 4) // days 7..10 survive
+    assert(spark.read.parquet(archive).agg(min("id")).head().getLong(0) == 7L)
+    TtlPolicy.unregister(archive)
+    assert(spark.read.parquet(archive).count() == 10)
+  }
+
+  test("injected predicate reaches the scan (pushed + partition-prunable)") {
+    TtlPolicy.register(archive, "ts", 3, day(10))
+    val df = spark.read.parquet(archive).select("id")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("GreaterThanOrEqual(ts"), physical.take(2000))
+    // composes with user predicates without duplicating the guard
+    val both = spark.read.parquet(archive).filter(col("id") =!= 9)
+    assert(both.count() == 3)
+    val optimized = both.queryExecution.optimizedPlan.toString
+    assert("ts#\\d+ >= ".r.findAllIn(optimized).size == 1, optimized)
+  }
+
+  test("TTL composes with aggregation — the flagship archive shape") {
+    TtlPolicy.register(archive, "ts", 3, day(10))
+    val perDay = spark.read.parquet(archive)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .orderBy("day").collect()
+    assert(perDay.length == 4)
+    assert(perDay.forall(_.getLong(1) == 1L))
+  }
+}
