@@ -71,6 +71,58 @@ class StreamingSpec extends SparkSpec {
     assert(days.toSeq == Seq("2024-01-01", "2024-01-02"))
   }
 
+  test("sliding window agg runs under a streaming source with watermark (G3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:05:00")), (2L, ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      val got = spark.sql("select ws, n from sliding_out order by ws")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1))
+      // event at 10:05 falls in [09:30,10:30) and [10:00,11:00);
+      // event at 10:40 in [10:00,11:00) and [10:30,11:30)
+      assert(got.toSeq == Seq(
+        "2024-01-01 09:30:00.0" -> 1L,
+        "2024-01-01 10:00:00.0" -> 2L,
+        "2024-01-01 10:30:00.0" -> 1L))
+    } finally q.stop()
+  }
+
+  test("session window agg closes a session after the 30-minute gap (G4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    // streaming session windows require a grouping key (no global session
+    // agg) — the natural shape anyway: sessions are per user/actor
+    val q = mem.toDF().toDF("id", "ts")
+      .withColumn("uid", lit(1L))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("uid"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      // two events 10 min apart (one session), a third 40 min later (new one)
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:10:00")),
+                  (3L, ts("2024-01-01 10:50:00")))
+      q.processAllAvailable()
+      val got = spark.sql("select ws, n from session_out order by ws")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1))
+      assert(got.toSeq == Seq(
+        "2024-01-01 10:00:00.0" -> 2L,
+        "2024-01-01 10:50:00.0" -> 1L))
+    } finally q.stop()
+  }
+
   test("hourlyCounts matches batch groupBy on the same data") {
     import spark.implicits._
     val e = Tables.events(spark, sf).select(col("event_id").as("id"), col("ts"),
