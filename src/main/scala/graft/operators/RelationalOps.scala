@@ -92,20 +92,33 @@ object RelationalOps {
     }),
 
     // E7: as-of join — for each purchase, the latest same-user click at or
-    // before it. Composition: range join + row_number()=1 (SURVEY.md §7.3);
-    // at scale: range-join on a bucketed user_id partitioning, AQE skew-split.
+    // before it. Formulation: union-tag-sort + running last(ignoreNulls)
+    // (the merge-join shape of as-of, public asof-join literature): clicks
+    // and purchases are unioned, sorted by (ts, kind, id) within each user,
+    // and every purchase reads the click timestamp carried so far. ONE
+    // shuffle on user_id and linear per-row state — a range-join +
+    // row_number composition would materialize purchase x all-prior-clicks
+    // per user first, which is quadratic on hot users at archive scale.
+    // Sort order encodes the semantics: kind=0 (click) before kind=1
+    // (purchase) at equal ts makes the bound inclusive (c_ts <= p_ts), and
+    // ascending id makes the last-seen click the max-event_id tie-winner,
+    // matching the oracle's (ts DESC, event_id DESC) pick.
     "join_asof" -> ((s, dir) => {
       val e = Tables.events(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
-      val w = Window.partitionBy("p_id").orderBy(col("c_ts").desc, col("c_id").desc)
-      purchases
-        .join(clicks, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"), "left_outer")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("p_id"), col("p_user"), col("p_ts"), col("c_ts").as("asof_click_ts"))
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast(TimestampType).as("click_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("asof_click_ts"))
         .orderBy("p_id")
     }),
 
