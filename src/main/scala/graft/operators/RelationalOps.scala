@@ -159,6 +159,24 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // E9c: exact quantiles (ClickHouse `quantile*` analog). Exact
+    // `percentile` shuffles each group's values to one reducer — correct
+    // here and for the oracle; at 100 TB the same query key would switch to
+    // `approx_percentile` (t-digest sketch, mergeable map-side) at the cost
+    // of the oracle (as agg_approx_distinct already demonstrates for HLL).
+    "agg_quantile" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("q"),
+          percentile(col("value"), lit(0.95)).as("q95"),
+          percentile(col("value"), lit(0.99)).as("q99"))
+        .select(col("event_type"),
+          round(col("q"), 4).as("p50"),
+          round(col("q95"), 4).as("p95"),
+          round(col("q99"), 4).as("p99"))
+        .orderBy("event_type")
+    }),
+
     // E10: distinct + per-group count distinct.
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -375,6 +393,14 @@ object RelationalOps {
       // the salted two-phase plan must equal the direct aggregate
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_quantile" ->
+      // quantile_cont = linear interpolation, the same formula Spark's
+      // exact percentile uses
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
