@@ -55,6 +55,41 @@ object MultimodalOps {
     }
   }
 
+  case class MediaProcessed(doc_id: Long, width: Int, height: Int,
+                            kept_frames: Int, frame_idx: Seq[Int], source: String)
+
+  /** Resize STUB: recompute target dimensions preserving aspect ratio toward
+    * a 224-wide thumbnail (the ubiquitous vision-model input). Pure metadata
+    * math — a real implementation swaps in the pixel resampler only.
+    */
+  def resizeStub(w: Int, h: Int, targetW: Int = 224): (Int, Int) = {
+    val scaledH = math.max(1, math.round(h.toDouble * targetW / w).toInt)
+    (targetW, scaledH)
+  }
+
+  /** Frame sampling: keep every `stride`-th frame index — deterministic,
+    * bounded output per record (ceil(n/stride) indices).
+    */
+  def sampleFrames(nFrames: Int, stride: Int = 24): Seq[Int] =
+    0 until nFrames by stride
+
+  /** Decode → frame-sample → resize as one partition-wise stage chain: the
+    * full media pipeline shape (each stage a narrow map, codec init
+    * amortized per partition, payload dropped as soon as features are out).
+    */
+  def processMedia(records: org.apache.spark.sql.Dataset[MediaRecord]):
+      org.apache.spark.sql.Dataset[MediaProcessed] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, frames) = decodeStub(r.payload)
+        val idx = sampleFrames(frames)
+        val (rw, rh) = resizeStub(w, h)
+        MediaProcessed(r.doc_id, rw, rh, idx.length, idx, r.source)
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Opaque binary payload + typed metadata, content-addressed: the
     // checkable half of the multimodal surface (byte length + SHA-256).
@@ -64,6 +99,20 @@ object MultimodalOps {
         .select(col("doc_id"),
           octet_length(col("payload")).cast(LongType).as("byte_len"),
           sha2(col("payload"), 256).as("digest"),
+          col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Decode → frame-sample (every 24th) → resize (224-wide) pipeline —
+    // deterministic but not SQL-expressible (stub codec) -> rows-only check.
+    "multimodal_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("source"))
+        .as[MediaRecord]
+      processMedia(recs).toDF()
+        .select(col("doc_id"), col("width").cast(LongType),
+          col("height").cast(LongType), col("kept_frames").cast(LongType),
           col("source"))
         .orderBy("doc_id")
     }),

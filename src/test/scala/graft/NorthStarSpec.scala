@@ -104,6 +104,15 @@ class NorthStarSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 1920))
   }
 
+  test("multimodal pipeline: frame sampling and resize preserve invariants") {
+    val out = SparkEntry.queries("multimodal_pipeline")(spark, planted).collect()
+    assert(out.length == 4)
+    // resize targets 224 wide; sampled frame count is ceil(n_frames/24) >= 1
+    assert(out.forall(_.getLong(1) == 224L))
+    assert(out.forall(r => r.getLong(2) >= 1))
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 10))
+  }
+
   test("text fingerprint: identical texts agree, different texts differ") {
     val fp = SparkEntry.queries("text_fingerprint")(spark, planted)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
