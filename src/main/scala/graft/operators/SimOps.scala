@@ -42,6 +42,11 @@ object SimOps {
     Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
 
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cached(key: String, df: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(key,
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Deterministic pseudo-random +-1 hyperplane component for (plane, dim):
     * sign of xxhash64 — a public-knowledge random-projection LSH
     * (sign-random-projection / SimHash for vectors).
@@ -136,11 +141,15 @@ object SimOps {
         .select(col("cell"), transform(col("dm"), p => p("m")).as("cv"))
       // production note: at scale the K centroids are collected once as
       // index metadata, making this assignment a map-only argmin with no
-      // shuffle; here it stays fully declarative
-      val assigned = e.crossJoin(broadcast(centroids))
-        .groupBy(col("vec_id"))
-        .agg(first(col("v")).as("v"),
-          min_by(col("cell"), api.sqDist(col("v"), col("cv"))).as("cell"))
+      // shuffle; here it stays fully declarative. Persisted: both the probe
+      // derivation and the candidate join read it — unpersisted, the whole
+      // seed + Lloyd + assignment lineage would run once per reference
+      // (this IS the materialized index).
+      val assigned = cached(dir + "#ivf_assigned",
+        e.crossJoin(broadcast(centroids))
+          .groupBy(col("vec_id"))
+          .agg(first(col("v")).as("v"),
+            min_by(col("cell"), api.sqDist(col("v"), col("cv"))).as("cell")))
       // queries probe their nprobe=2 nearest cells; candidates are the
       // union of those cells only
       val probes = assigned.filter(col("vec_id") < 5)

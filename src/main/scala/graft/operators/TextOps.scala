@@ -33,6 +33,19 @@ object TextOps {
       .cast(DoubleType) / size(toks).cast(DoubleType)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reproducible train/holdout split — the training-pipeline primitive a
+    // dedup'd corpus feeds into. Assignment is a pure function of doc_id
+    // (Knuth multiplicative hash mod 100, 90/10), so it is stable across
+    // runs, cluster sizes, and row order — never `rand()`, which shuffles
+    // membership on every retry. Map-only: no shuffle, no state.
+    "split_holdout" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(100L)))
+        .select(col("doc_id"), col("lang"),
+          when(col("bucket") < 90, "train").otherwise("holdout").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Global term frequency, top 30 terms (count desc, term asc tiebreak).
     "text_termfreq" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -106,6 +119,11 @@ object TextOps {
     }))
 
   def oracle: Map[String, String] = Map(
+    "split_holdout" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN (doc_id * 2654435761) % 100 < 90
+        |            THEN 'train' ELSE 'holdout' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_termfreq" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
