@@ -55,13 +55,8 @@ object DedupOps {
     * materialize-the-signatures step; here MEMORY_AND_DISK spills safely.
     */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    cached(s, dir + "#shingled",
+    OpCache.cached(dir + "#shingled",
       Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("sh")))
-
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def cached(s: SparkSession, key: String, df: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(key,
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Retained = documents minus those with a verified duplicate of smaller id.
     * `pairs` must carry (a_id, b_id) with a_id < b_id.
@@ -103,7 +98,7 @@ object DedupOps {
         .agg(graft.functions.api.minHashSig(col("g")).as("sig"))
       // persisted: the self-join below would otherwise run the signature
       // computation once per side
-      val bands = cached(s, dir + "#mh_bands", sig.select(col("doc_id"),
+      val bands = OpCache.cached(dir + "#mh_bands", sig.select(col("doc_id"),
           posexplode(array((0 until 16).map(b => xxhash64(
             element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
             element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4))): _*)))
@@ -138,7 +133,7 @@ object DedupOps {
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
       // persisted: referenced by both self-join sides AND the popcount
       // verify step — three plan copies of the 64-aggregate otherwise
-      val sim = cached(s, dir + "#sh_sig",
+      val sim = OpCache.cached(dir + "#sh_sig",
         toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"),
             (0 until 64).map(i =>
@@ -180,7 +175,7 @@ object DedupOps {
       val w = Window.partitionBy("doc_id").orderBy("dfc", "g")
       // persisted: both self-join sides reference it; unpersisted, the
       // dfreq join + window would run once per side
-      val prefixPosts = cached(s, dir + "#jac_prefix",
+      val prefixPosts = OpCache.cached(dir + "#jac_prefix",
         posts.join(dfreq, Seq("g"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= col("n") - ceil(col("n") * 0.8) + 1)

@@ -39,9 +39,8 @@ object PipelineOps {
     * three queries share the sink, and an idempotent overwrite of identical
     * bytes would only re-measure the writer.
     */
-  private val written = scala.collection.concurrent.TrieMap.empty[String, String]
   private def writeSink(s: SparkSession, sfDir: String): String =
-    written.getOrElseUpdate(sfDir, {
+    OpCache.once(sfDir + "#sink") {
       val out = scratch(sfDir, "events_by_date")
       val e = Tables.events(s, sfDir)
         .withColumn("d", to_date(col("ts")))
@@ -52,7 +51,7 @@ object PipelineOps {
         .partitionBy("d")
         .parquet(out)
       out
-    })
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1/B2: single-pass JSON projection — extract typed fields, keep raw.

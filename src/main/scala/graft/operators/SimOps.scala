@@ -42,10 +42,6 @@ object SimOps {
     Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def cached(key: String, df: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(key,
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Deterministic pseudo-random +-1 hyperplane component for (plane, dim):
     * sign of xxhash64 — a public-knowledge random-projection LSH
@@ -145,7 +141,7 @@ object SimOps {
       // derivation and the candidate join read it — unpersisted, the whole
       // seed + Lloyd + assignment lineage would run once per reference
       // (this IS the materialized index).
-      val assigned = cached(dir + "#ivf_assigned",
+      val assigned = OpCache.cached(dir + "#ivf_assigned",
         e.crossJoin(broadcast(centroids))
           .groupBy(col("vec_id"))
           .agg(first(col("v")).as("v"),

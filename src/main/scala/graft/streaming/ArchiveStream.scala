@@ -64,6 +64,12 @@ object ArchiveStream {
   /** The full service: source → dedup → day-partitioned sorted zstd parquet
     * sink (C5/D1/D2/D5). Checkpointing gives the restart/redial durability the
     * reference gets from ETag + ReplacingMergeTree (ref: main.go:44-52,110).
+    *
+    * Delivery is AT-LEAST-ONCE, exactly like the reference: a batch replayed
+    * after a post-write failure appends duplicate rows, and the read path
+    * collapses them by key (replace_by_key, C2/D4) — the ReplacingMergeTree
+    * contract (ref: README.md:14; retries lean on it, cmd/gh-load/
+    * main.go:257-261). StreamingSpec proves the replay→read round trip.
     */
   def archive(events: DataFrame, outDir: String, checkpointDir: String,
               trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =

@@ -123,6 +123,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("at-least-once replay: duplicate appends collapse at replace-by-key read") {
+    import spark.implicits._
+    // the reference's delivery contract: a replayed insert leaves duplicate
+    // rows in storage, and the canonical read keeps one per (ts, id)
+    val out = Files.createTempDirectory("graft-replay-").toString + "/a"
+    val batch = Seq((1L, ts("2024-01-01 10:00:00"), "a"),
+                    (2L, ts("2024-01-01 11:00:00"), "b")).toDF("id", "ts", "raw")
+    def append(): Unit = batch
+      .withColumn("d", to_date(col("ts")))
+      .write.mode("append").partitionBy("d").parquet(out)
+    append(); append() // replay after a simulated post-write failure
+    val stored = spark.read.parquet(out)
+    assert(stored.count() == 4)
+    val canonical = stored
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("ts", "id").orderBy(col("raw"))))
+      .filter(col("rn") === 1)
+    assert(canonical.count() == 2)
+    assert(canonical.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("hourlyCounts matches batch groupBy on the same data") {
     import spark.implicits._
     val e = Tables.events(spark, sf).select(col("event_id").as("id"), col("ts"),
