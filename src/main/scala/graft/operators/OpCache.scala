@@ -10,22 +10,41 @@ import org.apache.spark.storage.StorageLevel
   * are written once. Keys embed the sfDir so scales never collide.
   */
 object OpCache {
-  private val frames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val actions = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val frames = scala.collection.mutable.Map.empty[String, DataFrame]
+  private val actions = scala.collection.mutable.Map.empty[String, String]
 
-  /** Persist `df` (memory+disk, spillable) the first time `key` is seen. */
-  def cached(key: String, df: => DataFrame): DataFrame =
-    frames.getOrElseUpdate(key, df.persist(StorageLevel.MEMORY_AND_DISK))
+  /** Persist `df` (memory+disk, spillable) the first time `key` is seen.
+    * Synchronized, not a lock-free map: `getOrElseUpdate` on a concurrent
+    * map may evaluate the thunk twice under a first-access race, which here
+    * would double-persist (an unreachable cache entry `clear()` could never
+    * unpersist). A hit bound to a stopped SparkSession is evicted and
+    * recomputed, so a session restart in the same JVM never serves plans of
+    * a dead context.
+    */
+  def cached(key: String, df: => DataFrame): DataFrame = synchronized {
+    frames.get(key).filter(!_.sparkSession.sparkContext.isStopped)
+      .getOrElse {
+        val fresh = df.persist(StorageLevel.MEMORY_AND_DISK)
+        frames.put(key, fresh)
+        fresh
+      }
+  }
 
-  /** Run `make` (e.g. a sink write returning its path) once per `key`. */
-  def once(key: String)(make: => String): String =
+  /** Run `make` (e.g. a sink write returning its path) exactly once per
+    * `key` — synchronized for the same reason: two first-access threads
+    * racing the same sink write would commit into one directory.
+    */
+  def once(key: String)(make: => String): String = synchronized {
     actions.getOrElseUpdate(key, make)
+  }
 
   /** Drop every memo and unpersist the cached frames (library hygiene for
     * long-lived sessions; the driver's mains exit per run).
     */
-  def clear(): Unit = {
-    frames.values.foreach(_.unpersist(blocking = false))
+  def clear(): Unit = synchronized {
+    frames.values.foreach { df =>
+      if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
+    }
     frames.clear()
     actions.clear()
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Storage-level TTL as an optimizer rule (SURVEY.md §2 D3).
   *
@@ -42,8 +42,18 @@ object TtlPolicy {
   def unregister(path: String): Unit = policies.remove(normalize(path))
   def clear(): Unit = policies.clear()
 
-  private def normalize(p: String): String =
-    p.stripSuffix("/").replaceFirst("^file:", "")
+  /** Scheme-insensitive path normalization: `file:///x`, `file:/x` and `/x`
+    * all normalize to `/x`; URIs with an authority (hdfs://nn:8020/p) keep
+    * it, so register with the same authority form the session resolves.
+    */
+  private def normalize(p: String): String = {
+    val noSlash = p.stripSuffix("/")
+    try {
+      val u = new java.net.URI(noSlash)
+      if (u.getScheme == null) noSlash
+      else Option(u.getAuthority).filter(_.nonEmpty).getOrElse("") + u.getPath
+    } catch { case _: java.net.URISyntaxException => noSlash }
+  }
 
   /** Policy matching any of the relation's root paths. */
   def forPaths(paths: Seq[String]): Option[Policy] =
@@ -59,8 +69,9 @@ case class TtlEnforcement(spark: SparkSession) extends Rule[LogicalPlan]
   /** Is `cond` (or any conjunct of it) the TTL guard for `policy`? */
   private def guards(cond: Expression, policy: TtlPolicy.Policy): Boolean =
     splitConjunctivePredicates(cond).exists {
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, TimestampType)) =>
-        a.name == policy.column && v == policy.cutoffMicros
+      case GreaterThanOrEqual(a: AttributeReference,
+          Literal(v, TimestampType | TimestampNTZType)) =>
+        a.name.equalsIgnoreCase(policy.column) && v == policy.cutoffMicros
       case _ => false
     }
 
@@ -87,11 +98,23 @@ case class TtlEnforcement(spark: SparkSession) extends Rule[LogicalPlan]
           case fs: HadoopFsRelation if !rootPaths(fs).exists(alreadyGuarded) =>
             TtlPolicy.forPaths(rootPaths(fs)) match {
               case Some(policy) =>
-                lr.output.find(_.name == policy.column) match {
-                  case Some(attr) if attr.dataType == TimestampType =>
+                // a retention mechanism must fail loudly, never silently
+                // skip: a registered policy whose column is absent or
+                // non-timestamp is a broken registration, and returning
+                // expired rows would violate the rule's whole contract
+                val attr = lr.output
+                  .find(_.name.equalsIgnoreCase(policy.column))
+                  .getOrElse(throw new IllegalStateException(
+                    s"TTL policy on ${rootPaths(fs).mkString(",")}: column " +
+                      s"'${policy.column}' not found in ${lr.output.map(_.name)}"))
+                attr.dataType match {
+                  case TimestampType | TimestampNTZType =>
                     Filter(GreaterThanOrEqual(attr,
-                      Literal(policy.cutoffMicros, TimestampType)), lr)
-                  case _ => lr
+                      Literal(policy.cutoffMicros, attr.dataType)), lr)
+                  case other => throw new IllegalStateException(
+                    s"TTL policy on ${rootPaths(fs).mkString(",")}: column " +
+                      s"'${policy.column}' has type ${other.simpleString}, " +
+                      "expected a timestamp")
                 }
               case None => lr
             }

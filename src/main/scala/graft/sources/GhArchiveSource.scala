@@ -33,7 +33,11 @@ import java.time.format.DateTimeFormatter
 object GhArchiveSource {
 
   private val hourFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd-H")
-  private val fileRe = raw"^(\d{4}-\d{2}-\d{2}-\d{1,2})\.json\.gz$$".r
+  /** The hour-key shape, shared by the filename matcher and the column
+    * extractor so the two can never drift; hour restricted to 0-23.
+    */
+  private val keyPattern = raw"\d{4}-\d{2}-\d{2}-(?:[01]?\d|2[0-3])"
+  private val fileRe = ("^(" + keyPattern + raw")\.json\.gz$$").r
 
   /** Minimal read schema: the two fields the reference materializes. The
     * JSON reader prunes every other key at parse time (early projection,
@@ -48,7 +52,11 @@ object GhArchiveSource {
     LocalDateTime.parse(key, hourFmt)
 
   /** List the hour files of `dir` whose hour lies in [from, to) — pure
-    * driver-side listing, no Spark job. Returns (path, hourKey) sorted.
+    * driver-side listing, no Spark job. Returns (path, hourKey) in
+    * CHRONOLOGICAL order (key strings don't sort chronologically: the hour
+    * part is unpadded, so "…-10" < "…-2" lexicographically). Files that
+    * don't parse as a valid calendar hour are skipped like any other
+    * non-hour file — a stray artifact must never abort the whole listing.
     */
   def listHours(dir: String, from: Option[LocalDateTime] = None,
                 to: Option[LocalDateTime] = None): Seq[(String, String)] = {
@@ -57,12 +65,13 @@ object GhArchiveSource {
     files.flatMap { f =>
       f.getName match {
         case fileRe(key) =>
-          val h = parseHourKey(key)
-          val in = from.forall(!h.isBefore(_)) && to.forall(h.isBefore(_))
-          if (in) Some(f.getAbsolutePath -> key) else None
+          scala.util.Try(parseHourKey(key)).toOption.flatMap { h =>
+            val in = from.forall(!h.isBefore(_)) && to.forall(h.isBefore(_))
+            if (in) Some((f.getAbsolutePath, key, h)) else None
+          }
         case _ => None
       }
-    }.sortBy(_._2)
+    }.sortBy(_._3.toEpochSecond(java.time.ZoneOffset.UTC)).map(t => (t._1, t._2))
   }
 
   /** Batch read of an hour range as (id, created_at ts, raw, hour).
@@ -84,9 +93,13 @@ object GhArchiveSource {
     raw.select(
       col("id"),
       to_timestamp(col("created_at")).as("ts"),
-      to_timestamp(
-        regexp_extract(col("fp"), raw"(\d{4}-\d{2}-\d{2}-\d{1,2})\.json\.gz$$", 1),
-        "yyyy-MM-dd-H").as("hour"))
+      // TIMESTAMP_NTZ: the hour key is a calendar label (the reference's
+      // archive key, always UTC-hour-of-day), not an instant — NTZ keeps it
+      // independent of the session timezone, where to_timestamp would shift
+      // it in any non-UTC session
+      to_timestamp_ntz(
+        regexp_extract(col("fp"), "(" + keyPattern + raw")\.json\.gz$$", 1),
+        lit("yyyy-MM-dd-H")).as("hour"))
   }
 
   /** Streaming read over the same directory — the live-poll analog (A1) for
@@ -100,6 +113,8 @@ object GhArchiveSource {
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(s"$dir/*.json.gz")
+      // glob approximates fileRe (globs can't bound the hour range), so a
+      // stray summary.json.gz never enters the stream — batch/stream parity
+      .json(s"$dir/[0-9]*-[0-9]*-[0-9]*-[0-9]*.json.gz")
       .select(col("id"), to_timestamp(col("created_at")).as("ts"))
 }

@@ -17,9 +17,9 @@ import org.apache.spark.sql.types._
   *  - columnar native-protocol INSERT into a day-partitioned,
   *    (ts,id)-ordered, ZSTD, 3-day-TTL ReplacingMergeTree
   *    (ref: main.go:39-98, README.md:8-17)
-  *      → `foreachBatch` writing date-partitioned, sorted-within-partition,
-  *        zstd parquet — idempotent under at-least-once replay because the
-  *        batch is deduped and partitions are overwritten deterministically.
+  *      → `foreachBatch` appending date-partitioned, sorted-within-partition,
+  *        zstd parquet — at-least-once, with replayed duplicates collapsed
+  *        at replace-by-key read time (see `archive`'s contract note).
   *
   * All transforms are expressed on an unbound DataFrame so the SAME functions
   * run in batch mode (where the DuckDB oracle can check them — see

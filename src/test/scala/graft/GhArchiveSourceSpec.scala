@@ -32,6 +32,15 @@ class GhArchiveSourceSpec extends SparkSpec {
   test("listHours prunes to the requested range at listing time") {
     val all = GhArchiveSource.listHours(archiveDir)
     assert(all.map(_._2) == Seq("2024-01-15-0", "2024-01-15-1", "2024-01-15-2"))
+    // stray invalid-hour artifact is skipped, never aborts the listing
+    writeHourFile(archiveDir, "2024-01-15-99", Seq("{}"))
+    assert(GhArchiveSource.listHours(archiveDir).map(_._2) ==
+      Seq("2024-01-15-0", "2024-01-15-1", "2024-01-15-2"))
+    // order is chronological, not lexicographic (unpadded hour: "10" < "2")
+    writeHourFile(archiveDir, "2024-01-15-10", Seq("{}"))
+    assert(GhArchiveSource.listHours(archiveDir).map(_._2).last == "2024-01-15-10")
+    new java.io.File(s"$archiveDir/2024-01-15-99.json.gz").delete()
+    new java.io.File(s"$archiveDir/2024-01-15-10.json.gz").delete()
     val ranged = GhArchiveSource.listHours(archiveDir,
       from = Some(LocalDateTime.of(2024, 1, 15, 1, 0)),
       to = Some(LocalDateTime.of(2024, 1, 15, 2, 0)))
@@ -45,10 +54,11 @@ class GhArchiveSourceSpec extends SparkSpec {
     // only the two in-range files reach the scan
     assert(df.inputFiles.length == 2)
     val rows = df.collect().map(r => (r.getLong(0),
-      r.getTimestamp(1).toString, r.getTimestamp(2).toString)).sortBy(_._1)
+      r.getTimestamp(1).toString,
+      r.getAs[java.time.LocalDateTime](2).toString)).sortBy(_._1)
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
     assert(rows(0)._2 == "2024-01-15 00:10:00.0")
-    assert(rows(2)._3 == "2024-01-15 01:00:00.0") // hour key, not event ts
+    assert(rows(2)._3 == "2024-01-15T01:00") // hour key (NTZ), not event ts
   }
 
   test("permissive mode keeps malformed rows as nulls; failfast aborts") {

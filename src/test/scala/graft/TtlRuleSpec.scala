@@ -49,6 +49,26 @@ class TtlRuleSpec extends SparkSpec with BeforeAndAfterEach {
     assert("ts#\\d+ >= ".r.findAllIn(optimized).size == 1, optimized)
   }
 
+  test("file:// registration matches the resolved scan path") {
+    TtlPolicy.register(s"file://$archive", "ts", 3, day(10))
+    assert(spark.read.parquet(archive).count() == 4)
+  }
+
+  test("broken registration fails loudly instead of silently skipping retention") {
+    TtlPolicy.register(archive, "no_such_col", 3, day(10))
+    val e1 = intercept[Exception] { spark.read.parquet(archive).count() }
+    assert(e1.getMessage.contains("no_such_col"))
+    TtlPolicy.clear()
+    TtlPolicy.register(archive, "id", 3, day(10)) // wrong type (bigint)
+    val e2 = intercept[Exception] { spark.read.parquet(archive).count() }
+    assert(e2.getMessage.contains("expected a timestamp"))
+  }
+
+  test("column match is case-insensitive like Spark resolution") {
+    TtlPolicy.register(archive, "TS", 3, day(10))
+    assert(spark.read.parquet(archive).count() == 4)
+  }
+
   test("TTL composes with aggregation — the flagship archive shape") {
     TtlPolicy.register(archive, "ts", 3, day(10))
     val perDay = spark.read.parquet(archive)
