@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan regression guard: the scale-critical plan properties the
+  * manual `graft.Explain` audit checks, asserted programmatically — losing
+  * a pushdown, a broadcast, or a group-limit to a refactor should fail CI,
+  * not wait for a bench regression at scale.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("join_broadcast: dimension side broadcasts, no sort-merge") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("filter_pred: predicates reach the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice)"), p.take(1500))
+  }
+
+  test("sorted_range_scan: ts range pushed to the scan") {
+    val p = plan("sorted_range_scan")
+    assert(p.contains("GreaterThanOrEqual(ts") && p.contains("LessThanOrEqual(ts"),
+      p.take(1500))
+  }
+
+  test("partition_prune: day predicate prunes partitions, not rows") {
+    val p = plan("partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(d"), p.take(1500))
+  }
+
+  test("topk: whole-stage top-k, not a global sort of everything") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("topk_per_group: rank filter pushes into WindowGroupLimit") {
+    val p = plan("topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("scan_events: projection prunes the read schema to selected columns") {
+    val p = plan("scan_events")
+    assert(p.contains("ReadSchema"), p.take(1500))
+    assert(!p.contains("props"), "props must be pruned from the scan:\n" + p.take(1500))
+  }
+
+  test("join_asof: exactly one pre-window exchange (the user_id shuffle) plus the output sort") {
+    val p = plan("join_asof")
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected user_id hash + final range exchange, got $exchanges:\n${p.take(1200)}")
+  }
+
+  test("sim_topk: query side broadcasts; corpus is streamed once") {
+    val p = plan("sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+}
