@@ -128,14 +128,18 @@ object FunctionOps {
     }),
 
     // F7: JSON — the heart of the raw-archive model (ref: internal/gh/gh.go:92-125).
+    // ONE from_json pass feeds every typed projection (parsing the document is
+    // the dominant cost; r1 parsed it three times and the json_tuple Generator
+    // additionally broke whole-stage codegen — 18.4 s of a 95 s bench). A single
+    // get_json_object remains to cover the path-extraction API surface.
     "fn_json" -> ((s, dir) => {
       Tables.events(s, dir)
+        .withColumn("j", from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
         .select(
           col("event_id"),
-          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
-          json_tuple(col("props"), "k").as("k_str"),
-          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
-            .getField("k").as("k_typed"),
+          col("j").getField("k").as("k"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          col("j").getField("k").as("k_typed"),
           to_json(struct(col("event_id").as("id"))).as("packed"))
         .orderBy("event_id")
     }),
