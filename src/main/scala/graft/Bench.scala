@@ -10,12 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one throwaway action to absorb session warm-up (codegen compiler,
     // parquet footer caches) so per-query numbers measure the query
@@ -40,12 +35,14 @@ object Bench {
       if (w.isDirectory && w.getPath != new java.io.File(sfDir).getPath) Some(w.getPath)
       else None
     }
+    val warmT0 = System.nanoTime()
     warmDir.foreach { wd =>
       selected.foreach { case (name, fn) =>
         try fn(spark, wd).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench-warm] $name: ${e.getMessage}") }
       }
     }
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -53,12 +50,20 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = toJson(results.map(t => (t._1, t._2)))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // protocol marker + warm-phase wall time: steady-state numbers (codegen
+    // pre-compiled on the sf0.001 sibling) are not comparable to cold runs,
+    // so the JSON says which one this is and what the warm-up itself cost.
+    // With reps > 1, rep 1 may build OpCache-persisted intermediates that
+    // later reps reuse — "queries_first" preserves the uncached timing.
+    val protocol = if (warmDir.isDefined) "steady-state" else "cold"
+    val extra = if (reps > 1) s""","queries_first":${toJson(results.map(t => (t._1, t._3)))}""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"reps":$reps,"queries":$qs$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

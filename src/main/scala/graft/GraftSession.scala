@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session construction for the engine's entry points
+  * (Verify / Bench / Smoke / tests).
+  *
+  * Engine-required confs live HERE, at session build time, not inside query
+  * builders: a builder mutating `spark.conf` mid-plan is a footgun the moment
+  * two queries run concurrently in one session (one query's setting races
+  * another's read). Every conf below is documented at its point of need:
+  *
+  *  - `nanosAsLong`: `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
+  *    refuses to read as a timestamp; read raw nanos and truncate to µs in
+  *    `Tables.events` (SURVEY.md §7.4.2). Without it the events read fails
+  *    loudly (Illegal Parquet type), never silently.
+  *  - `objectHashAggregate.sortBased.fallbackThreshold`: ObjectHashAggregate
+  *    (the TypedImperativeAggregate executor behind
+  *    `functions.MinHashSignature`) falls back to sort-based aggregation
+  *    after 128 groups/partition — a default sized for unbounded buffers
+  *    (collect_list). The MinHash sketch buffer is a fixed 512 B, so 100k
+  *    in-memory groups cost ~50 MB per task: keep the hash path, never pay
+  *    a posting sort (measured 9 s -> 0.8 s on dedup_minhash).
+  */
+object GraftSession {
+  val tuning: Seq[(String, String)] = Seq(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "100000",
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.ui.enabled" -> "false")
+
+  /** local[cpus] builder with the engine confs applied; callers add their
+    * surface-specific confs (output timestamp type, app name) on top.
+    */
+  def builder(cpus: String): SparkSession.Builder =
+    tuning.foldLeft(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+}

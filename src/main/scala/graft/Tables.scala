@@ -20,15 +20,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as raw nanos (legacy conf) and truncate to µs —
-    * exactly what DuckDB 1.0 does on its side of the oracle compare, so both
-    * engines see identical µs instants (SURVEY.md §7.4.2).
+    * as a timestamp. Read it as raw nanos and truncate to µs — exactly what
+    * DuckDB 1.0 does on its side of the oracle compare, so both engines see
+    * identical µs instants (SURVEY.md §7.4.2). Requires the `nanosAsLong`
+    * conf, set at session construction by `GraftSession` (never here: query
+    * builders must not mutate shared session state); a session missing it
+    * fails loudly on the parquet read.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

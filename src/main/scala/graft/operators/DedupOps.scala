@@ -79,19 +79,18 @@ object DedupOps {
 
     // MinHash + LSH: 64-permutation signature, 16 bands x 4 rows;
     // band-bucket equi-join proposes candidates, true shingle Jaccard
-    // >= 0.7 confirms. The signature is ONE custom TypedImperativeAggregate
+    // >= 0.7 confirms. Probabilistic recall → rows-only check, no SQL
+    // oracle (see the oracle map note). The signature is ONE custom TypedImperativeAggregate
     // (graft.functions.MinHashSignature): a long[64] sketch buffer updated
     // in a tight loop — one multiply-add universal hash per permutation
     // over the pre-hashed shingle — with map-side partial aggregation, vs
     // 64 independent min(hash(k, g)) aggregate columns (64x the hash work
     // and a quadratic codegen surface).
     "dedup_minhash" -> ((s, dir) => {
-      // ObjectHashAggregate (the TypedImperativeAggregate executor) falls
-      // back to SORT-based aggregation after 128 groups/partition — a
-      // default sized for unbounded buffers (collect_list). The signature
-      // buffer is a fixed 512 B, so 100k in-memory groups cost ~50 MB per
-      // task: keep the hash path, never pay a posting sort.
-      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "100000")
+      // Requires `objectHashAggregate.sortBased.fallbackThreshold` raised at
+      // session construction (GraftSession.tuning — 512 B fixed sketch
+      // buffers make the 128-group default absurdly conservative); set there,
+      // not here, so builders never mutate shared session state.
       val sh = shingled(s, dir)
       val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val sig = posts.groupBy("doc_id")
@@ -219,24 +218,14 @@ object DedupOps {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
-    "dedup_minhash" ->
-      // LSH recall for J>=0.7 at 16x4 bands is ~99%; the testdata's only
-      // near-dups are exact dups (J=1), which every band catches, so the
-      // verified result equals the exact Jaccard answer computed here.
-      """WITH sh AS (
-        |  SELECT doc_id, CASE WHEN len(toks) >= 3
-        |           THEN list_distinct(list_transform(range(len(toks)-2),
-        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-        |           ELSE [text] END AS g
-        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
-        |dups AS (
-        |  SELECT DISTINCT b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.g, b.g))::DOUBLE
-        |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.7)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT b_id FROM dups)
-        |ORDER BY doc_id""".stripMargin,
+    // dedup_minhash carries NO oracle by declared design (SURVEY §8): LSH is
+    // probabilistic (per-pair recall ~98.8% at J=0.7 with 16x4 bands), so an
+    // exact-Jaccard oracle only passes while the data happens to contain no
+    // near-dups in the recall gap [0.7, ~0.95) — a data-dependent gate, not a
+    // correctness statement. The exact-candidate-complete twin below
+    // (dedup_ngram_jaccard: AllPairs prefix filtering, a completeness
+    // THEOREM not a probability) is the oracle-paired guard of this family;
+    // MinHashSpec + PropertySpec pin the signature math itself.
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(toks) >= 3

@@ -161,9 +161,8 @@ object RelationalOps {
 
     // E9c: exact quantiles (ClickHouse `quantile*` analog). Exact
     // `percentile` shuffles each group's values to one reducer — correct
-    // here and for the oracle; at 100 TB the same query key would switch to
-    // `approx_percentile` (t-digest sketch, mergeable map-side) at the cost
-    // of the oracle (as agg_approx_distinct already demonstrates for HLL).
+    // here and for the oracle; `agg_quantile_approx` below is the 100-TB
+    // twin of the SAME query.
     "agg_quantile" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       e.groupBy("event_type")
@@ -174,6 +173,22 @@ object RelationalOps {
           round(col("q"), 4).as("p50"),
           round(col("q95"), 4).as("p95"),
           round(col("q99"), 4).as("p99"))
+        .orderBy("event_type")
+    }),
+
+    // E9d: the scale path for quantiles — `approx_percentile` keeps a
+    // bounded sketch per group with map-side partial merge (ClickHouse
+    // `quantileTDigest` analog), so no group's values ever gather on one
+    // reducer. Sketch-valued → rows-only check, no SQL oracle (same policy
+    // as agg_approx_distinct); `accuracy` pinned so results are
+    // deterministic for the rows check.
+    "agg_quantile_approx" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.groupBy("event_type")
+        .agg(
+          approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50"),
+          approx_percentile(col("value"), lit(0.95), lit(10000)).as("p95"),
+          approx_percentile(col("value"), lit(0.99), lit(10000)).as("p99"))
         .orderBy("event_type")
     }),
 

@@ -45,14 +45,22 @@ object TtlPolicy {
   /** Scheme-insensitive path normalization: `file:///x`, `file:/x` and `/x`
     * all normalize to `/x`; URIs with an authority (hdfs://nn:8020/p) keep
     * it, so register with the same authority form the session resolves.
+    *
+    * Both the registered string and the scan's `rootPath.toString` go
+    * through `org.apache.hadoop.fs.Path` (the type the scan's paths
+    * actually are): Hadoop Path round-trips special characters (a space
+    * stays a space on both sides), where raw `java.net.URI` parsing threw
+    * on one side and %-decoded on the other — a policy registered on a
+    * path with a space would have silently never matched any scan,
+    * returning expired rows against the rule's fail-loudly contract.
     */
   private def normalize(p: String): String = {
-    val noSlash = p.stripSuffix("/")
+    val noSlash = if (p.length > 1) p.stripSuffix("/") else p
     try {
-      val u = new java.net.URI(noSlash)
-      if (u.getScheme == null) noSlash
-      else Option(u.getAuthority).filter(_.nonEmpty).getOrElse("") + u.getPath
-    } catch { case _: java.net.URISyntaxException => noSlash }
+      val u = new org.apache.hadoop.fs.Path(noSlash).toUri
+      Option(u.getAuthority).filter(_.nonEmpty).getOrElse("") +
+        Option(u.getPath).filter(_.nonEmpty).getOrElse(noSlash)
+    } catch { case _: IllegalArgumentException => noSlash }
   }
 
   /** Policy matching any of the relation's root paths. */

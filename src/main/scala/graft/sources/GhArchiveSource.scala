@@ -107,14 +107,31 @@ object GhArchiveSource {
     * `maxFilesPerTrigger` is the rate-pacing knob (C6,
     * ref: cmd/gh-archived/main.go:180-193 adaptive pacing; here the
     * static Spark equivalent).
+    *
+    * Batch/stream parity: the glob can only approximate `fileRe` (globs
+    * can't express hour <= 23), so rows are additionally filtered on the
+    * SAME `keyPattern` applied to `_metadata.file_path` — an invalid-hour
+    * artifact like `2024-01-15-99.json.gz` that `listHours` skips is dropped
+    * here too. The derived `hour` column and the FAILFAST/PERMISSIVE policy
+    * match `read` exactly.
     */
   def readStream(spark: SparkSession, dir: String,
-                 maxFilesPerTrigger: Int = 1): DataFrame =
+                 maxFilesPerTrigger: Int = 1, failFast: Boolean = true): DataFrame =
     spark.readStream
-      .schema(schema)
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      // glob approximates fileRe (globs can't bound the hour range), so a
-      // stray summary.json.gz never enters the stream — batch/stream parity
+      // coarse listing-level cut: a stray summary.json.gz never enters the
+      // stream; the keyPattern filter below finishes the job row-level
       .json(s"$dir/[0-9]*-[0-9]*-[0-9]*-[0-9]*.json.gz")
-      .select(col("id"), to_timestamp(col("created_at")).as("ts"))
+      .select(col("id"), col("created_at"),
+        regexp_extract(col("_metadata.file_path"),
+          "(?:^|/)(" + keyPattern + raw")\.json\.gz$$", 1).as("key"))
+      .filter(col("key") =!= "")
+      .select(
+        col("id"),
+        to_timestamp(col("created_at")).as("ts"),
+        // same NTZ calendar-label semantics as the batch `read` hour column
+        to_timestamp_ntz(col("key"), lit("yyyy-MM-dd-H")).as("hour"))
 }

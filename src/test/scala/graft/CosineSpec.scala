@@ -58,6 +58,23 @@ class CosineSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("ragged (different-length) arrays yield null, matching the built-in") {
+    import spark.implicits._
+    val rows = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(
+        api.cosineSim(col("a"), col("b")).as("fast"),
+        SimOps.cosine(col("a"), col("b")).as("ref"))
+      .head()
+    // a truncated-vector similarity would silently pass a malformed
+    // embedding through dedup_embedding's >= 0.95 gate; both paths refuse
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+    // interpreted path (no codegen) agrees
+    val interp = spark.sql(
+      "SELECT cosine_sim(array(1.0d,2.0d,3.0d), array(1.0d,2.0d)) AS c").head()
+    assert(interp.isNullAt(0))
+  }
+
   test("SQL surface: cosine_sim registered via GraftExtensions") {
     // the shared test session is built with spark.sql.extensions=graft.GraftExtensions
     val v = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(0.5d, 0.0d)) AS c")

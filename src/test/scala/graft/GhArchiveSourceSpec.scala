@@ -113,4 +113,23 @@ class GhArchiveSourceSpec extends SparkSpec {
     // AvailableNow + maxFilesPerTrigger=1 → one micro-batch per hour file
     assert(q.recentProgress.map(_.numInputRows).sum == 4)
   }
+
+  test("streaming read enforces batch/stream parity: invalid-hour artifacts dropped, hour column derived") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-gha-parity-").toString
+    def ev(id: Long, ts: String) = s"""{"id":$id,"created_at":"$ts"}"""
+    writeHourFile(dir, "2024-01-15-7", Seq(ev(1, "2024-01-15T07:10:00Z")))
+    // glob-shaped but NOT a valid hour key — exactly what listHours skips;
+    // the keyPattern row filter must drop it from the stream too
+    writeHourFile(dir, "2024-01-15-99", Seq(ev(666, "2024-01-15T09:00:00Z")))
+    val q = GhArchiveSource.readStream(spark, dir)
+      .writeStream.format("memory").queryName("gha_parity")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("select id, hour from gha_parity").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    // hour column matches the batch read's NTZ calendar-label semantics
+    assert(rows.head.getAs[java.time.LocalDateTime]("hour").toString == "2024-01-15T07:00")
+  }
 }

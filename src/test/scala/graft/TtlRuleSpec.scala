@@ -69,6 +69,20 @@ class TtlRuleSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.read.parquet(archive).count() == 4)
   }
 
+  test("path with special characters (space) still matches its scan") {
+    import spark.implicits._
+    // Hadoop renders such a root path differently from the raw registered
+    // string (URI encoding); normalization must reconcile them or the
+    // policy silently never fires and expired rows leak
+    val dir = Files.createTempDirectory("graft-ttl sp-").toString + "/arch ive"
+    (1 to 10).map(d => (d.toLong, day(d))).toDF("id", "ts")
+      .write.parquet(dir)
+    TtlPolicy.register(dir, "ts", 3, day(10))
+    assert(spark.read.parquet(dir).count() == 4)
+    TtlPolicy.unregister(dir)
+    assert(spark.read.parquet(dir).count() == 10)
+  }
+
   test("TTL composes with aggregation — the flagship archive shape") {
     TtlPolicy.register(archive, "ts", 3, day(10))
     val perDay = spark.read.parquet(archive)
