@@ -75,6 +75,58 @@ object PipelineOps {
         .orderBy("event_id")
     }),
 
+    // B1/B2/A5 on the REAL event shape: the reference exists so users can
+    // query raw nested GitHub events (ref: README.md:4-6), whose parser
+    // skips past actor/repo/payload (ref: internal/gh/gh.go:115-120) leaving
+    // them for downstream schema-on-read. This query demonstrates exactly
+    // that downstream pattern: a verbatim nested event document (actor {},
+    // repo {}, payload.commits []) is parsed ONCE with from_json into a
+    // typed struct, scalar fields are projected from sub-structs, and the
+    // commits array is posexploded to rows — one from_json pass, all
+    // projections from it, whole plan stays in whole-stage codegen.
+    // The document itself is synthesized deterministically from event
+    // columns (this environment archives no live firehose), so the DuckDB
+    // oracle can build the identical document and parse it with ITS json
+    // engine — both sides do a full parse of the same nested text.
+    "json_nested_event" -> ((s, dir) => {
+      val eid = col("event_id").cast(StringType)
+      val uid = col("user_id").cast(StringType)
+      val rid = pmod(col("event_id"), lit(97)).cast(StringType)
+      val nCommits = (pmod(col("event_id"), lit(3)) + 1).cast(LongType)
+      val commitObjs = transform(sequence(lit(1L), nCommits), i =>
+        concat(lit("{\"sha\":\""), md5(concat(eid, lit("-"), i.cast(StringType))),
+          lit("\",\"message\":\"commit "), i.cast(StringType), lit("\"}")))
+      val raw = concat(
+        lit("{\"id\":"), eid,
+        lit(",\"type\":\""), col("event_type"),
+        lit("\",\"actor\":{\"id\":"), uid, lit(",\"login\":\"user-"), uid,
+        lit("\"},\"repo\":{\"id\":"), rid, lit(",\"name\":\"org/repo-"), rid,
+        lit("\"},\"payload\":{\"push_id\":"), eid,
+        lit(",\"size\":"), nCommits.cast(StringType),
+        lit(",\"commits\":["), array_join(commitObjs, ","),
+        lit("]},\"created_at\":\""),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\"}"))
+      val eventSchema =
+        """STRUCT<id: BIGINT, type: STRING,
+          |  actor: STRUCT<id: BIGINT, login: STRING>,
+          |  repo: STRUCT<id: BIGINT, name: STRING>,
+          |  payload: STRUCT<push_id: BIGINT, size: BIGINT,
+          |    commits: ARRAY<STRUCT<sha: STRING, message: STRING>>>,
+          |  created_at: STRING>""".stripMargin
+      Tables.events(s, dir)
+        .select(from_json(raw, org.apache.spark.sql.types.DataType.fromDDL(eventSchema)
+          .asInstanceOf[StructType]).as("ev"))
+        .select(col("ev.id").as("id"), col("ev.type").as("type"),
+          col("ev.actor.id").as("actor_id"), col("ev.actor.login").as("actor_login"),
+          col("ev.repo.name").as("repo_name"), col("ev.payload.size").as("push_size"),
+          col("ev.created_at").as("created_at"),
+          posexplode(col("ev.payload.commits")).as(Seq("pos", "c")))
+        .select(col("id"), col("type"), col("actor_id"), col("actor_login"),
+          col("repo_name"), col("push_size"), col("pos").cast(LongType).as("pos"),
+          col("c.sha").as("sha"), col("c.message").as("message"), col("created_at"))
+        .orderBy("id", "pos")
+    }),
+
     // A2: archive time-key scan (one gharchive day worth of events — a day
     // rather than an hour so the smallest sf0.001 scale still has rows).
     "scan_events" -> ((s, dir) => {
@@ -155,6 +207,33 @@ object PipelineOps {
     "json_array_explode" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "json_nested_event" ->
+      """WITH raw AS (
+        |  SELECT '{"id":' || event_id || ',"type":"' || event_type ||
+        |         '","actor":{"id":' || user_id || ',"login":"user-' || user_id ||
+        |         '"},"repo":{"id":' || (event_id % 97) || ',"name":"org/repo-' || (event_id % 97) ||
+        |         '"},"payload":{"push_id":' || event_id ||
+        |         ',"size":' || (event_id % 3 + 1) || ',"commits":[' ||
+        |         array_to_string(list_transform(range(1, event_id % 3 + 2),
+        |           i -> '{"sha":"' || md5(event_id || '-' || i) ||
+        |                '","message":"commit ' || i || '"}'), ',') ||
+        |         ']},"created_at":"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || '"}' AS j
+        |  FROM events),
+        |parsed AS (
+        |  SELECT CAST(j->>'$.id' AS BIGINT) AS id,
+        |         j->>'$.type' AS type,
+        |         CAST(j->>'$.actor.id' AS BIGINT) AS actor_id,
+        |         j->>'$.actor.login' AS actor_login,
+        |         j->>'$.repo.name' AS repo_name,
+        |         CAST(j->>'$.payload.size' AS BIGINT) AS push_size,
+        |         j->>'$.created_at' AS created_at,
+        |         json_transform(j->'$.payload.commits',
+        |           '[{"sha":"VARCHAR","message":"VARCHAR"}]') AS cs
+        |  FROM raw)
+        |SELECT id, type, actor_id, actor_login, repo_name, push_size,
+        |       CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS pos,
+        |       unnest(cs, recursive := true), created_at
+        |FROM parsed ORDER BY id, pos""".stripMargin,
     "scan_events" ->
       """SELECT event_id, ts, event_type, value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'
