@@ -195,23 +195,70 @@ object DedupOps {
       retain(Tables.documents(s, dir), pairs)
     }),
 
-    // Embedding cosine near-dup: label-bucketed candidate join (the corpus
-    // is pre-clustered by `label`; at 100 TB the bucket key would be an LSH
-    // or IVF cell id — see sim_topk_lsh), cosine >= 0.95 confirms, smaller
-    // vec_id retained.
+    // Embedding cosine near-dup: banded sign-random-projection LSH proposes
+    // candidates, exact cosine >= 0.95 confirms, smaller vec_id retained.
+    // Banding math (public LSH theory, Charikar's SRP family): a random
+    // hyperplane splits a pair at angle theta with prob theta/pi, so at the
+    // cosine-0.95 threshold each sign bit agrees with p = 1 - acos(.95)/pi
+    // ~= 0.899. With 32 bands x 8 bits, a true dup pair misses EVERY band
+    // with prob (1 - p^8)^32 ~= 2e-8 — effectively deterministic recall,
+    // which is why this key keeps the exact-threshold oracle (unlike
+    // dedup_minhash, whose 16x4 banding has a real recall gap). False
+    // band collisions are removed by the exact cosine verify.
+    // Scale: the join key xxhash64(band, bandBits) spreads candidates over
+    // up to bands x 2^bits = 8192 buckets (vs ~10 labels before — the
+    // round-1 O(n^2/L) label shortcut is gone); at 100 TB the bucket id is
+    // the shuffle key and candidate volume is driven by the data's true
+    // near-dup density, not by cluster sizes.
     "dedup_embedding" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val pairs = e.as("x").join(e.as("y"),
-          col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-        .filter(graft.functions.api.cosineSim(col("x.v"), col("y.v")) >= 0.95)
+      val e = OpCache.cached(dir + "#emb_v",
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast(DoubleType)).as("v")))
+      val bands = e.select(col("vec_id"),
+          posexplode(srpBandKeys(col("v"))).as(Seq("band", "bkey")))
+        .select(col("vec_id"), xxhash64(col("band"), col("bkey")).as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bkey") === col("y.bkey") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      val pairs = cand
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("v_a")), Seq("a_id"))
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("v_b")), Seq("b_id"))
+        .filter(graft.functions.api.cosineSim(col("v_a"), col("v_b")) >= 0.95)
+        .select("a_id", "b_id")
       Tables.embeddings(s, dir)
         .join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"), size(col("embedding")).cast(LongType).as("dim"))
         .orderBy("vec_id")
     }))
+
+  /** Sign-random-projection band keys for the embedding near-dup candidate
+    * join: 32 bands x 8 hyperplane sign bits, returned as an array of 32
+    * band values. The +-1 plane matrix is a compile-time constant
+    * (SplitMix64-derived, `typedlit`-embedded, covering up to 256 dims) so
+    * each projection is a plain codegen'd zip_with/aggregate dot product —
+    * no per-row hashing of plane components. At 100 TB the same constant
+    * matrix ships in the closure to every executor.
+    */
+  private val SrpBands = 32
+  private val SrpBits = 8
+  private val SrpMaxDim = 256
+  private lazy val srpPlanesLit: Column = {
+    import graft.functions.MinHashSignature.splitmix64
+    typedlit(Seq.tabulate(SrpBands * SrpBits)(p => Seq.tabulate(SrpMaxDim)(d =>
+      if ((splitmix64(p.toLong * 0x9E3779B97F4A7C15L + d) & 1L) == 1L) 1.0 else -1.0)))
+  }
+
+  private def srpBandKeys(v: Column): Column =
+    transform(sequence(lit(0), lit(SrpBands - 1)), b =>
+      aggregate(sequence(lit(0), lit(SrpBits - 1)), lit(0L), (acc, i) => {
+        val proj = aggregate(
+          zip_with(v, element_at(srpPlanesLit, b * SrpBits + i + 1), (x, w) => x * w),
+          lit(0.0), (a, x) => a + x)
+        acc.bitwiseOR(call_function("shiftleft",
+          when(proj >= 0, lit(1L)).otherwise(lit(0L)), i.cast(IntegerType)))
+      }))
 
   def oracle: Map[String, String] = Map(
     "dedup_text_exact" ->
@@ -241,13 +288,17 @@ object DedupOps {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT b_id FROM dups)
         |ORDER BY doc_id""".stripMargin,
+    // Threshold-exact all-pairs oracle: the LSH candidate key is an
+    // implementation detail with ~2e-8 per-pair miss probability (see the
+    // banding math above), so the oracle states the pure semantic — ANY
+    // pair with cosine >= 0.95, no label shortcut.
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> x::DOUBLE) AS v
         |           FROM embeddings),
         |dups AS (
         |  SELECT DISTINCT y.vec_id AS b_id
-        |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id
         |  WHERE list_dot_product(x.v, y.v)
         |        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
         |        >= 0.95)

@@ -59,4 +59,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(800))
   }
+
+  // Dedup family: the whole 100-TB design rests on candidates coming from an
+  // EQUALITY join on a band/prefix key (shuffle-hash or sort-merge on that
+  // key) — never a nested-loop over the corpus — and on the signature table
+  // being materialized once (InMemoryRelation via OpCache) rather than
+  // recomputed per self-join side.
+  private def assertBandedCandidateJoin(name: String): Unit = {
+    val p = plan(name)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"$name candidate join degenerated to a nested loop:\n" + p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"$name: no equi-join found in plan:\n" + p.take(1500))
+    assert(p.contains("InMemoryTableScan"),
+      s"$name: signature table not reused via OpCache persist:\n" + p.take(1500))
+  }
+
+  test("dedup_minhash: banded equi-join candidates + persisted signatures") {
+    assertBandedCandidateJoin("dedup_minhash")
+  }
+
+  test("dedup_simhash: banded equi-join candidates + persisted signatures") {
+    assertBandedCandidateJoin("dedup_simhash")
+  }
+
+  test("dedup_ngram_jaccard: prefix equi-join candidates + persisted prefix posts") {
+    assertBandedCandidateJoin("dedup_ngram_jaccard")
+  }
+
+  test("dedup_embedding: LSH-band equi-join candidates + persisted vectors") {
+    assertBandedCandidateJoin("dedup_embedding")
+  }
 }
