@@ -81,6 +81,48 @@ class NorthStarSpec extends SparkSpec {
     assert(top.getDouble(1) == 1.0)
   }
 
+  // Clustered corpus for the IVF recall bound. The driver's embeddings are
+  // isotropic random unit vectors (measured max pairwise cosine ~0.51 at
+  // sf0.001/sf0.01 — the sqrt(2 ln N / d) extreme-value bound for a uniform
+  // sphere), where NO sublinear ANN index can exceed ~probed-fraction
+  // recall; that is a property of the data, not the index. Recall is
+  // therefore asserted on a corpus with real neighborhood structure: 16
+  // tight clusters of 20 unit vectors, queries drawn from the clusters.
+  private lazy val clustered: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-clustered-").toString
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Double] = {
+      val a = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val rows = for {
+      c <- 0 until 16
+      centroid = unit()
+      m <- 0 until 20
+    } yield {
+      val noise = unit()
+      val v = centroid.zip(noise).map { case (x, e) => x + 0.15 * e }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      ((c * 20 + m).toLong, v.map(x => (x / n).toFloat).toSeq, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("sim_topk_ivf recall vs brute force >= 0.9 on clustered corpus") {
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, clustered)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("sim_topk")
+    val approx = pairs("sim_topk_ivf")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (nprobe=2 of 16 cells)")
+  }
+
   test("lshBucket puts identical vectors in the same bucket") {
     import spark.implicits._
     val e = Tables.embeddings(spark, planted)

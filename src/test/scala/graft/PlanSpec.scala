@@ -91,4 +91,11 @@ class PlanSpec extends SparkSpec {
   test("dedup_embedding: LSH-band equi-join candidates + persisted vectors") {
     assertBandedCandidateJoin("dedup_embedding")
   }
+
+  test("sim_topk_ivf: probe scan is partition-pruned to the probed cells") {
+    val p = plan("sim_topk_ivf")
+    assert(p.contains("dynamicpruningexpression"),
+      "IVF candidate scan must dynamic-partition-prune on cell:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
