@@ -133,26 +133,36 @@ class NorthStarSpec extends SparkSpec {
     assert(e.values.forall(b => b >= 0 && b < 16))
   }
 
-  test("multimodal feature extraction: stub decode is deterministic, batch shape real") {
-    import spark.implicits._
+  test("multimodal feature extraction: real PNG/WAV decode, deterministic") {
     val out = SparkEntry.queries("multimodal_features")(spark, planted).collect()
     assert(out.length == 4)
     val again = SparkEntry.queries("multimodal_features")(spark, planted).collect()
     assert(out.toSeq == again.toSeq)
-    // byte_len is the real payload length, not a stub value
-    val row0 = out.find(_.getLong(0) == 0L).get
-    assert(row0.getLong(1) == (1 to 60).map(i => s"tok$i").mkString(" ").length.toLong)
-    // decode stub bounds
-    assert(out.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 1920))
+    // doc 0 (even) is a rendered PNG: ImageIO must decode the exact
+    // dimensions the renderer drew — 16 + id%32 wide, 12 + id%24 tall,
+    // one frame — and byte_len is the real encoded PNG's length
+    val png = out.find(_.getLong(0) == 0L).get
+    assert(png.getLong(2) == 16L && png.getLong(3) == 12L && png.getLong(4) == 1L)
+    val rendered = MultimodalOps.renderMedia(0L, 0L)
+    assert(png.getLong(1) == rendered.length.toLong)
+    assert(rendered.take(4).sameElements(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G')), "payload is real PNG bytes")
+    // doc 1 (odd) is a rendered 8 kHz 16-bit mono WAV: the RIFF walk must
+    // recover (sample rate, bits, frames = 100 + n_chars % 500)
+    val nChars1 = (1 to 60).map(i => s"tok$i").mkString(" ").length.toLong
+    val wav = out.find(_.getLong(0) == 1L).get
+    assert(wav.getLong(2) == 8000L && wav.getLong(3) == 16L)
+    assert(wav.getLong(4) == 100L + nChars1 % 500L)
   }
 
   test("multimodal pipeline: frame sampling and resize preserve invariants") {
     val out = SparkEntry.queries("multimodal_pipeline")(spark, planted).collect()
     assert(out.length == 4)
-    // resize targets 224 wide; sampled frame count is ceil(n_frames/24) >= 1
+    // resize targets 224 wide; kept = ceil(frames/24): 1 for PNG rows,
+    // up to ceil(599/24) = 25 for WAV rows
     assert(out.forall(_.getLong(1) == 224L))
     assert(out.forall(r => r.getLong(2) >= 1))
-    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 10))
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 25))
   }
 
   test("text fingerprint: identical texts agree, different texts differ") {
