@@ -72,13 +72,14 @@ object ArchiveStream {
     * main.go:257-261). StreamingSpec proves the replay→read round trip.
     */
   def archive(events: DataFrame, outDir: String, checkpointDir: String,
-              trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+              trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+              compactEvery: Int = 0): StreamingQuery =
     dedup(events)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch
           .withColumn("d", to_date(col("ts")))
           .repartition(col("d"))
@@ -87,8 +88,69 @@ object ArchiveStream {
           .option("compression", "zstd")
           .partitionBy("d")
           .parquet(outDir)
+        // periodic forced merge, the reference's 60 s OPTIMIZE ticker
+        // (ref: cmd/gh-archived/main.go:54-55,74-77): foreachBatch bodies
+        // run serially, so compaction never races an append
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+          compact(batch.sparkSession, outDir)
+          ()
+        }
       }
       .start()
+
+  /** Small-file compaction — the 60 s forced-merge analog (ref:
+    * cmd/gh-archived/main.go:54-55,74-77; ClickHouse OPTIMIZE). Every
+    * micro-batch appends a few files per day partition, so any real uptime
+    * fragments the day directories into thousands of tiny parquet files;
+    * this pass rewrites each fragmented partition (more than
+    * `maxFilesPerPartition` files) as ~`targetBytesPerFile` files,
+    * range-clustered and sorted by (ts, id) — restoring the sorted-scan
+    * property (D2) the per-batch appends only hold file-locally.
+    *
+    * The rewrite preserves the row multiset EXACTLY: at-least-once replay
+    * duplicates stay in storage and keep collapsing at replace-by-key read
+    * time (the ReplacingMergeTree contract, ref: README.md:14), so reads
+    * before and after compaction are identical and the pass is idempotent —
+    * re-running it (or crashing mid-pass and re-running) converges on the
+    * same layout. The swap is two renames; a crash between them leaves the
+    * partition readable from the retained `.compact-old` directory rule:
+    * old data is deleted only after the compacted directory is in place.
+    * Runs serialized with appends (from the foreachBatch hook above, or
+    * between jobs); returns the rewritten partition names.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, outDir: String,
+              maxFilesPerPartition: Int = 4,
+              targetBytesPerFile: Long = 128L * 1024 * 1024): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+    parts.toSeq.flatMap { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length <= maxFilesPerPartition) None
+      else {
+        val bytes = files.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
+        val tmp = new Path(p.getPath.getParent, ".compact-tmp-" + p.getPath.getName)
+        val old = new Path(p.getPath.getParent, ".compact-old-" + p.getPath.getName)
+        fs.delete(tmp, true); fs.delete(old, true)
+        spark.read.parquet(p.getPath.toString)
+          .repartitionByRange(nOut, col("ts"), col("id"))
+          .sortWithinPartitions("ts", "id")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(tmp.toString)
+        // drop the _SUCCESS marker so the dir holds parquet only
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        fs.rename(p.getPath, old)
+        fs.rename(tmp, p.getPath)
+        fs.delete(old, true)
+        Some(p.getPath.getName)
+      }
+    }
+  }
 
   /** TTL compaction pass (D3, ref: README.md:17 `TTL ts + INTERVAL 3 DAY`):
     * run periodically over the sink (the reference delegates this to

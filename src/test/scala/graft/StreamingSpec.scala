@@ -145,6 +145,58 @@ class StreamingSpec extends SparkSpec {
     assert(canonical.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("compact collapses fragmented day partitions; reads and replay contract unchanged") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-compact-").toString + "/a"
+    // 8 tiny appends (one per simulated micro-batch, incl. a replayed one)
+    // fragment the day partition
+    for (i <- 0 until 7)
+      Seq((i.toLong, ts(s"2024-01-01 10:0$i:00"), s"r$i")).toDF("id", "ts", "raw")
+        .withColumn("d", to_date(col("ts")))
+        .write.mode("append").partitionBy("d").parquet(out)
+    Seq((3L, ts("2024-01-01 10:03:00"), "r3")).toDF("id", "ts", "raw") // replay
+      .withColumn("d", to_date(col("ts")))
+      .write.mode("append").partitionBy("d").parquet(out)
+    def files(): Int = new java.io.File(out + "/d=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    def rows(): Seq[(Long, String)] = spark.read.parquet(out)
+      .select("id", "raw").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    val (filesBefore, rowsBefore) = (files(), rows())
+    assert(filesBefore >= 8)
+    val rewritten = ArchiveStream.compact(spark, out, maxFilesPerPartition = 2)
+    assert(rewritten == Seq("d=2024-01-01"))
+    assert(files() == 1, "fragmented partition must collapse to one file")
+    // row multiset EXACTLY preserved — including the at-least-once replay
+    // duplicate, which still collapses at replace-by-key read time
+    assert(rows() == rowsBefore)
+    assert(spark.read.parquet(out).dropDuplicates("ts", "id").count() == 7)
+    // idempotent: a second pass finds nothing fragmented
+    assert(ArchiveStream.compact(spark, out, maxFilesPerPartition = 2).isEmpty)
+    assert(rows() == rowsBefore)
+  }
+
+  test("archive with compactEvery merges small files between micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = Files.createTempDirectory("graft-archcomp-").toString + "/a"
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val q = ArchiveStream.archive(mem.toDF().toDF("id", "ts", "raw"), out, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"), compactEvery = 1)
+    try {
+      for (i <- 0 until 5) {
+        mem.addData((i.toLong, ts(s"2024-01-02 09:0$i:00"), s"r$i"))
+        q.processAllAvailable()
+      }
+      val dayDir = new java.io.File(out + "/d=2024-01-02")
+      val nFiles = dayDir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(nFiles <= 4, s"expected compacted day dir, found $nFiles files")
+      val got = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 5L))
+    } finally q.stop()
+  }
+
   test("hourlyCounts matches batch groupBy on the same data") {
     import spark.implicits._
     val e = Tables.events(spark, sf).select(col("event_id").as("id"), col("ts"),
