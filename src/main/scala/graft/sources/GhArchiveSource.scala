@@ -115,6 +115,56 @@ object GhArchiveSource {
     * here too. The derived `hour` column and the FAILFAST/PERMISSIVE policy
     * match `read` exactly.
     */
+  /** C6 adaptive pacing controller (ref: cmd/gh-archived/main.go:180-193).
+    * The reference recomputes its poll rate from rate-limit headers every
+    * cycle; offline, the observable is batch wall time, and the controller
+    * multiplicatively steers files-per-trigger toward `targetBatchMs`:
+    * batches running fast admit more files next cycle, slow ones fewer.
+    * Damped to a 2x step and clamped to [1, cap] — the reference's
+    * rate-clamping analog — so one outlier batch never swings the rate.
+    * Pure and side-effect free; `catchUpThenPace` wires it to a real query.
+    */
+  def adaptedMaxFiles(current: Int, observedBatchMs: Seq[Long],
+                      targetBatchMs: Long, cap: Int = 64): Int = {
+    require(current >= 1 && targetBatchMs > 0)
+    if (observedBatchMs.isEmpty) current
+    else {
+      val avg = observedBatchMs.sum.toDouble / observedBatchMs.size
+      val steered = current * (targetBatchMs / math.max(avg, 1.0))
+      val damped = math.min(math.max(steered, current / 2.0), current * 2.0)
+      math.max(1, math.min(cap, math.round(damped).toInt))
+    }
+  }
+
+  /** Catch-up → paced steady state, Spark's natural form of the reference's
+    * adaptive poll loop. A file-source query fixes `maxFilesPerTrigger` for
+    * its lifetime, so adaptation happens at the restart boundary —
+    * checkpointed offsets make the restart lossless (C8): first a
+    * `Trigger.AvailableNow` pass drains the backlog (the gh-load backfill
+    * mode) while observing per-batch wall times, then a `ProcessingTime`
+    * query resumes from the same checkpoint with the controller-adapted
+    * rate. Returns (adapted files-per-trigger, the running paced query).
+    */
+  def catchUpThenPace(spark: SparkSession, dir: String, outDir: String,
+                      checkpointDir: String, targetBatchMs: Long = 5000L,
+                      initialMaxFiles: Int = 1,
+                      triggerInterval: String = "5 seconds"):
+      (Int, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val catchUp = graft.streaming.ArchiveStream.archive(
+      readStream(spark, dir, initialMaxFiles), outDir, checkpointDir,
+      Trigger.AvailableNow())
+    catchUp.awaitTermination()
+    val observed = catchUp.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    val adapted = adaptedMaxFiles(initialMaxFiles, observed, targetBatchMs)
+    val paced = graft.streaming.ArchiveStream.archive(
+      readStream(spark, dir, adapted), outDir, checkpointDir,
+      Trigger.ProcessingTime(triggerInterval))
+    (adapted, paced)
+  }
+
   def readStream(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Int = 1, failFast: Boolean = true): DataFrame =
     spark.readStream

@@ -114,6 +114,37 @@ class GhArchiveSourceSpec extends SparkSpec {
     assert(q.recentProgress.map(_.numInputRows).sum == 4)
   }
 
+  test("adaptive pacing controller steers toward the target batch time, damped and clamped") {
+    // fast batches (100 ms vs 1 s target) → admit more files, damped to 2x
+    assert(GhArchiveSource.adaptedMaxFiles(4, Seq(100L, 100L), 1000L) == 8)
+    // slow batches (4 s vs 1 s target) → back off, damped to half
+    assert(GhArchiveSource.adaptedMaxFiles(4, Seq(4000L, 4000L), 1000L) == 2)
+    // mildly fast → proportional step inside the damping band
+    assert(GhArchiveSource.adaptedMaxFiles(4, Seq(800L), 1000L) == 5)
+    // floor and cap
+    assert(GhArchiveSource.adaptedMaxFiles(1, Seq(60000L), 1000L) == 1)
+    assert(GhArchiveSource.adaptedMaxFiles(60, Seq(100L), 1000L) == 64)
+    // no observations → rate unchanged
+    assert(GhArchiveSource.adaptedMaxFiles(7, Seq.empty, 1000L) == 7)
+  }
+
+  test("catch-up drains the backlog, then the paced query resumes with an adapted rate") {
+    val out = Files.createTempDirectory("graft-gha-pace-out-").toString
+    val ckpt = Files.createTempDirectory("graft-gha-pace-ckpt-").toString
+    val (adapted, paced) = GhArchiveSource.catchUpThenPace(
+      spark, archiveDir, out, ckpt, targetBatchMs = 60000L)
+    try {
+      // catch-up (AvailableNow) archived every hour file before returning
+      val ids = spark.read.parquet(out).select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+      // local batches finish far under the 60 s target → controller opened
+      // the throttle (damped to at most 2x the initial rate)
+      assert(adapted == 2, s"expected damped 2x step from 1, got $adapted")
+      assert(paced.isActive) // steady state resumed from the same checkpoint
+    } finally paced.stop()
+  }
+
   test("streaming read enforces batch/stream parity: invalid-hour artifacts dropped, hour column derived") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions.col
