@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen'd sign-random-projection band keys over a double-array column:
+  * `Bands` bands x `Bits` hyperplane sign bits, returned as
+  * `array<bigint>` of `Bands` band values — the LSH candidate key of
+  * `dedup_embedding` (banding math documented there).
+  *
+  * Why a custom expression: the same computation phrased with
+  * `zip_with`/`aggregate` higher-order functions pays per-element lambda
+  * interpretation OUTSIDE whole-stage codegen — 256 interpreted array
+  * traversals per row (measured 30 s at sf0.1); this emits one fused Java
+  * loop over a JVM-static ±1 plane matrix (SplitMix64-derived, public
+  * domain — Steele et al., as in [[MinHashSignature]]), ~16k mul-adds per
+  * row inside codegen.
+  */
+case class SrpBandKeys(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_band_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    new GenericArrayData(SrpBandKeys.compute(v))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("srpPlanes", SrpBandKeys.planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out"); val n = ctx.freshName("n")
+      val b = ctx.freshName("b"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val bits = ctx.freshName("bits"); val row = ctx.freshName("row")
+      s"""
+         |final int $n = $v.numElements();
+         |final long[] $out = new long[${SrpBandKeys.Bands}];
+         |for (int $b = 0; $b < ${SrpBandKeys.Bands}; $b++) {
+         |  long $bits = 0L;
+         |  for (int $i = 0; $i < ${SrpBandKeys.Bits}; $i++) {
+         |    final double[] $row = $planes[$b * ${SrpBandKeys.Bits} + $i];
+         |    double $s = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      if (!$v.isNullAt($d)) $s += $v.getDouble($d) * $row[$d & ${SrpBandKeys.MaxDim - 1}];
+         |    }
+         |    if ($s >= 0.0) $bits |= 1L << $i;
+         |  }
+         |  $out[$b] = $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpBandKeys {
+  /** 32 bands x 8 bits; planes cover MaxDim dims (power of two — longer
+    * vectors wrap, the projection stays a valid LSH family).
+    */
+  val Bands = 32
+  val Bits = 8
+  val MaxDim = 256
+
+  /** JVM-static ±1 hyperplane matrix, identical on every executor. */
+  lazy val planes: Array[Array[Double]] =
+    Array.tabulate(Bands * Bits)(p => Array.tabulate(MaxDim)(d =>
+      if ((MinHashSignature.splitmix64(
+        p.toLong * 0x9E3779B97F4A7C15L + d) & 1L) == 1L) 1.0 else -1.0))
+
+  /** Interpreted-path twin of the generated loop (also the spec reference). */
+  def compute(v: ArrayData): Array[Long] = {
+    val n = v.numElements()
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var bits = 0L
+      var i = 0
+      while (i < Bits) {
+        val row = planes(b * Bits + i)
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          if (!v.isNullAt(d)) s += v.getDouble(d) * row(d & (MaxDim - 1))
+          d += 1
+        }
+        if (s >= 0.0) bits |= 1L << i
+        i += 1
+      }
+      out(b) = bits
+      b += 1
+    }
+    out
+  }
+}

@@ -21,6 +21,14 @@ object api {
     graftBridge.column(MinHashSignature(
       graftBridge.expression(shingleHash), numPerms).toAggregateExpression())
 
+  /** Codegen'd 32x8 sign-random-projection band keys of a double-array
+    * column — the LSH candidate key for embedding near-dup dedup.
+    */
+  def srpBandKeys(v: Column): Column = {
+    val dd = ArrayType(DoubleType)
+    graftBridge.column(SrpBandKeys(graftBridge.expression(v.cast(dd))))
+  }
+
   /** Squared Euclidean distance of two numeric-array columns — built-in
     * higher-order functions (codegen'd enough for index-build paths; the
     * per-pair hot path is cosineSim above).

@@ -209,14 +209,20 @@ object DedupOps {
     // up to bands x 2^bits = 8192 buckets (vs ~10 labels before — the
     // round-1 O(n^2/L) label shortcut is gone); at 100 TB the bucket id is
     // the shuffle key and candidate volume is driven by the data's true
-    // near-dup density, not by cluster sizes.
+    // near-dup density, not by cluster sizes. The 256-projection signature
+    // is ONE codegen'd expression (functions/SrpBandKeys — a fused Java
+    // loop; the higher-order-function phrasing paid 256 interpreted array
+    // traversals per row), cached BEFORE the posexplode so Generate never
+    // recomputes it per output row.
     "dedup_embedding" -> ((s, dir) => {
       val e = OpCache.cached(dir + "#emb_v",
         Tables.embeddings(s, dir)
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast(DoubleType)).as("v")))
-      val bands = e.select(col("vec_id"),
-          posexplode(srpBandKeys(col("v"))).as(Seq("band", "bkey")))
+      val sigs = OpCache.cached(dir + "#emb_bands",
+        e.select(col("vec_id"), graft.functions.api.srpBandKeys(col("v")).as("bk")))
+      val bands = sigs.select(col("vec_id"),
+          posexplode(col("bk")).as(Seq("band", "bkey")))
         .select(col("vec_id"), xxhash64(col("band"), col("bkey")).as("bkey"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.bkey") === col("y.bkey") && col("x.vec_id") < col("y.vec_id"))
@@ -233,32 +239,6 @@ object DedupOps {
         .orderBy("vec_id")
     }))
 
-  /** Sign-random-projection band keys for the embedding near-dup candidate
-    * join: 32 bands x 8 hyperplane sign bits, returned as an array of 32
-    * band values. The +-1 plane matrix is a compile-time constant
-    * (SplitMix64-derived, `typedlit`-embedded, covering up to 256 dims) so
-    * each projection is a plain codegen'd zip_with/aggregate dot product —
-    * no per-row hashing of plane components. At 100 TB the same constant
-    * matrix ships in the closure to every executor.
-    */
-  private val SrpBands = 32
-  private val SrpBits = 8
-  private val SrpMaxDim = 256
-  private lazy val srpPlanesLit: Column = {
-    import graft.functions.MinHashSignature.splitmix64
-    typedlit(Seq.tabulate(SrpBands * SrpBits)(p => Seq.tabulate(SrpMaxDim)(d =>
-      if ((splitmix64(p.toLong * 0x9E3779B97F4A7C15L + d) & 1L) == 1L) 1.0 else -1.0)))
-  }
-
-  private def srpBandKeys(v: Column): Column =
-    transform(sequence(lit(0), lit(SrpBands - 1)), b =>
-      aggregate(sequence(lit(0), lit(SrpBits - 1)), lit(0L), (acc, i) => {
-        val proj = aggregate(
-          zip_with(v, element_at(srpPlanesLit, b * SrpBits + i + 1), (x, w) => x * w),
-          lit(0.0), (a, x) => a + x)
-        acc.bitwiseOR(call_function("shiftleft",
-          when(proj >= 0, lit(1L)).otherwise(lit(0L)), i.cast(IntegerType)))
-      }))
 
   def oracle: Map[String, String] = Map(
     "dedup_text_exact" ->

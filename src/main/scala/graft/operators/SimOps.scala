@@ -99,11 +99,19 @@ object SimOps {
         val e = vecs(s, dir).select("vec_id", "v")
         val seeds: Seq[Seq[Double]] = e.orderBy(xxhash64(col("vec_id"))).limit(k)
           .select("v").collect().map(_.getSeq[Double](0)).toSeq
-        val centroidRows = e
-          .select(nearestCell(col("v"), seeds).as("cell"),
-            posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        // persist barrier: Generate (posexplode) re-evaluates its child
+        // projection per OUTPUT row, which would charge the 16-centroid
+        // argmin 64x per vector (measured 13x slower) — materialize the
+        // assignment first, explode from the cache
+        val assign0 = e.select(nearestCell(col("v"), seeds).as("cell"), col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val centroidRows =
+          try {
+            assign0
+              .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+              .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+              .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          } finally { assign0.unpersist(); () }
         // cells that captured no vectors in the Lloyd step keep their seed
         val refined = centroidRows.groupBy(_._1).map { case (cell, rs) =>
           cell -> rs.sortBy(_._2).map(_._3).toSeq

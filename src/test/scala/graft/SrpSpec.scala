@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.SrpBandKeys
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+
+/** The codegen'd SRP band-key expression: generated loop ≡ interpreted
+  * reference, determinism, and the banding behavior dedup_embedding's
+  * candidate recall rests on.
+  */
+class SrpSpec extends SparkSpec {
+
+  private def keysOf(vs: Seq[Seq[Double]]): Seq[Seq[Long]] = {
+    import spark.implicits._
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), graft.functions.api.srpBandKeys(col("v")).as("bk"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+  }
+
+  test("codegen output equals the interpreted reference loop") {
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(20)(Seq.fill(64)(rnd.nextGaussian()))
+    val fromSpark = keysOf(vs)
+    val reference = vs.map(v =>
+      SrpBandKeys.compute(new GenericArrayData(v.toArray)).toSeq)
+    assert(fromSpark == reference)
+  }
+
+  test("identical vectors collide on every band; near-dups share a band") {
+    val rnd = new scala.util.Random(11)
+    val v = Seq.fill(64)(rnd.nextGaussian())
+    val near = v.updated(0, v.head + 0.01) // cosine ~0.9999
+    val Seq(k1, k2, k3) = keysOf(Seq(v, v, near))
+    assert(k1 == k2)
+    assert(k1.zip(k3).exists { case (a, b) => a == b },
+      "near-duplicate must collide on at least one of 32 bands")
+    assert(k1.length == SrpBandKeys.Bands)
+  }
+
+  test("plane matrix is deterministic across accesses") {
+    val a = SrpBandKeys.planes.map(_.toSeq).toSeq
+    assert(a == SrpBandKeys.planes.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x == 1.0 || x == -1.0))
+  }
+}
