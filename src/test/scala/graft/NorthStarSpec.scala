@@ -27,10 +27,12 @@ class NorthStarSpec extends SparkSpec {
     val v0 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val v2 = v0.clone(); v2(0) = v0(0) + 0.01f  // ~0.9999 cosine
     val orth = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val v4 = v0.clone(); v4(1) = v0(1) - 0.01f  // ~0.9999 cosine, DIFFERENT label
     Seq(
       (0L, v0.toSeq, 1), (1L, v0.toSeq, 1),   // exact dup pair
       (2L, v2.toSeq, 1),                        // near dup, same label
-      (3L, orth.toSeq, 2))
+      (3L, orth.toSeq, 2),
+      (4L, v4.toSeq, 3))                        // near dup of 0 across labels
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
     dir
@@ -58,7 +60,10 @@ class NorthStarSpec extends SparkSpec {
     assert(!kept.contains(1L) && kept.contains(0L) && kept.contains(3L))
   }
 
-  test("dedup_embedding drops exact and near duplicate vectors (cos >= 0.95)") {
+  test("dedup_embedding drops exact, near, and CROSS-LABEL duplicates (cos >= 0.95)") {
+    // vec 4 duplicates vec 0 but carries a different label: the LSH
+    // candidate key (unlike the round-1 label bucketing) must still
+    // propose and drop it — near-dup identity is content, not metadata
     val kept = SparkEntry.queries("dedup_embedding")(spark, planted)
       .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(kept == Seq(0L, 3L))
