@@ -46,6 +46,34 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The composed corpus-preparation pipeline — the three stages a
+    // training corpus actually passes through, as ONE declarative plan:
+    // exact dedup (keep min doc_id per text) → quality gate (the
+    // text_quality composite, >= 0.75) → reproducible 90/10 split. One
+    // text-hash shuffle for the dedup, everything after is map-only;
+    // Catalyst pipelines the gate into the dedup's output without
+    // re-materializing the corpus. Oracle-paired end to end.
+    "pipeline_prepare_corpus" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      val nTok = size(toks).cast(DoubleType)
+      val stopRatio = size(filter(toks, t => stop.map(m => t === m).reduce(_ || _))) / nTok
+      val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
+      val quality = round(
+        when(nTok >= 20, 0.5).otherwise(0.0) +
+        when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
+        when(ttr > 0.3, 0.25).otherwise(0.0), 6)
+      val d = Tables.documents(s, dir)
+      val keep = d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      d.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        .withColumn("quality", quality)
+        .filter(col("quality") >= 0.75)
+        .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(100L)))
+        .select(col("doc_id"), col("lang"),
+          size(toks).cast(LongType).as("n_toks"), col("quality"),
+          when(col("bucket") < 90, "train").otherwise("holdout").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // Global term frequency, top 30 terms (count desc, term asc tiebreak).
     "text_termfreq" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -124,6 +152,26 @@ object TextOps {
         |       CASE WHEN (doc_id * 2654435761) % 100 < 90
         |            THEN 'train' ELSE 'holdout' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_prepare_corpus" ->
+      """WITH dedup AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |m AS (
+        |  SELECT doc_id, lang, len(t) AS n_toks,
+        |         len(list_filter(t, x -> x IN ('the','a','of','and','to')))::DOUBLE
+        |           / len(t) AS stop_ratio,
+        |         len(list_distinct(t))::DOUBLE / len(t) AS ttr
+        |  FROM (SELECT doc_id, lang, text, string_split(text,' ') AS t FROM dedup)),
+        |scored AS (
+        |  SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+        |         round((CASE WHEN n_toks >= 20 THEN 0.5 ELSE 0.0 END
+        |              + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END
+        |              + CASE WHEN ttr > 0.3 THEN 0.25 ELSE 0.0 END)::DOUBLE, 6) AS quality
+        |  FROM m)
+        |SELECT doc_id, lang, n_toks, quality,
+        |       CASE WHEN (doc_id * 2654435761) % 100 < 90
+        |            THEN 'train' ELSE 'holdout' END AS split
+        |FROM scored WHERE quality >= 0.75 ORDER BY doc_id""".stripMargin,
     "text_termfreq" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
