@@ -120,7 +120,14 @@ object PipelineOps {
           col("ev.actor.id").as("actor_id"), col("ev.actor.login").as("actor_login"),
           col("ev.repo.name").as("repo_name"), col("ev.payload.size").as("push_size"),
           col("ev.created_at").as("created_at"),
-          posexplode(col("ev.payload.commits")).as(Seq("pos", "c")))
+          // OUTER posexplode: the non-outer form adds an implicit
+          // "commits non-empty" predicate that the optimizer pushes below
+          // this projection, re-building and re-parsing the document a
+          // second time per row just to evaluate the filter (the fn_json
+          // round-1 pathology, via Generate). commits is never empty here
+          // (1 + id%3 elements), so outer is value-identical — and the
+          // plan keeps exactly ONE from_json (plan-guarded in PlanSpec).
+          posexplode_outer(col("ev.payload.commits")).as(Seq("pos", "c")))
         .select(col("id"), col("type"), col("actor_id"), col("actor_login"),
           col("repo_name"), col("push_size"), col("pos").cast(LongType).as("pos"),
           col("c.sha").as("sha"), col("c.message").as("message"), col("created_at"))

@@ -92,6 +92,18 @@ class PlanSpec extends SparkSpec {
     assertBandedCandidateJoin("dedup_embedding")
   }
 
+  // The round-1 fn_json lesson, locked in: JSON queries parse each document
+  // ONCE with from_json — never a second independent walk, never the
+  // codegen-breaking json_tuple generator.
+  test("json queries: single from_json pass, no json_tuple generator") {
+    for (name <- Seq("json_nested_event", "fn_json")) {
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.toString
+      assert(!p.contains("json_tuple"), s"$name regressed to json_tuple:\n" + p.take(1200))
+      val parses = "from_json".r.findAllIn(p).size
+      assert(parses <= 1, s"$name parses JSON $parses times:\n" + p.take(1200))
+    }
+  }
+
   test("sim_topk_ivf: probe scan is partition-pruned to the probed cells") {
     val p = plan("sim_topk_ivf")
     assert(p.contains("dynamicpruningexpression"),

@@ -38,6 +38,33 @@ class SrpSpec extends SparkSpec {
     assert(k1.length == SrpBandKeys.Bands)
   }
 
+  test("generative recall: 200 near-dup pairs at cosine >= 0.95 all share a band") {
+    // empirical check of the (1 - p^8)^32 ~= 2e-8 per-pair miss bound the
+    // dedup_embedding oracle pairing rests on: even 200 deterministic
+    // random pairs give ~4e-6 total miss probability — a failure here means
+    // the banding math (or the plane matrix) broke, not bad luck
+    val rnd = new scala.util.Random(123)
+    val pairs = Seq.fill(200) {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val noise = Array.fill(64)(rnd.nextGaussian())
+      // perturb to land in [0.95, 1) cosine: w = v + eps*noise
+      val eps = 0.05 + rnd.nextDouble() * 0.15
+      val w = v.zip(noise).map { case (x, e) => x + eps * e }
+      val cos = {
+        val dot = v.zip(w).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(w.map(x => x * x).sum))
+      }
+      (v.toSeq, w.toSeq, cos)
+    }.filter(_._3 >= 0.95)
+    assert(pairs.size >= 100, s"fixture produced only ${pairs.size} near-dup pairs")
+    val keys = keysOf(pairs.flatMap(p => Seq(p._1, p._2)))
+    val misses = pairs.indices.count { i =>
+      val (a, b) = (keys(2 * i), keys(2 * i + 1))
+      !a.zip(b).exists { case (x, y) => x == y }
+    }
+    assert(misses == 0, s"$misses of ${pairs.size} near-dup pairs missed every band")
+  }
+
   test("plane matrix is deterministic across accesses") {
     val a = SrpBandKeys.planes.map(_.toSeq).toSeq
     assert(a == SrpBandKeys.planes.map(_.toSeq).toSeq)

@@ -197,6 +197,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-key counts accumulate across micro-batches (custom state, G7/I)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.StateOps.runningCounts(
+        mem.toDF().toDF("key", "ts").as[(Long, Timestamp)])
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+                  (2L, ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      // cross-batch accumulation: key 1 reaches 3 (2 then +1), key 2 stays 1
+      val latest = spark.sql("select key, max(n) from state_out group by key")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("hourlyCounts matches batch groupBy on the same data") {
     import spark.implicits._
     val e = Tables.events(spark, sf).select(col("event_id").as("id"), col("ts"),
