@@ -21,6 +21,12 @@ object api {
     graftBridge.column(MinHashSignature(
       graftBridge.expression(shingleHash), numPerms).toAggregateExpression())
 
+  /** Codegen'd distinct hashed word-3-gram shingles of a text column —
+    * single fused tokenize+hash pass (see [[ShingleHashes]]).
+    */
+  def shingleHashes(text: Column): Column =
+    graftBridge.column(ShingleHashes(graftBridge.expression(text)))
+
   /** Codegen'd 32x8 sign-random-projection band keys of a double-array
     * column — the LSH candidate key for embedding near-dup dedup.
     */

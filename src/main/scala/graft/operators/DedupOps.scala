@@ -28,20 +28,16 @@ import org.apache.spark.sql.types._
 object DedupOps {
 
   /** Distinct word-3-gram shingles of `text`, HASHED to 64-bit longs — the
-    * unit of near-dup identity. Hashing at creation (xxhash64 over the three
-    * tokens, no string concat) makes every downstream op — explode, groupBy,
-    * equi-join, array_intersect in the verify step — operate on fixed-width
-    * longs instead of variable-length strings; 64-bit collisions are
-    * negligible at any corpus size. Guarded for texts shorter than 3 tokens.
+    * unit of near-dup identity. Hashing at creation makes every downstream
+    * op — explode, groupBy, equi-join, array_intersect in the verify step —
+    * operate on fixed-width longs instead of variable-length strings;
+    * 64-bit collisions are negligible at any corpus size. One fused
+    * codegen'd pass (functions/ShingleHashes): the higher-order-function
+    * phrasing re-split the text per element inside the interpreted lambda —
+    * O(tokens²) per document, 4.3 s of dedup_minhash's 6.2 s at sf0.1.
     */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => xxhash64(element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3)))))
-      .otherwise(array(xxhash64(text)))
-  }
+  private def shingles(text: Column): Column =
+    graft.functions.api.shingleHashes(text)
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
