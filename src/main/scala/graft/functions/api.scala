@@ -27,6 +27,12 @@ object api {
   def shingleHashes(text: Column): Column =
     graftBridge.column(ShingleHashes(graftBridge.expression(text)))
 
+  /** Codegen'd 64-bit SimHash of a text column — map-side scalar
+    * signature (see [[SimHash64]]).
+    */
+  def simHash64(text: Column): Column =
+    graftBridge.column(SimHash64(graftBridge.expression(text)))
+
   /** Codegen'd 32x8 sign-random-projection band keys of a double-array
     * column — the LSH candidate key for embedding near-dup dedup.
     */

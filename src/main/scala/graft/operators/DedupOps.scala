@@ -111,29 +111,20 @@ object DedupOps {
       retain(Tables.documents(s, dir), verified)
     }),
 
-    // SimHash: 64-bit signature (per-bit majority over token hashes);
-    // Hamming <= 3 found via 4 x 16-bit band exact-match (pigeonhole:
-    // <=3 flipped bits leave at least one of 4 bands intact), then
-    // popcount-verified. Hash-function-dependent -> no SQL oracle.
-    // Shape: explode distinct tokens, hash each ONCE, then one
-    // groupBy(doc_id) with 64 conditional-sum aggregates (one per bit,
-    // static shift amounts keep everything in whole-stage codegen); the
-    // signature long is folded from the 64 sums with static shifts.
+    // SimHash: 64-bit signature (per-bit majority over distinct-token
+    // hashes); Hamming <= 3 found via 4 x 16-bit band exact-match
+    // (pigeonhole: <=3 flipped bits leave at least one of 4 bands intact),
+    // then popcount-verified. Hash-function-dependent -> no SQL oracle.
+    // The signature is ONE map-side scalar expression
+    // (functions/SimHash64) — no token explode, no aggregation exchange:
+    // at 100 TB signatures cost a single corpus scan, exactly like the
+    // other fingerprints.
     "dedup_simhash" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val toks = d.select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("t"))
-        .withColumn("h", xxhash64(col("t")))
-      val bitSums = (0 until 64).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i"))
       // persisted: referenced by both self-join sides AND the popcount
-      // verify step — three plan copies of the 64-aggregate otherwise
+      // verify step
       val sim = OpCache.cached(dir + "#sh_sig",
-        toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"),
-            (0 until 64).map(i =>
-              when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-              .reduce(_.bitwiseOR(_)).as("sig")))
+        d.select(col("doc_id"), graft.functions.api.simHash64(col("text")).as("sig")))
       val bands = sim.select(col("doc_id"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
