@@ -117,17 +117,38 @@ object ArchiveStream {
     * old data is deleted only after the compacted directory is in place.
     * Runs serialized with appends (from the foreachBatch hook above, or
     * between jobs); returns the rewritten partition names.
+    *
+    * `ttlDays`: ClickHouse enforces `TTL ts + INTERVAL n DAY` AT MERGE
+    * TIME, dropping whole expired parts (ref: README.md:17) — passing
+    * `Some(n)` does the partition-granular analog here: day directories
+    * entirely older than (newest day − n) are DELETED, no rewrite, before
+    * fragmentation is even considered. "Now" is the newest day present,
+    * not the wall clock, so offline replays are deterministic. Dropped
+    * partitions are reported alongside rewritten ones.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, outDir: String,
               maxFilesPerPartition: Int = 4,
-              targetBytesPerFile: Long = 128L * 1024 * 1024): Seq[String] = {
+              targetBytesPerFile: Long = 128L * 1024 * 1024,
+              ttlDays: Option[Int] = None): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    val parts = fs.listStatus(root)
+    val allParts = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
-    parts.toSeq.flatMap { p =>
+    val dropped = ttlDays match {
+      case Some(days) if allParts.nonEmpty =>
+        val day = (s: org.apache.hadoop.fs.FileStatus) =>
+          java.time.LocalDate.parse(s.getPath.getName.stripPrefix("d=")).toEpochDay
+        val cutoff = allParts.map(day).max - days.toLong
+        allParts.filter(p => day(p) < cutoff).map { p =>
+          fs.delete(p.getPath, true)
+          p.getPath.getName
+        }.toSeq
+      case _ => Seq.empty
+    }
+    val parts = allParts.filterNot(p => dropped.contains(p.getPath.getName))
+    dropped ++ parts.toSeq.flatMap { p =>
       val files = fs.listStatus(p.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       if (files.length <= maxFilesPerPartition) None

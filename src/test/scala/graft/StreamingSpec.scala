@@ -176,6 +176,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows() == rowsBefore)
   }
 
+  test("compact with ttlDays drops whole expired day partitions, like merge-time TTL") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-compact-ttl-").toString + "/a"
+    // four days of data; newest day = 2024-01-10, TTL 3 days → cutoff
+    // 2024-01-07 (boundary kept, matching applyTtl's >=), so only
+    // 2024-01-05 is expired
+    for (d <- Seq("2024-01-05", "2024-01-07", "2024-01-09", "2024-01-10"))
+      Seq((d.takeRight(2).toLong, ts(s"$d 12:00:00"), "r")).toDF("id", "ts", "raw")
+        .withColumn("d", to_date(col("ts")))
+        .write.mode("append").partitionBy("d").parquet(out)
+    val result = ArchiveStream.compact(spark, out,
+      maxFilesPerPartition = 100, ttlDays = Some(3))
+    assert(result == Seq("d=2024-01-05"))
+    val days = spark.read.parquet(out).select("d").distinct()
+      .collect().map(_.get(0).toString).sorted
+    assert(days.toSeq == Seq("2024-01-07", "2024-01-09", "2024-01-10"))
+    // deterministic under replay: a second pass drops nothing further
+    assert(ArchiveStream.compact(spark, out,
+      maxFilesPerPartition = 100, ttlDays = Some(3)).isEmpty)
+  }
+
   test("archive with compactEvery merges small files between micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
