@@ -24,5 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.MinHashSignature", "minhash_sig"),
       (children: Seq[Expression]) =>
         graft.functions.MinHashSignature(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo("graft.functions.ShingleHashes", "shingle_hashes"),
+      (children: Seq[Expression]) => graft.functions.ShingleHashes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
+      (children: Seq[Expression]) => graft.functions.SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("srp_band_keys"),
+      new ExpressionInfo("graft.functions.SrpBandKeys", "srp_band_keys"),
+      (children: Seq[Expression]) => graft.functions.SrpBandKeys(children.head)))
   }
 }

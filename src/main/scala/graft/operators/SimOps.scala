@@ -43,23 +43,16 @@ object SimOps {
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
 
 
-  /** Deterministic pseudo-random +-1 hyperplane component for (plane, dim):
-    * sign of xxhash64 — a public-knowledge random-projection LSH
-    * (sign-random-projection / SimHash for vectors).
+  /** `bits`-bit (<= 8) sign-random-projection bucket id of vector column
+    * `v`: the low bits of the first [[graft.functions.SrpBandKeys]] band —
+    * one fused codegen pass over the same public SRP family (the previous
+    * higher-order-function formulation re-hashed every (plane, dim) pair
+    * per row in an interpreted lambda).
     */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    when(xxhash64(plane, dim).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
-
-  /** 4-bit sign-random-projection bucket id of vector column `v`. */
-  def lshBucket(v: Column, bits: Int = 4): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, p) => {
-      val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(v) - 1), d => planeComponent(p, d)),
-          (x, w) => x * w),
-        lit(0.0), (a, x) => a + x)
-      acc.bitwiseOR(call_function("shiftleft",
-        when(proj >= 0, lit(1L)).otherwise(lit(0L)), p.cast(IntegerType)))
-    })
+  def lshBucket(v: Column, bits: Int = 4): Column = {
+    require(bits >= 1 && bits <= 8, s"lshBucket supports 1..8 bits, got $bits")
+    element_at(api.srpBandKeys(v), 1).bitwiseAND(lit((1L << bits) - 1))
+  }
 
   /** Index of the `cents` cell nearest to vector column `v` (1-based,
     * ties to the lowest cell id) — a map-only argmin against a literal

@@ -65,6 +65,18 @@ class SrpSpec extends SparkSpec {
     assert(misses == 0, s"$misses of ${pairs.size} near-dup pairs missed every band")
   }
 
+  test("custom expressions are SQL-registered via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT simhash64('the quick brown fox') AS sh,
+        |       size(shingle_hashes('a b c d')) AS ns,
+        |       size(srp_band_keys(array(1.0d, 2.0d, 3.0d))) AS nb,
+        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs
+        |""".stripMargin).head()
+    assert(r.getInt(1) == 2) // trigrams of 4 tokens
+    assert(r.getInt(2) == graft.functions.SrpBandKeys.Bands)
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("plane matrix is deterministic across accesses") {
     val a = SrpBandKeys.planes.map(_.toSeq).toSeq
     assert(a == SrpBandKeys.planes.map(_.toSeq).toSeq)
