@@ -25,6 +25,10 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   val tuning: Seq[(String, String)] = Seq(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // bucketed-table demo (join_bucketed) writes through the catalog;
+    // keep the warehouse out of the repo working tree
+    "spark.sql.warehouse.dir" ->
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse",
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "100000",
     "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.sql.session.timeZone" -> "UTC",

@@ -10,6 +10,13 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("join_bucketed: co-located bucketed scan join — zero hash exchanges") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle either side:\n" + p.take(1500))
+  }
+
   test("join_broadcast: dimension side broadcasts, no sort-merge") {
     val p = plan("join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
