@@ -65,7 +65,8 @@ object FunctionOps {
     "fn_math" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .select(
-          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
           abs(col("l_discount") - 0.05).as("abs_d"),
           round(dec(col("l_extendedprice")), 1).cast(DoubleType).as("round1"),
           floor(col("l_quantity")).as("flr"),
@@ -76,7 +77,8 @@ object FunctionOps {
           greatest(col("l_tax"), col("l_discount")).as("gr"),
           least(col("l_tax"), col("l_discount")).as("ls"),
           pmod(col("l_partkey"), lit(7)).as("pm"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // total order: (orderkey, linenumber) is not unique in this data
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
     // F4: conditional / null handling.
@@ -187,7 +189,7 @@ object FunctionOps {
         |       CAST(trunc(epoch(o_orderdate)) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_math" ->
-      """SELECT l_orderkey, l_linenumber,
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       abs(l_discount - 0.05) AS abs_d,
         |       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS round1,
         |       CAST(floor(l_quantity) AS BIGINT) AS flr,
@@ -198,7 +200,7 @@ object FunctionOps {
         |       greatest(l_tax, l_discount) AS gr,
         |       least(l_tax, l_discount) AS ls,
         |       l_partkey % 7 AS pm
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "fn_conditional" ->
       """SELECT c_custkey,
         |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '<bldg>') AS seg,

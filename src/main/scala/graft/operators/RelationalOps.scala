@@ -43,9 +43,13 @@ object RelationalOps {
     "join_inner" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("o_custkey"),
           col("o_orderstatus"), dec(col("l_extendedprice")).cast(DoubleType).as("price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in this data — the
+        // (partkey, suppkey) tail makes the output order total (driver
+        // compares rows in order; ties would flap between engines)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
     // E3: broadcast join — small dim shipped to every task, zero fact shuffle.
@@ -53,8 +57,10 @@ object RelationalOps {
       Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
         .filter(col("p_brand") === "Brand#3")
-        .select("l_orderkey", "l_linenumber", "p_name", "p_brand")
-        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "p_partkey",
+          "p_name", "p_brand")
+        // total order: (orderkey, linenumber) ties exist (see join_inner)
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey", "l_suppkey")
     }),
 
     // E4: left outer join — customers with zero orders survive.
@@ -156,9 +162,10 @@ object RelationalOps {
       }
       s.table(ot).hint("merge")
         .join(s.table(lt).hint("merge"), col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("o_totalprice"))
-        .orderBy("o_orderkey", "l_linenumber")
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("o_totalprice"))
+        // total order: (orderkey, linenumber) ties exist (see join_inner)
+        .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
     // E9: hash aggregate with partial+final (TPC-H Q1 shape).
@@ -387,15 +394,15 @@ object RelationalOps {
         |  AND NOT (o_custkey % 7 = 0)
         |ORDER BY o_orderkey""".stripMargin,
     "join_inner" ->
-      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus,
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, o_custkey, o_orderstatus,
         |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "join_broadcast" ->
-      """SELECT l_orderkey, l_linenumber, p_name, p_brand
+      """SELECT l_orderkey, l_linenumber, l_suppkey, p_partkey, p_name, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#3'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, p_partkey, l_suppkey""".stripMargin,
     "join_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         |       CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
@@ -430,9 +437,9 @@ object RelationalOps {
         |FROM region CROSS JOIN nation
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
     "join_bucketed" ->
-      """SELECT o_orderkey, l_linenumber, l_quantity, o_totalprice
+      """SELECT o_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, o_totalprice
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY o_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -31,13 +31,16 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}")
+            continue
         try:
             want = con.sql(sql)
             wcols = sorted(want.columns)
@@ -75,4 +78,11 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # optional: --skip q1,q2 (e.g. quadratic dedup oracles at sf0.1)
+    skip = ()
+    args = sys.argv[1:]
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = tuple(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], skip))
