@@ -64,10 +64,16 @@ object DedupOps {
       .orderBy("doc_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: hash-groupBy on full text, keep min doc_id per group.
+    // Exact dedup: keep min doc_id per content identity. The group key is
+    // (xxhash64(text), length(text)) — 16 bytes — NOT the text itself: at
+    // 100 TB a groupBy(text) shuffles the whole corpus, the hash key
+    // shuffles ~0.3% of it with identical results barring a same-length
+    // 64-bit collision (p < 1e-19 · pairs; the standard content-hash dedup
+    // contract). Map-side partial min collapses most groups pre-exchange.
     "dedup_text_exact" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val keep = d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      val keep = d.groupBy(xxhash64(col("text")).as("h"), length(col("text")).as("len"))
+        .agg(min(col("doc_id")).as("doc_id"))
       d.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")

@@ -63,7 +63,9 @@ object TextOps {
         when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
         when(ttr > 0.3, 0.25).otherwise(0.0), 6)
       val d = Tables.documents(s, dir)
-      val keep = d.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      // content-hash group key, not the text — see DedupOps.dedup_text_exact
+      val keep = d.groupBy(xxhash64(col("text")).as("h"), length(col("text")).as("len"))
+        .agg(min(col("doc_id")).as("doc_id"))
       d.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         .withColumn("quality", quality)
         .filter(col("quality") >= 0.75)
