@@ -145,6 +145,38 @@ class GhArchiveSourceSpec extends SparkSpec {
     } finally paced.stop()
   }
 
+  test("whole service: catch-up -> paced -> compact(ttl) -> replace-by-key read") {
+    import org.apache.spark.sql.functions.col
+    // the full reference service lifecycle in one pass: backfill an hour
+    // archive (with a replayed duplicate), reach paced steady state, run
+    // the periodic merge with retention, and read the canonical table
+    val dir = Files.createTempDirectory("graft-gha-svc-").toString
+    def ev(id: Long, ts: String) = s"""{"id":$id,"created_at":"$ts"}"""
+    writeHourFile(dir, "2024-01-10-0", Seq(ev(1, "2024-01-10T00:10:00Z")))
+    writeHourFile(dir, "2024-01-15-0", Seq(
+      ev(2, "2024-01-15T00:10:00Z"),
+      ev(2, "2024-01-15T00:10:00Z"),   // in-batch duplicate
+      ev(3, "2024-01-15T00:20:00Z")))
+    writeHourFile(dir, "2024-01-16-0", Seq(ev(4, "2024-01-16T00:05:00Z")))
+    val out = Files.createTempDirectory("graft-gha-svc-out-").toString + "/a"
+    val ckpt = Files.createTempDirectory("graft-gha-svc-ckpt-").toString
+    val (_, paced) = GhArchiveSource.catchUpThenPace(
+      spark, dir, out, ckpt, targetBatchMs = 60000L)
+    try {
+      // merge + retention: 2024-01-10 is older than newest(2024-01-16) - 3d
+      val touched = streaming.ArchiveStream.compact(spark, out,
+        maxFilesPerPartition = 0, ttlDays = Some(3))
+      assert(touched.contains("d=2024-01-10"))
+      val canonical = spark.read.parquet(out).dropDuplicates("id")
+      assert(canonical.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(2L, 3L, 4L))
+      // compacted day dirs hold exactly one file each
+      for (d <- Seq("2024-01-15", "2024-01-16"))
+        assert(new java.io.File(s"$out/d=$d")
+          .listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    } finally paced.stop()
+  }
+
   test("streaming read enforces batch/stream parity: invalid-hour artifacts dropped, hour column derived") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.functions.col
