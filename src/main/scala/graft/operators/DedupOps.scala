@@ -54,6 +54,121 @@ object DedupOps {
     OpCache.cached(dir + "#shingled",
       Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("sh")))
 
+  /** Exact-Jaccard (>= 0.8) duplicate pairs (a_id < b_id), candidates from
+    * AllPairs/PPJoin prefix filtering (public literature): under a fixed
+    * global shingle order, any pair with J >= t must share a shingle within
+    * each side's first n - ceil(t*n) + 1 sorted shingles — so the inverted
+    * index is built over PREFIXES only, then true Jaccard over the full
+    * sets confirms. The global order is ASCENDING DOCUMENT FREQUENCY (the
+    * AllPairs ordering): prefixes then hold each doc's rarest shingles, so
+    * posting lists in the candidate join are short — a lexicographic order
+    * would concentrate the corpus's most common shingles into every prefix
+    * and make the join quadratic again (measured 2x WORSE than no prefix).
+    * Candidate-complete by THEOREM (not probability) → safe under an exact
+    * all-pairs SQL oracle. Shared by dedup_ngram_jaccard (pairwise retain)
+    * and dedup_cluster_cc (transitive clustering); cached because both
+    * consumers reference it more than once per plan.
+    */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(s, dir)
+    OpCache.cached(dir + "#jac_pairs", {
+      val posts = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("g"))
+      val dfreq = posts.groupBy("g").agg(count(lit(1)).as("dfc"))
+      val w = Window.partitionBy("doc_id").orderBy("dfc", "g")
+      // persisted: both self-join sides reference it; unpersisted, the
+      // dfreq join + window would run once per side
+      val prefixPosts = OpCache.cached(dir + "#jac_prefix",
+        posts.join(dfreq, Seq("g"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= col("n") - ceil(col("n") * 0.8) + 1)
+          .select("doc_id", "n", "g"))
+      // AllPairs length filter: J >= t forces t*|b| <= |a| (for |a| <= |b|),
+      // so size-incompatible pairs are pruned inside the candidate join.
+      val cand = prefixPosts.as("x").join(prefixPosts.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") >= ceil(col("y.n") * 0.8) &&
+          col("y.n") >= ceil(col("x.n") * 0.8))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+        .select("a_id", "b_id")
+    })
+  }
+
+  /** Large-star round: every node points its LARGER neighbors at the
+    * minimum of its closed neighborhood. Output edges are (larger node,
+    * candidate root), strictly decreasing on the right.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: orient every edge toward the smaller endpoint, then
+    * connect each node's smaller neighbors (and itself) to the minimum.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir0 = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = dir0.groupBy("u").agg(min(col("v")).as("m"))
+    dir0.join(mins, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(mins.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Connected components of the undirected graph `edges` (u, v): returns
+    * (u, root) for every non-isolated node, root = component minimum.
+    * Alternates large-star/small-star to a fixpoint detected by an
+    * order-independent one-row checksum (count + xor of per-edge hashes).
+    * Each round CHECKPOINTS its edge set: a star round references its
+    * input from four places, so carrying lineage across rounds grows the
+    * logical plan ~4^rounds — persist alone caches data but not the plan,
+    * and round 6 already OOMs the planner. `localCheckpoint` cuts the
+    * lineage to the materialized blocks (on a multi-node cluster, use
+    * reliable `checkpoint` with a checkpoint dir instead — local blocks
+    * die with an executor; same shape, durable storage).
+    */
+  private[operators] def ccRoots(edges: DataFrame): DataFrame = {
+    // XOR fold, not sum: order-independent like sum but cannot overflow
+    // under ANSI arithmetic (hashes span the full long range)
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = edges.select(col("u"), col("v")).distinct().localCheckpoint()
+    var sig = checksum(cur)
+    var converged = sig._1 == 0L
+    var rounds = 0
+    // 2^(2^15) nodes exceeds any corpus: the bound is a defect guard, not a
+    // tuning knob — O(log n) convergence is the algorithm's theorem.
+    while (!converged && rounds < 15) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nsig = checksum(next)
+      cur = next
+      converged = nsig == sig
+      sig = nsig
+      rounds += 1
+    }
+    // fixpoint edges form stars (node -> component min); min() is belt and
+    // braces against a round-limit stop on adversarial input
+    cur.groupBy("u").agg(min(col("v")).as("root"))
+  }
+
   /** Retained = documents minus those with a verified duplicate of smaller id.
     * `pairs` must carry (a_id, b_id) with a_id < b_id.
     */
@@ -158,34 +273,32 @@ object DedupOps {
     // lists in the candidate join are short — a lexicographic order would
     // concentrate the corpus's most common shingles into every prefix and
     // make the join quadratic again (measured 2x WORSE than no prefix).
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val sh = shingled(s, dir)
-      val posts = sh.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("g"))
-      val dfreq = posts.groupBy("g").agg(count(lit(1)).as("dfc"))
-      val w = Window.partitionBy("doc_id").orderBy("dfc", "g")
-      // persisted: both self-join sides reference it; unpersisted, the
-      // dfreq join + window would run once per side
-      val prefixPosts = OpCache.cached(dir + "#jac_prefix",
-        posts.join(dfreq, Seq("g"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= col("n") - ceil(col("n") * 0.8) + 1)
-          .select("doc_id", "n", "g"))
-      // AllPairs length filter: J >= t forces t*|b| <= |a| (for |a| <= |b|),
-      // so size-incompatible pairs are pruned inside the candidate join.
-      val cand = prefixPosts.as("x").join(prefixPosts.as("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id") &&
-          col("x.n") >= ceil(col("y.n") * 0.8) &&
-          col("y.n") >= ceil(col("x.n") * 0.8))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val pairs = cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
-        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.8)
-        .select("a_id", "b_id")
-      retain(Tables.documents(s, dir), pairs)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      retain(Tables.documents(s, dir), exactJaccardPairs(s, dir))),
+
+    // Transitive duplicate CLUSTERING — connected components over the
+    // verified near-dup pair graph. Pairwise retain (above) under-deletes
+    // on chains: if A~B and B~C but A!~C, keeping min-per-pair retains both
+    // A and C even though they sit in one duplicate cluster; a training
+    // corpus wants ONE representative per component. Algorithm: alternating
+    // large-star / small-star (Kiveris et al., "Connected Components in
+    // MapReduce and Beyond", public literature) — converges in O(log n)
+    // rounds INDEPENDENT of component diameter, all rounds pure
+    // groupBy/join DataFrame ops shuffling on the node id. Min-label
+    // propagation (the naive loop) needs O(diameter) rounds — unbounded on
+    // the chained near-dups a 100 TB crawl actually contains. Per round the
+    // edge set is persisted and the previous round unpersisted, so lineage
+    // stays one round deep; the only driver-side values are the one-row
+    // convergence checksums (never the data).
+    "dedup_cluster_cc" -> ((s, dir) => {
+      val roots = ccRoots(exactJaccardPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v")))
+      Tables.documents(s, dir).select("doc_id", "lang", "source")
+        .join(roots.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("rep_id"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
     }),
 
     // Embedding cosine near-dup: banded sign-random-projection LSH proposes
@@ -261,6 +374,35 @@ object DedupOps {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT b_id FROM dups)
         |ORDER BY doc_id""".stripMargin,
+    // The oracle states the pure semantic — transitive closure over the
+    // exact-Jaccard >= 0.8 pair graph, representative = component minimum —
+    // with a recursive CTE; the large-star/small-star rounds are an
+    // implementation detail the oracle never sees.
+    "dedup_cluster_cc" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |           THEN list_distinct(list_transform(range(len(toks)-2),
+        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |           ELSE [text] END AS g
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u),
+        |rep AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        |       least(d.doc_id, coalesce(rep.mn, d.doc_id)) AS rep_id,
+        |       d.lang, d.source
+        |FROM documents d LEFT JOIN rep USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Threshold-exact all-pairs oracle: the LSH candidate key is an
     // implementation detail with ~2e-8 per-pair miss probability (see the
     // banding math above), so the oracle states the pure semantic — ANY
