@@ -42,7 +42,8 @@ object SparkEntry {
     operators.DedupOps.queries ++
     operators.SimOps.queries ++
     operators.TextOps.queries ++
-    operators.MultimodalOps.queries
+    operators.MultimodalOps.queries ++
+    operators.SqlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
     operators.DedupOps.oracle ++
     operators.SimOps.oracle ++
     operators.TextOps.oracle ++
-    operators.MultimodalOps.oracle
+    operators.MultimodalOps.oracle ++
+    operators.SqlOps.oracle
 }

@@ -287,9 +287,9 @@ object DedupOps {
     // groupBy/join DataFrame ops shuffling on the node id. Min-label
     // propagation (the naive loop) needs O(diameter) rounds — unbounded on
     // the chained near-dups a 100 TB crawl actually contains. Per round the
-    // edge set is persisted and the previous round unpersisted, so lineage
-    // stays one round deep; the only driver-side values are the one-row
-    // convergence checksums (never the data).
+    // edge set is checkpointed so lineage stays one round deep (see
+    // ccRoots); the only driver-side values are the one-row convergence
+    // checksums (never the data).
     "dedup_cluster_cc" -> ((s, dir) => {
       val roots = ccRoots(exactJaccardPairs(s, dir)
         .select(col("a_id").as("u"), col("b_id").as("v")))

@@ -175,6 +175,35 @@ object RelationalOps {
         .orderBy("o_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
+    // E2c: skew-resistant SALTED join — the join-side twin of
+    // agg_skew_salted. Joining per-type statistics back onto the archive on
+    // `event_type` alone (~5 values) sends every row of a hot key through
+    // one reducer pair at 100 TB. Salting: the fact side carries
+    // salt = hash(event_id) % 16, the small side is replicated x16 (explode
+    // of a literal range — 16x a tiny table, not 16x the fact), and the
+    // join key becomes (event_type, salt): 80 well-spread keys instead of 5
+    // hot ones. The merge hint pins sort-merge so the demonstration doesn't
+    // collapse to broadcast at test SF — the salted pattern is exactly for
+    // dim sides too big to broadcast (derived stats tables often are).
+    // Values are unchanged vs the unsalted join, which is what the oracle
+    // states.
+    "join_skew_salted" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val stats = e.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"), sum(dec(col("value"))).as("sv"))
+        .select(col("event_type"), col("type_n"),
+          (col("sv").cast(DoubleType) / col("type_n")).as("avg_value"))
+      val replicated = stats.withColumn("salt",
+        explode(sequence(lit(0), lit(15))))
+      e.select(col("event_id"), col("event_type"), col("value"),
+          pmod(xxhash64(col("event_id")), lit(16)).cast(IntegerType).as("salt"))
+        .hint("merge")
+        .join(replicated.hint("merge"), Seq("event_type", "salt"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("type_n"), col("avg_value"))
+        .orderBy("event_id")
+    }),
+
     // E9: hash aggregate with partial+final (TPC-H Q1 shape).
     "agg_group" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -274,6 +303,26 @@ object RelationalOps {
       Tables.lineitem(s, dir)
         .cube("l_returnflag", "l_linestatus")
         .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // E12c: GROUPING SETS — the general form rollup and cube sugar over:
+    // exactly the requested groupings, nothing more (cube here would also
+    // compute the by-status set nobody asked for — at 100 TB every extra
+    // grouping set is another full pass through the aggregate's hash
+    // tables). Same single-shuffle Expand-based plan as rollup/cube.
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -447,6 +496,15 @@ object RelationalOps {
       """SELECT o_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, o_totalprice
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "join_skew_salted" ->
+      // the salted (event_type, salt) join must equal the plain keyed join
+      """WITH d AS (
+        |  SELECT event_type, count(*) AS type_n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value, d.type_n, d.avg_value
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -477,6 +535,14 @@ object RelationalOps {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY flag, status""".stripMargin,
     "agg_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The pure-SQL entry surface (SURVEY.md §3.3): the reference delegates its
+  * whole analytical surface to "SQL over the archive table" (ref:
+  * README.md:4-6, 8-17), so a user migrating from it arrives with SQL text,
+  * not DataFrame code. These keys register the engine's tables as temp views
+  * and run the query through `spark.sql` — Catalyst compiles it to the same
+  * optimized plan the DataFrame API would produce (one analyzer, one
+  * optimizer), so everything demonstrated elsewhere (pushdown, broadcast,
+  * AQE) applies to SQL text unchanged. Views are (re-)registered per call
+  * with a `graft_` prefix: registration is a session-catalog metadata op
+  * (no scan), and re-pointing per scale dir keeps concurrent scales from
+  * reading each other's data.
+  */
+object SqlOps {
+
+  private def withViews(s: SparkSession, dir: String, tables: String*)(
+      sql: String): DataFrame = {
+    tables.foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(s"graft_$t"))
+    s.sql(sql)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q3 shape (segment filter → 3-way join → revenue aggregate →
+    // top-10): the canonical "my old SQL, unchanged" query. Catalyst gets
+    // to do everything the DataFrame twin would get: the segment filter
+    // pushes into the customer scan, the customer side broadcasts, the
+    // top-10 runs as TakeOrderedAndProject. Money math in DECIMAL(18,2) so
+    // the sum is order-independent and bit-equal to the oracle.
+    "sql_analytics" -> ((s, dir) =>
+      withViews(s, dir, "customer", "orders", "lineitem")(
+        """SELECT l_orderkey,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |       o_orderdate
+          |FROM graft_customer
+          |JOIN graft_orders   ON c_custkey = o_custkey
+          |JOIN graft_lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin)))
+
+  def oracle: Map[String, String] = Map(
+    // identical SQL modulo the view prefix — that is the point
+    "sql_analytics" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       o_orderdate
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+}

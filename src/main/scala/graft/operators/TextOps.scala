@@ -137,6 +137,77 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top terms per document — the classic retrieval/featurization
+    // primitive. tf from one explode+groupBy (map-side partials), df over
+    // the already-distinct (doc, term) pairs, corpus size N as a broadcast
+    // one-row aggregate (never a driver-side collect). Ranking uses the
+    // ROUNDED score on both engines so a last-ulp ln() difference between
+    // libm implementations cannot flip ranks across the oracle.
+    "text_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val tf = d.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // PII redaction — the compliance scrub every published corpus runs.
+    // The synthetic testdata contains no PII, so each document is first
+    // suffixed with a deterministic contact line (both engines build the
+    // identical string), then emails/phones are counted and replaced.
+    // Patterns stay inside RE2-compatible syntax (no backrefs, no
+    // lookaround) so Spark's java.util.regex and DuckDB's RE2 agree.
+    "text_pii_redact" -> ((s, dir) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+      val contact = concat(col("text"),
+        lit(" contact user-"), col("doc_id").cast(StringType),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(contact, lit(emailRe), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all(contact, lit(phoneRe), lit(0)))
+            .cast(LongType).as("n_phones"),
+          regexp_replace(regexp_replace(contact, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition signals (Gopher-family quality filters): fraction of
+    // duplicate tokens / 2-grams / 3-grams per document — heavily repeated
+    // text is boilerplate or spam. Pure array expressions, one pass per
+    // document, no explode and no shuffle; the n-gram builders guard
+    // short documents because sequence(1, 0) COUNTS DOWN in Spark rather
+    // than producing an empty array.
+    "text_repetition" -> ((s, dir) => {
+      def grams(k: Int): Column =
+        when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+            concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+          .otherwise(array().cast(ArrayType(StringType)))
+      def dupFrac(arr: Column): Column =
+        round(when(size(arr) > 0,
+          lit(1.0) - size(array_distinct(arr)).cast(DoubleType) / size(arr))
+          .otherwise(0.0), 6)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          dupFrac(toks).as("dup_tok_frac"),
+          dupFrac(grams(2)).as("dup_2gram_frac"),
+          dupFrac(grams(3)).as("dup_3gram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling polynomial fingerprint over token codes, mod 1e9+7 — a
     // deterministic document signature (content-defined, order-sensitive).
     "text_fingerprint" -> ((s, dir) => {
@@ -218,6 +289,47 @@ object TextOps {
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_toks,
         |       CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, round(tf * ln(n::DOUBLE / df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, score FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+        |ORDER BY doc_id, term""".stripMargin,
+    "text_pii_redact" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         text || ' contact user-' || doc_id || '@example.com or +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH f AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, t,
+        |        CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1),
+        |               i -> t[i+1] || ' ' || t[i+2]) ELSE []::VARCHAR[] END AS g2,
+        |        CASE WHEN len(t) >= 3 THEN list_transform(range(len(t)-2),
+        |               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) ELSE []::VARCHAR[] END AS g3
+        |      FROM f)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(t) > 0
+        |    THEN 1.0 - len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END, 6) AS dup_tok_frac,
+        |  round(CASE WHEN len(g2) > 0
+        |    THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END, 6) AS dup_2gram_frac,
+        |  round(CASE WHEN len(g3) > 0
+        |    THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END, 6) AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -111,6 +111,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_skew_salted: sort-merge on the salted key, not broadcast, not 5 hot keys") {
+    val p = plan("join_skew_salted")
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"),
+      "the salted pattern exists for dim sides too big to broadcast:\n" + p.take(1200))
+    assert(p.contains("salt"), "join key must include the salt column:\n" + p.take(1200))
+  }
+
+  test("agg_grouping_sets: one Expand, one aggregate exchange — not one pass per set") {
+    val p = plan("agg_grouping_sets")
+    assert("Expand".r.findAllIn(p).size >= 1, p.take(1200))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"grouping sets must aggregate in one shuffle, got $exchanges:\n" + p.take(1200))
+  }
+
+  test("sql_analytics: SQL text gets the same physical treatment as the DataFrame API") {
+    val p = plan("sql_analytics")
+    assert(p.contains("BroadcastHashJoin"),
+      "filtered customer side must broadcast:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT 10 over ORDER BY must not globally sort:\n" + p.take(1500))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer parquet scan:\n" + p.take(2000))
+  }
+
   test("sim_topk_ivf: probe scan is partition-pruned to the probed cells") {
     val p = plan("sim_topk_ivf")
     assert(p.contains("dynamicpruningexpression"),
