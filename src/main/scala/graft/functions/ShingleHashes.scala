@@ -57,14 +57,14 @@ object ShingleHashes {
   /** XXH64 of a token's bytes — one hash per token, reused by every
     * shingle the token participates in.
     */
-  private def tokenHash(s: UTF8String): Long =
+  private[functions] def tokenHash(s: UTF8String): Long =
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
 
   /** 64-bit hash_combine (boost-style, public technique) with a SplitMix64
     * finalize for avalanche.
     */
-  private def combine(a: Long, b: Long): Long =
+  private[functions] def combine(a: Long, b: Long): Long =
     MinHashSignature.splitmix64(a ^ (b + 0x9E3779B97F4A7C15L + (a << 6) + (a >>> 2)))
 
   /** Sorted distinct 3-gram shingle hashes; single-space tokenization

@@ -27,6 +27,12 @@ object api {
   def shingleHashes(text: Column): Column =
     graftBridge.column(ShingleHashes(graftBridge.expression(text)))
 
+  /** Codegen'd word-k-gram repetition stats `(n, n_distinct)` of a text
+    * column — single fused pass (see [[NgramDupStats]]).
+    */
+  def ngramDupStats(text: Column, k: Int): Column =
+    graftBridge.column(NgramDupStats(graftBridge.expression(text), k))
+
   /** Codegen'd 64-bit SimHash of a text column — map-side scalar
     * signature (see [[SimHash64]]).
     */

@@ -186,25 +186,24 @@ object TextOps {
 
     // Repetition signals (Gopher-family quality filters): fraction of
     // duplicate tokens / 2-grams / 3-grams per document — heavily repeated
-    // text is boilerplate or spam. Pure array expressions, one pass per
-    // document, no explode and no shuffle; the n-gram builders guard
-    // short documents because sequence(1, 0) COUNTS DOWN in Spark rather
-    // than producing an empty array.
+    // text is boilerplate or spam. Each fraction comes from ONE fused
+    // codegen'd pass (functions/NgramDupStats) yielding (n, n_distinct);
+    // the built-in transform/element_at phrasing re-split the document per
+    // emitted gram — O(k·tokens²) interpreted, 33 s vs ~1 s at sf0.1 (the
+    // ShingleHashes pathology, re-measured here). Map-only: no explode, no
+    // shuffle, nothing but the two counts per (doc, k) leaves the pass.
     "text_repetition" -> ((s, dir) => {
-      def grams(k: Int): Column =
-        when(size(toks) >= k,
-          transform(sequence(lit(1), size(toks) - (k - 1)), i =>
-            concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
-          .otherwise(array().cast(ArrayType(StringType)))
-      def dupFrac(arr: Column): Column =
-        round(when(size(arr) > 0,
-          lit(1.0) - size(array_distinct(arr)).cast(DoubleType) / size(arr))
+      def dupFrac(k: Int): Column = {
+        val st = graft.functions.api.ngramDupStats(col("text"), k)
+        round(when(st.getField("n") > 0,
+          lit(1.0) - st.getField("n_distinct").cast(DoubleType) / st.getField("n"))
           .otherwise(0.0), 6)
+      }
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          dupFrac(toks).as("dup_tok_frac"),
-          dupFrac(grams(2)).as("dup_2gram_frac"),
-          dupFrac(grams(3)).as("dup_3gram_frac"))
+          dupFrac(1).as("dup_tok_frac"),
+          dupFrac(2).as("dup_2gram_frac"),
+          dupFrac(3).as("dup_3gram_frac"))
         .orderBy("doc_id")
     }),
 
