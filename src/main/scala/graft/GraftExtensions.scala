@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
       (children: Seq[Expression]) => graft.functions.SimHash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("ngram_dup_stats"),
+      new ExpressionInfo("graft.functions.NgramDupStats", "ngram_dup_stats"),
+      (children: Seq[Expression]) => graft.functions.NgramDupStats(children.head,
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("srp_band_keys"),
       new ExpressionInfo("graft.functions.SrpBandKeys", "srp_band_keys"),
       (children: Seq[Expression]) => graft.functions.SrpBandKeys(children.head)))

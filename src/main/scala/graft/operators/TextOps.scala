@@ -137,6 +137,26 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Stratified corpus mixing — per-source sampling rates (the
+    // FineWeb/Dolma-style source-weighting step a training mix is built
+    // from). Membership is a pure function of doc_id under a second
+    // multiplicative hash (a DIFFERENT odd constant than split_holdout's,
+    // so mix membership and train/holdout assignment stay independent):
+    // deterministic across runs, cluster sizes and row order — never
+    // rand()/TABLESAMPLE, which resample on every retry — and map-only, no
+    // shuffle. Rates here: even sources 100%, src1 mod 4 half, rest 25%.
+    "pipeline_sample_mix" -> ((s, dir) => {
+      val h = pmod(col("doc_id") * 2246822519L, lit(1000L))
+      val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType)
+      val rate = when(pmod(srcNum, lit(4)) === 0, 1000L)
+        .when(pmod(srcNum, lit(4)) === 1, 500L)
+        .otherwise(250L)
+      Tables.documents(s, dir)
+        .filter(h < rate)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per document — the classic retrieval/featurization
     // primitive. tf from one explode+groupBy (map-side partials), df over
     // the already-distinct (doc, term) pairs, corpus size N as a broadcast
@@ -288,6 +308,12 @@ object TextOps {
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_toks,
         |       CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_sample_mix" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE (doc_id * 2246822519) % 1000 <
+        |      CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4
+        |        WHEN 0 THEN 1000 WHEN 1 THEN 500 ELSE 250 END
+        |ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),

@@ -70,11 +70,13 @@ class SrpSpec extends SparkSpec {
       """SELECT simhash64('the quick brown fox') AS sh,
         |       size(shingle_hashes('a b c d')) AS ns,
         |       size(srp_band_keys(array(1.0d, 2.0d, 3.0d))) AS nb,
-        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs
+        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |       ngram_dup_stats('a b a b', 2) AS ng
         |""".stripMargin).head()
     assert(r.getInt(1) == 2) // trigrams of 4 tokens
     assert(r.getInt(2) == graft.functions.SrpBandKeys.Bands)
     assert(r.getDouble(3) == 1.0)
+    assert(r.getStruct(4).getLong(0) == 3L && r.getStruct(4).getLong(1) == 2L)
   }
 
   test("plane matrix is deterministic across accesses") {
