@@ -267,6 +267,23 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // E9e: list aggregation (ClickHouse groupArray / SQL array_agg analog)
+    // made deterministic: collect_list order is partition-arrival order —
+    // nondeterministic under retries, AQE re-planning and cluster resizes —
+    // so the array is SORTED before it leaves the aggregate, the only
+    // contract that is stable at any scale. The joined-string variant
+    // rides the same sorted array.
+    "agg_collect" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("event_id"))).as("ids"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("ids"),
+          array_join(col("ids"), ",").as("ids_csv"), col("n"))
+        .orderBy("user_id")
+    }),
+
     // E10: distinct + per-group count distinct.
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -536,6 +553,13 @@ object RelationalOps {
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "agg_collect" ->
+      """SELECT user_id,
+        |       list(event_id ORDER BY event_id) AS ids,
+        |       array_to_string(list(event_id ORDER BY event_id), ',') AS ids_csv,
+        |       count(*) AS n
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |       COALESCE(l_linestatus, 'ALL') AS status,

@@ -42,7 +42,21 @@ object SqlOps {
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY l_orderkey, o_orderdate
           |ORDER BY revenue DESC, l_orderkey
-          |LIMIT 10""".stripMargin)))
+          |LIMIT 10""".stripMargin)),
+
+    // Correlated EXISTS (decorrelated by Catalyst to a semi join) + a
+    // scalar subquery (computed once, broadcast as a literal) — the two
+    // subquery shapes migrated SQL leans on hardest. max() in the scalar
+    // subquery, not avg(): double avg is summation-order-dependent across
+    // engines, max is exact.
+    "sql_subquery" -> ((s, dir) =>
+      withViews(s, dir, "orders", "lineitem")(
+        """SELECT o_orderkey, o_totalprice
+          |FROM graft_orders o
+          |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          |  AND o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM graft_orders)
+          |ORDER BY o_orderkey""".stripMargin)))
 
   def oracle: Map[String, String] = Map(
     // identical SQL modulo the view prefix — that is the point
@@ -57,5 +71,12 @@ object SqlOps {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin,
+    "sql_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
 }

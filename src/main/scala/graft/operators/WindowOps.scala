@@ -20,7 +20,35 @@ import org.apache.spark.sql.types._
 object WindowOps {
   import Tables.dec
 
+  /** Interval join: each purchase matched to the same user's clicks in the
+    * hour before it. The SAME plan runs batch (DuckDB-checkable, the
+    * `stream_interval_join` key) and as a stream-stream join under
+    * Structured Streaming (StreamingSpec), where the time bound is what
+    * makes it feasible at all: with watermarks on both sides each stream
+    * buffers only the interval's worth of state — an unbounded-predicate
+    * stream join would buffer forever. Inputs need (user_id, c_id/c_ts)
+    * and (user_id, p_id/p_ts).
+    */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(clicks,
+        purchases("user_id") === clicks("user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G6+: stream-stream interval join, batch-checkable twin (the streaming
+    // mode with watermark-bounded state runs in StreamingSpec).
+    "stream_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      intervalJoin(purchases, clicks)
+        .orderBy("p_id", "c_id")
+    }),
+
     // G2: tumbling 1-hour window — count + sum per window.
     "stream_tumbling" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -53,6 +81,13 @@ object WindowOps {
     }))
 
   def oracle: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.ts AS p_ts, c.ts AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+        |ORDER BY p_id, c_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
         |       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,

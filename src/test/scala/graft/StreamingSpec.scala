@@ -239,6 +239,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: watermarked state, results equal the batch twin (G6+)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchMem = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksMem.toDF().toDF("user_id", "c_id", "c_ts")
+      .withWatermark("c_ts", "2 hours")
+    val purchases = purchMem.toDF().toDF("user_id", "p_id", "p_ts")
+      .withWatermark("p_ts", "2 hours")
+    val q = graft.operators.WindowOps.intervalJoin(purchases, clicks)
+      .writeStream.format("memory").queryName("sij_out")
+      .outputMode("append").start()
+    try {
+      // user 1: click at 10:00 then purchase at 10:30 (in window) and at
+      // 11:30 (outside); user 2's click belongs to a different user
+      clicksMem.addData((1L, 100L, ts("2024-01-01 10:00:00")),
+                        (2L, 200L, ts("2024-01-01 10:10:00")))
+      purchMem.addData((1L, 900L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      purchMem.addData((1L, 901L, ts("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val got = spark.sql("select p_id, c_id from sij_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((900L, 100L)))
+      // identical plan, batch mode, same rows
+      val batch = graft.operators.WindowOps.intervalJoin(
+        Seq((1L, 900L, ts("2024-01-01 10:30:00")), (1L, 901L, ts("2024-01-01 11:30:00")))
+          .toDF("user_id", "p_id", "p_ts"),
+        Seq((1L, 100L, ts("2024-01-01 10:00:00")), (2L, 200L, ts("2024-01-01 10:10:00")))
+          .toDF("user_id", "c_id", "c_ts"))
+        .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("hourlyCounts matches batch groupBy on the same data") {
     import spark.implicits._
     val e = Tables.events(spark, sf).select(col("event_id").as("id"), col("ts"),
