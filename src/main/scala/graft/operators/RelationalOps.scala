@@ -267,6 +267,25 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // D-group extension: incremental aggregate maintenance — the ClickHouse
+    // SummingMergeTree / materialized-view idiom a migrating user leans on.
+    // Daily PARTIAL aggregates (count + decimal sum per type per day) are
+    // materialized once (the nightly incremental job — at scale a persisted
+    // day-partitioned table, here OpCache); the read-side query merges
+    // partials instead of rescanning the archive: days-x-types rows in,
+    // not the corpus. Decimal partials make the merge order-independent,
+    // so merged == direct, which is exactly what the oracle states.
+    "agg_incremental_merge" -> ((s, dir) => {
+      val partials = OpCache.cached(dir + "#daily_partials",
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv")))
+      partials.groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pv")).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // E9e: list aggregation (ClickHouse groupArray / SQL array_agg analog)
     // made deterministic: collect_list order is partition-arrival order —
     // nondeterministic under retries, AQE re-planning and cluster resizes —
@@ -398,6 +417,23 @@ object RelationalOps {
         .select(col("user_id"), col("event_id"),
           sum(dec(col("value"))).over(running).cast(DoubleType).as("running_sum"),
           sum(dec(col("value"))).over(moving).cast(DoubleType).as("moving_sum3"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // E16b: TIME-RANGE frame — trailing-hour running metrics per user (the
+    // rate-limit / trailing-rate shape). RANGE frames bound by VALUE, not
+    // row count: all peers of the current ts are in-frame, so the result
+    // is deterministic even under duplicate timestamps, where a rows-frame
+    // would depend on tie order. Spark range frames take a numeric order
+    // key → epoch seconds; the oracle's RANGE BETWEEN INTERVAL phrasing is
+    // the same frame over the raw timestamp.
+    "window_time_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(dec(col("value"))).over(w).cast(DoubleType).as("sum_trailing_1h"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -609,6 +645,19 @@ object RelationalOps {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "window_time_range" ->
+      """SELECT user_id, event_id, ts,
+        |       count(*) OVER w AS n_trailing_1h,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "agg_incremental_merge" ->
+      // merged daily partials must equal the direct full aggregate
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sort_multi" ->
       """SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS status_or_null, o_totalprice
         |FROM orders
