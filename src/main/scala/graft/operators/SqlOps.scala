@@ -56,7 +56,23 @@ object SqlOps {
           |WHERE EXISTS (SELECT 1 FROM graft_lineitem l
           |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
           |  AND o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM graft_orders)
-          |ORDER BY o_orderkey""".stripMargin)))
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // Recursive CTE (hierarchy walk): each customer key's synthetic
+    // ancestor chain key -> key/2 -> ... -> 1 — the iterate-in-SQL surface
+    // (ClickHouse and every warehouse dialect ship it; Spark 4 executes it
+    // as an iterative union-loop plan). Integer division is `DIV` here and
+    // `//` in the DuckDB twin — the one dialect difference; CAST(x/2 AS
+    // BIGINT) would NOT be portable (Spark truncates, DuckDB rounds).
+    "sql_recursive" -> ((s, dir) =>
+      withViews(s, dir, "customer")(
+        """WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM graft_customer
+          |  UNION ALL
+          |  SELECT custkey, anc_key DIV 2, depth + 1 FROM anc WHERE anc_key > 1
+          |)
+          |SELECT custkey, count(*) AS n_anc, max(depth) AS max_depth
+          |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin)))
 
   def oracle: Map[String, String] = Map(
     // identical SQL modulo the view prefix — that is the point
@@ -78,5 +94,13 @@ object SqlOps {
         |WHERE EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |  AND o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_recursive" ->
+      """WITH RECURSIVE anc(custkey, anc_key, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT custkey, anc_key // 2, depth + 1 FROM anc WHERE anc_key > 1
+        |)
+        |SELECT custkey, count(*) AS n_anc, max(depth) AS max_depth
+        |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin)
 }
