@@ -205,6 +205,32 @@ object PipelineOps {
       s.read.parquet(path)
         .select("event_id", "ts", "user_id", "event_type", "value", "props", "d")
         .orderBy("event_id")
+    }),
+
+    // C5b: the same columnar sink in a SECOND format — ORC (zstd), same
+    // day-partitioned (ts, id)-sorted layout. The format is a property of
+    // the sink, not the engine: the identical declarative plan gets ORC's
+    // predicate pushdown and column pruning unchanged (the ts range below
+    // reaches the ORC reader the way sorted_range_scan's reaches parquet).
+    // Written once per (JVM, sfDir), like the parquet sink.
+    "sink_orc_roundtrip" -> ((s, dir) => {
+      val path = OpCache.once(dir + "#orc_sink") {
+        val out = scratch(dir, "events_by_date_orc")
+        Tables.events(s, dir)
+          .withColumn("d", to_date(col("ts")))
+          .repartition(col("d"))
+          .sortWithinPartitions("ts", "event_id")
+          .write.mode("overwrite")
+          .option("compression", "zstd")
+          .partitionBy("d")
+          .orc(out)
+        out
+      }
+      s.read.orc(path)
+        .filter(col("ts") >= lit("2024-01-01 06:00:00").cast(TimestampType) &&
+          col("ts") <= lit("2024-01-01 18:00:00").cast(TimestampType))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -268,5 +294,9 @@ object PipelineOps {
         |ORDER BY event_id""".stripMargin,
     "sink_partitioned_write" ->
       """SELECT event_id, ts, user_id, event_type, value, props, CAST(ts AS DATE) AS d
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sink_orc_roundtrip" ->
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-01 06:00:00' AND TIMESTAMP '2024-01-01 18:00:00'
+        |ORDER BY event_id""".stripMargin)
 }

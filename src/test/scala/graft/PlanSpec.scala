@@ -34,6 +34,12 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("sink_orc_roundtrip: ts range pushed to the ORC scan") {
+    val p = plan("sink_orc_roundtrip")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"),
+      "range filter must reach the ORC reader:\n" + p.take(2000))
+  }
+
   test("partition_prune: day predicate prunes partitions, not rows") {
     val p = plan("partition_prune")
     assert(p.contains("PartitionFilters: [isnotnull(d"), p.take(1500))
