@@ -142,7 +142,7 @@ object DedupOps {
     * reliable `checkpoint` with a checkpoint dir instead — local blocks
     * die with an executor; same shape, durable storage).
     */
-  private[operators] def ccRoots(edges: DataFrame): DataFrame = {
+  private[graft] def ccRoots(edges: DataFrame): DataFrame = {
     // XOR fold, not sum: order-independent like sum but cannot overflow
     // under ANSI arithmetic (hashes span the full long range)
     def checksum(e: DataFrame): (Long, Long) = {
