@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.SimHash64", "simhash64"),
       (children: Seq[Expression]) => graft.functions.SimHash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("approx_topk"),
+      new ExpressionInfo("graft.functions.ApproxTopK", "approx_topk"),
+      (children: Seq[Expression]) => graft.functions.ApproxTopK(children.head,
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("ngram_dup_stats"),
       new ExpressionInfo("graft.functions.NgramDupStats", "ngram_dup_stats"),
       (children: Seq[Expression]) => graft.functions.NgramDupStats(children.head,

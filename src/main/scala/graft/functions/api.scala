@@ -27,6 +27,14 @@ object api {
   def shingleHashes(text: Column): Column =
     graftBridge.column(ShingleHashes(graftBridge.expression(text)))
 
+  /** Mergeable SpaceSaving heavy-hitters sketch over a string column —
+    * the ClickHouse `topK` analog (see [[ApproxTopK]]); exact while a
+    * group's distinct count stays within `capacity`.
+    */
+  def approxTopK(item: Column, k: Int = 3, capacity: Int = 64): Column =
+    graftBridge.column(ApproxTopK(graftBridge.expression(item), k, capacity)
+      .toAggregateExpression())
+
   /** Codegen'd word-k-gram repetition stats `(n, n_distinct)` of a text
     * column — single fused pass (see [[NgramDupStats]]).
     */

@@ -267,6 +267,26 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // E11b: heavy hitters per group via a mergeable SpaceSaving sketch
+    // (functions/ApproxTopK — the ClickHouse topK analog): per-group state
+    // is O(capacity) regardless of input cardinality, partials merge
+    // map-side — the bounded-memory path for "top repos / top tokens" over
+    // 100 TB, where agg_collect's exact gather is impossible. Capacity 64
+    // over a ~5-value column means no eviction ever fires and the sketch
+    // is EXACT (its documented contract), so this key IS oracle-paired —
+    // unlike the HLL estimate; err is part of the output because 0 proves
+    // the no-eviction case held.
+    "agg_approx_topk" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.api.approxTopK(col("event_type"), 3, 64).as("top"))
+        .select(col("day"), posexplode(col("top")).as(Seq("rank", "t")))
+        .select(col("day"), col("rank").cast(LongType).as("rank"),
+          col("t.item").as("event_type"), col("t.cnt").as("n"),
+          col("t.err").as("err"))
+        .orderBy("day", "rank")
+    }),
+
     // D-group extension: incremental aggregate maintenance — the ClickHouse
     // SummingMergeTree / materialized-view idiom a migrating user leans on.
     // Daily PARTIAL aggregates (count + decimal sum per type per day) are
@@ -589,6 +609,18 @@ object RelationalOps {
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "agg_approx_topk" ->
+      // exact because distinct event types fit the sketch capacity
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, CAST(rn - 1 AS BIGINT) AS rank, event_type, n,
+        |       0::BIGINT AS err
+        |FROM (SELECT day, event_type, n,
+        |             row_number() OVER (PARTITION BY day
+        |                                ORDER BY n DESC, event_type) AS rn
+        |      FROM c)
+        |WHERE rn <= 3 ORDER BY day, rank""".stripMargin,
     "agg_collect" ->
       """SELECT user_id,
         |       list(event_id ORDER BY event_id) AS ids,
