@@ -445,11 +445,14 @@ object RelationalOps {
     // row count: all peers of the current ts are in-frame, so the result
     // is deterministic even under duplicate timestamps, where a rows-frame
     // would depend on tie order. Spark range frames take a numeric order
-    // key → epoch seconds; the oracle's RANGE BETWEEN INTERVAL phrasing is
-    // the same frame over the raw timestamp.
+    // key → epoch MICROseconds, full timestamp precision: unix_timestamp()
+    // truncates to seconds, which silently widens the frame for events a
+    // fraction past the hour boundary (caught by the sf0.1 sweep — sf0.01
+    // had no pair that close to 1h apart). The oracle's RANGE BETWEEN
+    // INTERVAL phrasing is the same µs-precise frame over the raw ts.
     "window_time_range" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(unix_timestamp(col("ts")))
-        .rangeBetween(-3600, 0)
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0)
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"),
           count(lit(1)).over(w).as("n_trailing_1h"),
