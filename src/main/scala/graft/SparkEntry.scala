@@ -43,7 +43,8 @@ object SparkEntry {
     operators.SimOps.queries ++
     operators.TextOps.queries ++
     operators.MultimodalOps.queries ++
-    operators.SqlOps.queries
+    operators.SqlOps.queries ++
+    operators.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
     operators.SimOps.oracle ++
     operators.TextOps.oracle ++
     operators.MultimodalOps.oracle ++
-    operators.SqlOps.oracle
+    operators.SqlOps.oracle ++
+    operators.EventOps.oracle
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Behavioral event analytics — the ClickHouse-side query family the
+  * reference's users run on archived GitHub events (ref: README.md:4-17
+  * exists to serve exactly these "what did actors do, in what order"
+  * questions; the engine analogs are ClickHouse `windowFunnel`, `retention`
+  * and `ORDER BY ... WITH FILL`).
+  *
+  * Scale notes (100 TB discipline):
+  *  - the funnel is a cascade of per-step aggregates joined on `user_id` —
+  *    every join is equality-keyed on the (well-spread) user id and every
+  *    step input is a type-filtered scan, so pushed filters prune each leg
+  *    to its own event type; no per-user event array is ever materialized;
+  *  - retention is one conditional-aggregation pass: map-side partials
+  *    collapse each user's flags before the single exchange;
+  *  - gap-fill builds the dense (hour × type) grid from two scalar bounds
+  *    and a distinct-types dim — both tiny, broadcast — and left-joins the
+  *    sparse counts onto it; the dense side never shuffles the fact table.
+  */
+object EventOps {
+  import Tables.dec
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ClickHouse windowFunnel analog: strict-order signup → click →
+    // purchase, all inside 7 days of the user's FIRST signup. Output is the
+    // per-level user count (level 0 = users who never signed up).
+    "event_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val users = e.select("user_id").distinct()
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s1, "user_id").join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      users
+        .join(s1, Seq("user_id"), "left").join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(
+          when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1)
+            .otherwise(0).cast(LongType).as("funnel_level"))
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
+    // ClickHouse retention analog: cohort = users whose signup falls in the
+    // archive's first week; retained_wN = cohort members active (any event)
+    // in week N. One conditional-aggregation pass over the corpus; the
+    // cohort week is derived from the data (min event date), not hardcoded.
+    "event_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val d0 = e.agg(min(to_date(col("ts"))).as("d0"))
+      val flags = e.crossJoin(broadcast(d0))
+        .withColumn("wk", floor(datediff(to_date(col("ts")), col("d0")) / 7))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "signup" && col("wk") === 0, 1)
+            .otherwise(0)).as("cohort"),
+          max(when(col("wk") === 1, 1).otherwise(0)).as("w1"),
+          max(when(col("wk") === 2, 1).otherwise(0)).as("w2"),
+          max(when(col("wk") === 3, 1).otherwise(0)).as("w3"))
+      flags.filter(col("cohort") === 1)
+        .agg(
+          count(lit(1)).as("cohort_users"),
+          sum("w1").cast(LongType).as("retained_w1"),
+          sum("w2").cast(LongType).as("retained_w2"),
+          sum("w3").cast(LongType).as("retained_w3"))
+    }),
+
+    // ORDER BY ... WITH FILL analog: dense hourly per-type activity series.
+    // Hours with no events appear with n = 0, and the running total carries
+    // across the filled gaps — the two things a sparse GROUP BY can't give.
+    "event_gap_fill" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val counts = e
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n_raw"))
+      val hours = e
+        .agg(min(date_trunc("hour", col("ts"))).as("h_min"),
+          max(date_trunc("hour", col("ts"))).as("h_max"))
+        .select(explode(sequence(col("h_min"), col("h_max"),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      val types = e.select("event_type").distinct()
+      hours.crossJoin(broadcast(types))
+        .join(counts, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"),
+          coalesce(col("n_raw"), lit(0L)).as("n"))
+        .withColumn("cum_n",
+          sum("n").over(Window.partitionBy("event_type").orderBy("hr")))
+        .orderBy("hr", "event_type")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "event_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click'
+        |         AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        |       GROUP BY 1)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2
+        |                 WHEN t1 IS NOT NULL THEN 1
+        |                 ELSE 0 END AS BIGINT) AS funnel_level,
+        |       count(*) AS n_users
+        |FROM u LEFT JOIN s1 USING (user_id)
+        |       LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1 ORDER BY funnel_level""".stripMargin,
+    "event_retention" ->
+      """WITH d AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |flags AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'signup'
+        |                   AND floor(datediff('day', d0, CAST(ts AS DATE)) / 7) = 0
+        |                  THEN 1 ELSE 0 END) AS cohort,
+        |         max(CASE WHEN floor(datediff('day', d0, CAST(ts AS DATE)) / 7) = 1
+        |                  THEN 1 ELSE 0 END) AS w1,
+        |         max(CASE WHEN floor(datediff('day', d0, CAST(ts AS DATE)) / 7) = 2
+        |                  THEN 1 ELSE 0 END) AS w2,
+        |         max(CASE WHEN floor(datediff('day', d0, CAST(ts AS DATE)) / 7) = 3
+        |                  THEN 1 ELSE 0 END) AS w3
+        |  FROM events CROSS JOIN d GROUP BY user_id)
+        |SELECT count(*) AS cohort_users,
+        |       CAST(sum(w1) AS BIGINT) AS retained_w1,
+        |       CAST(sum(w2) AS BIGINT) AS retained_w2,
+        |       CAST(sum(w3) AS BIGINT) AS retained_w3
+        |FROM flags WHERE cohort = 1""".stripMargin,
+    "event_gap_fill" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n_raw
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT min(date_trunc('hour', ts)) AS h_min,
+        |         max(date_trunc('hour', ts)) AS h_max FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT hr, event_type, COALESCE(n_raw, 0) AS n,
+        |       sum(COALESCE(n_raw, 0)) OVER (PARTITION BY event_type ORDER BY hr
+        |                                     ROWS UNBOUNDED PRECEDING) AS cum_n
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN counts USING (hr, event_type)
+        |ORDER BY hr, event_type""".stripMargin)
+}
