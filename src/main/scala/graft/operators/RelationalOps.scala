@@ -342,6 +342,74 @@ object RelationalOps {
         .orderBy("l_returnflag")
     }),
 
+    // E11b: the two-level sketch rollup a 100-TB distinct-count MV needs —
+    // day-level HLL partials (datasketches, serialized binary) merged with
+    // hll_union_agg into the per-type total. The partials are reusable: any
+    // day range rolls up from the SAME materialized sketches without
+    // touching raw data — the mergeability `approx_count_distinct` alone
+    // doesn't expose. No oracle (sketch estimate); NorthStarSpec pins
+    // merged-vs-exact within 5% and merged == single-pass estimate.
+    "agg_hll_merge" -> ((s, dir) => {
+      val partials = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      partials
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // E9b: argMax/argMin (ClickHouse argMax analog) — which event carried
+    // the extreme value, not just the extreme. The ordering key appends
+    // event_id scaled below the value quantum (values are 2-decimal, so
+    // distinct values differ by >= 0.01 -> gap 1e6 > max event_id), making
+    // the tie-winner deterministic — a bare max_by(id, value) would flap
+    // between engines on duplicated values (24k duplicated (type, value)
+    // pairs at sf0.1). Identical IEEE arithmetic on both sides of the
+    // oracle, so the composite key is bit-equal in Spark and DuckDB.
+    "agg_argmax" -> ((s, dir) => {
+      val key = col("value") * lit(1e8) + col("event_id")
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          max_by(col("event_id"), key).as("max_value_event"),
+          min_by(col("event_id"), key).as("min_value_event"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"))
+        .orderBy("event_type")
+    }),
+
+    // E9c: moment aggregates — avg/stddev/variance/correlation. Both
+    // engines merge partial co-moments in different orders, so results can
+    // differ in trailing ulps; round(6) makes the compare stable while
+    // keeping ~9 significant digits on these magnitudes (the exact-decimal
+    // route used for money sums has no analog for second moments).
+    "agg_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"),
+          round(stddev_samp(col("value")), 6).as("stddev_value"),
+          round(var_pop(col("value")), 6).as("varp_value"),
+          round(corr(col("value"), col("user_id").cast(DoubleType)), 6)
+            .as("corr_value_user"))
+        .orderBy("event_type")
+    }),
+
+    // E9d: bitwise aggregates over the id space (bit_and/bit_or/bit_xor) —
+    // the xor fold is the order-independent checksum idiom this repo uses
+    // wherever ANSI-mode sum() would overflow (SURVEY §7.4).
+    "agg_bitwise" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          expr("bit_and(event_id)").as("ids_and"),
+          expr("bit_or(event_id)").as("ids_or"),
+          expr("bit_xor(event_id)").as("ids_xor"))
+        .orderBy("event_type")
+    }),
+
     // E12a: rollup with grouping_id; NULL group keys coalesced for ordering.
     "agg_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -503,6 +571,52 @@ object RelationalOps {
       val both = c.intersect(sup).select(col("nationkey"), lit("both").as("kind"))
       val onlyC = c.except(sup).select(col("nationkey"), lit("customer_only").as("kind"))
       both.unionAll(onlyC).orderBy("nationkey", "kind")
+    }),
+
+    // E21b: multiset set-ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    // cardinality (how many F-orders does each repeat customer have), which
+    // the distinct variants above erase. Spark plans both as aggregations
+    // over a replicated count column — one exchange each, no join.
+    "set_ops_all" -> ((s, dir) => {
+      val all = Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      val done = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      val inter = all.intersectAll(done)
+        .select(col("custkey"), lit("in_both").as("kind"))
+      val exc = all.exceptAll(done)
+        .select(col("custkey"), lit("beyond_done").as("kind"))
+      inter.unionAll(exc).orderBy("custkey", "kind")
+    }),
+
+    // E2b: null-safe equi join (<=>) — NULL keys match each other instead
+    // of disappearing, so the unknown-status bucket survives the join. The
+    // DuckDB twin is IS NOT DISTINCT FROM; both plan as a hash join on the
+    // null-safe key, not a filter-after-outer-join.
+    "join_null_safe" -> ((s, dir) => {
+      import s.implicits._
+      val labels = Seq(("F", "finished"), ("O", "open"),
+        (null.asInstanceOf[String], "unknown")).toDF("status", "label")
+      Tables.orders(s, dir)
+        .withColumn("status_or_null", nullif(col("o_orderstatus"), lit("P")))
+        .join(broadcast(labels), col("status_or_null") <=> col("status"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy("label")
+    }),
+
+    // E14b: distribution window functions — ntile/percent_rank/cume_dist.
+    // The window orders by (value, event_id) so every row is its own peer
+    // group: rank arithmetic is then exact integer division on both
+    // engines, no ties to flap and nothing to round.
+    "window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("event_type", "event_id")
     }),
 
     // E22: pivot — fixed value list so the output schema is static (at scale
@@ -730,5 +844,53 @@ object RelationalOps {
         |                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
         |       CAST(sum(CASE WHEN l_linestatus = 'O'
         |                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_argmax" ->
+      // composite key = value*1e8 + event_id: same IEEE arithmetic as the
+      // Spark side, so the tie-winner is identical (see the query comment)
+      """SELECT event_type,
+        |       arg_max(event_id, value * 100000000 + event_id) AS max_value_event,
+        |       arg_min(event_id, value * 100000000 + event_id) AS min_value_event,
+        |       max(value) AS max_value, min(value) AS min_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(value), 6) AS avg_value,
+        |       round(stddev_samp(value), 6) AS stddev_value,
+        |       round(var_pop(value), 6) AS varp_value,
+        |       round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_bitwise" ->
+      """SELECT event_type,
+        |       bit_and(event_id) AS ids_and,
+        |       bit_or(event_id) AS ids_or,
+        |       bit_xor(event_id) AS ids_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "set_ops_all" ->
+      """SELECT custkey, 'in_both' AS kind FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT custkey, 'beyond_done' AS kind FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY custkey, kind""".stripMargin,
+    "join_null_safe" ->
+      """SELECT label, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT *, NULLIF(o_orderstatus, 'P') AS status_or_null FROM orders)
+        |JOIN (VALUES ('F', 'finished'), ('O', 'open'), (NULL, 'unknown'))
+        |     AS labels(status, label)
+        |  ON status_or_null IS NOT DISTINCT FROM status
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "window_distribution" ->
+      """SELECT event_type, event_id, value,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin)
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-3 analytics additions: event funnel/retention/
+  * gap-fill, argMax, mergeable HLL roll-up, multiset set-ops, null-safe
+  * join. Each is checked against an independent formulation (window
+  * functions, exact distinct, hand counts) on sf0.001 — the DuckDB oracle
+  * is the cross-engine gate; these pin the cross-FORMULATION semantics.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  test("event_funnel levels are monotone and cover every user") {
+    val rows = SparkEntry.queries("event_funnel")(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users, "levels must partition users")
+    val byLevel = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every level-3 user is by definition also a signup user, so the count
+    // of signup users (levels 1+2+3) bounds level 3 from above
+    assert(byLevel.getOrElse(3L, 0L) <=
+      byLevel.getOrElse(1L, 0L) + byLevel.getOrElse(2L, 0L) + byLevel.getOrElse(3L, 0L))
+  }
+
+  test("event_retention: retained counts never exceed the cohort") {
+    val Row(cohort: Long, w1: Long, w2: Long, w3: Long) =
+      SparkEntry.queries("event_retention")(spark, sf).collect().head
+    assert(cohort > 0)
+    assert(Seq(w1, w2, w3).forall(w => w >= 0 && w <= cohort))
+  }
+
+  test("event_gap_fill is dense: hours x types, zero-filled, sums preserved") {
+    val out = SparkEntry.queries("event_gap_fill")(spark, sf).cache()
+    val types = out.select("event_type").distinct().count()
+    val hours = out.select("hr").distinct().count()
+    assert(out.count() == types * hours, "grid must be dense")
+    val total = out.agg(sum("n")).collect().head.getLong(0)
+    assert(total == Tables.events(spark, sf).count(), "fill must not invent rows")
+    // the final cumulative value per type equals that type's total count
+    val lastCum = out.groupBy("event_type").agg(max("cum_n").as("m"))
+      .agg(sum("m")).collect().head.getLong(0)
+    assert(lastCum == total)
+    out.unpersist()
+  }
+
+  test("agg_argmax matches the window-function formulation") {
+    val viaAgg = SparkEntry.queries("agg_argmax")(spark, sf)
+      .select("event_type", "max_value_event").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id").desc)
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_type", "event_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaWindow)
+  }
+
+  test("agg_hll_merge estimate is within 5% of exact distinct") {
+    // hll_sketch_estimate returns a rounded LongType estimate
+    val est = SparkEntry.queries("agg_hll_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((t, e) <- exact)
+      assert(math.abs(est(t) - e) <= 0.05 * e + 1,
+        s"$t: estimate ${est(t)} vs exact $e")
+  }
+
+  test("agg_hll_merge: merged day partials equal the single-pass sketch") {
+    val merged = SparkEntry.queries("agg_hll_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct, "sketch merge must be lossless vs one pass")
+  }
+
+  test("set_ops_all preserves multiset cardinality") {
+    val out = SparkEntry.queries("set_ops_all")(spark, sf)
+      .groupBy("kind").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count()
+    val done = orders.filter(col("o_orderstatus") === "F").count()
+    // |A ∩all B| + |A \all B| = |A| when B ⊆ A as multisets (B is a
+    // filtered subset of A, so every element of B is matched in A)
+    assert(out.getOrElse("in_both", 0L) == done)
+    assert(out.getOrElse("beyond_done", 0L) == total - done)
+  }
+
+  test("join_null_safe: the NULL bucket survives and totals cover all orders") {
+    val rows = SparkEntry.queries("join_null_safe")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = Tables.orders(spark, sf)
+    assert(rows.keySet == Set("finished", "open", "unknown"))
+    assert(rows.values.sum == orders.count(), "every order matches exactly one label")
+    assert(rows("unknown") == orders.filter(col("o_orderstatus") === "P").count())
+  }
+}
