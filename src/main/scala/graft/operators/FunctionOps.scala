@@ -146,6 +146,29 @@ object FunctionOps {
         .orderBy("event_id")
     }),
 
+    // F1b: URL functions — the GH archive is full of API/html URLs, and
+    // "group by repo extracted from url" is a staple query. URLs are
+    // synthesized deterministically from event fields, then decomposed with
+    // parse_url (protocol/host/path/query-param). The DuckDB twin builds
+    // the identical string and decomposes with anchored regexes — same
+    // output on every well-formed URL by construction.
+    "fn_url" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("url", concat(
+          lit("https://api.github.com/repos/org"), col("user_id"),
+          lit("/repo"), col("event_id") % 100,
+          lit("/issues?page="), col("event_id") % 50,
+          lit("&state="), col("event_type")))
+        .select(
+          col("event_id"), col("url"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("page")).as("page"),
+          parse_url(col("url"), lit("QUERY"), lit("state")).as("state"))
+        .orderBy("event_id")
+    }),
+
     // F8: casts across numeric/string/timestamp.
     "fn_cast" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -243,5 +266,20 @@ object FunctionOps {
         |       CAST(o_orderdate AS DATE) AS as_date,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         |       CAST('3.5' AS DOUBLE) AS parsed
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT event_id,
+        |         concat('https://api.github.com/repos/org', CAST(user_id AS VARCHAR),
+        |                '/repo', CAST(event_id % 100 AS VARCHAR),
+        |                '/issues?page=', CAST(event_id % 50 AS VARCHAR),
+        |                '&state=', event_type) AS url
+        |  FROM events)
+        |SELECT event_id, url,
+        |       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |       regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+        |       regexp_extract(url, '[?&]page=([^&]*)', 1) AS page,
+        |       regexp_extract(url, '[?&]state=([^&]*)', 1) AS state
+        |FROM u ORDER BY event_id""".stripMargin)
 }
