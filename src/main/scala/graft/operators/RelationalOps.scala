@@ -410,6 +410,41 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // E9e: fixed-width histogram (ClickHouse histogram analog, made
+    // deterministic): width_bucket bins value into 12 buckets of 50 over
+    // [0, 600). The DuckDB twin is the equivalent floor arithmetic —
+    // width_bucket(v,0,600,12) == floor(v/50)+1 on this range — because
+    // DuckDB has no width_bucket. Bucket bounds are emitted so the result
+    // reads as a histogram, not bare bin ids.
+    "agg_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(width_bucket(col("value"), lit(0d), lit(600d), lit(12)).as("bucket"),
+          col("value"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo_seen"),
+          round(max(col("value")), 2).as("hi_seen"))
+        .withColumn("lo", (col("bucket") - 1).cast(DoubleType) * 50)
+        .withColumn("hi", col("bucket").cast(DoubleType) * 50)
+        .select("bucket", "lo", "hi", "n", "lo_seen", "hi_seen")
+        .orderBy("bucket")
+    }),
+
+    // E9f: ordered string aggregation — SQL-standard LISTAGG ... WITHIN
+    // GROUP (Spark 4), the string twin of agg_collect's sorted arrays.
+    // The within-group order is on the aggregated value itself, so the
+    // produced string is deterministic under any input order — the same
+    // reason the DuckDB twin's string_agg(... ORDER BY) agrees.
+    "agg_listagg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("listagg(event_type, ',') WITHIN GROUP (ORDER BY event_type)")
+            .as("journey"))
+        .orderBy("user_id")
+    }),
+
     // E12a: rollup with grouping_id; NULL group keys coalesced for ordering.
     "agg_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -885,6 +920,18 @@ object RelationalOps {
         |     AS labels(status, label)
         |  ON status_or_null IS NOT DISTINCT FROM status
         |GROUP BY label ORDER BY label""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 50) + 1 AS BIGINT) AS bucket,
+        |       floor(value / 50) * 50 AS lo,
+        |       (floor(value / 50) + 1) * 50 AS hi,
+        |       count(*) AS n,
+        |       round(min(value), 2) AS lo_seen,
+        |       round(max(value), 2) AS hi_seen
+        |FROM events GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
+    "agg_listagg" ->
+      """SELECT user_id, count(*) AS n,
+        |       string_agg(event_type, ',' ORDER BY event_type) AS journey
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_distribution" ->
       """SELECT event_type, event_id, value,
         |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
