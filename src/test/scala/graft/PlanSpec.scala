@@ -149,4 +149,33 @@ class PlanSpec extends SparkSpec {
       "IVF candidate scan must dynamic-partition-prune on cell:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("event_funnel: every step joins equality-keyed on user_id — no nested loop") {
+    val p = plan("event_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "funnel legs must stay hash/sort-merge keyed joins:\n" + p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)"),
+      "each leg must scan only its own event type:\n" + p.take(2500))
+  }
+
+  test("join_null_safe: null-safe key plans as a broadcast hash join, not NLJ") {
+    val p = plan("join_null_safe")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "<=> must stay an equi-join (null-safe hash key):\n" + p.take(1200))
+  }
+
+  test("agg_hll_merge: both levels aggregate partially before their exchange") {
+    val p = plan("agg_hll_merge")
+    // two-level rollup: partial sketch agg before each of the two exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(1500))
+    assert(p.contains("ObjectHashAggregate"),
+      "sketch agg must use the object hash aggregate path:\n" + p.take(1500))
+  }
+
+  test("set_ops_all: INTERSECT/EXCEPT ALL plan as aggregates, not joins") {
+    val p = plan("set_ops_all")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
 }
