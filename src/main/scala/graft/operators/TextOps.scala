@@ -46,6 +46,56 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination — remove from the TRAIN split any document
+    // sharing an 8-token gram with a HOLDOUT document (the n-gram overlap
+    // rule of public LM training practice; holdout stands in for an eval
+    // benchmark). Shape: explode grams → inverted-index equi-join on the
+    // gram → anti-join the hits out of train. The gram array is built once
+    // per row and the exploded postings are persisted (OpCache) so the
+    // Generate path never re-evaluates the transform; at 100 TB the join
+    // key would be xxhash64(gram) and the postings a materialized table —
+    // same plan shape, smaller shuffle payload.
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val n = 8
+      val docs = Tables.documents(s, dir)
+        .withColumn("is_test",
+          pmod(col("doc_id") * 2654435761L, lit(100L)) >= 90)
+      val grams = OpCache.cached(dir + "#decontam_grams",
+        docs.select(col("doc_id"), col("is_test"),
+          explode(when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+            .otherwise(array(col("text")))).as("g")))
+      val testGrams = grams.filter(col("is_test")).select("g").distinct()
+      val contaminated = grams.filter(!col("is_test"))
+        .join(testGrams, "g").select("doc_id").distinct()
+      docs.filter(!col("is_test"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing — assign documents to fixed token-budget bins, the
+    // step that turns a cleaned corpus into training sequences. Assignment
+    // is exclusive-running-token-count DIV budget within each source shard:
+    // deterministic, order-stable, and windowed per source so the cumsum
+    // never needs a single global partition (the scale version runs one
+    // window per shard, which is exactly this plan).
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val budget = 256.0
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tok"))
+        .withColumn("cum_excl", coalesce(sum("n_tok").over(w), lit(0L)))
+        .withColumn("bin", floor(col("cum_excl") / budget).cast(LongType))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
+    }),
+
     // The composed corpus-preparation pipeline — the three stages a
     // training corpus actually passes through, as ONE declarative plan:
     // exact dedup (keep min doc_id per text) → quality gate (the
@@ -244,6 +294,36 @@ object TextOps {
         |       CASE WHEN (doc_id * 2654435761) % 100 < 90
         |            THEN 'train' ELSE 'holdout' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_decontaminate" ->
+      """WITH d AS (
+        |  SELECT *, (doc_id * 2654435761) % 100 >= 90 AS is_test FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_test,
+        |         unnest(CASE WHEN len(toks) >= 8
+        |           THEN list_transform(range(len(toks)-7),
+        |                  i -> array_to_string(toks[i+1:i+8], ' '))
+        |           ELSE [text] END) AS g
+        |  FROM (SELECT doc_id, is_test, text, string_split(text,' ') AS toks FROM d)),
+        |dirty AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM g t JOIN (SELECT DISTINCT g FROM g WHERE is_test) q USING (g)
+        |  WHERE NOT t.is_test)
+        |SELECT doc_id, lang, source, n_chars FROM d
+        |WHERE NOT is_test AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_pack_sequences" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, len(string_split(text,' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |  FROM m)
+        |SELECT source, CAST(floor(cum_excl / 256.0) AS BIGINT) AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
     "pipeline_prepare_corpus" ->
       """WITH dedup AS (
         |  SELECT doc_id, lang, text FROM documents

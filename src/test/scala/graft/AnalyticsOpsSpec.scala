@@ -93,6 +93,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.getOrElse("beyond_done", 0L) == total - done)
   }
 
+  test("pipeline_decontaminate removes exactly the train docs sharing an 8-gram") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decontam-").toString
+    val bench = (1 to 20).map(i => s"q$i").mkString(" ")   // the "benchmark" text
+    val clean = (1 to 20).map(i => s"c$i").mkString(" ")
+    // 8-gram overlap with the holdout doc: copy 8 consecutive tokens
+    val leaked = ((1 to 8).map(i => s"q$i") ++ (1 to 12).map(i => s"z$i")).mkString(" ")
+    // doc_id 13 hashes into the holdout bucket ((13*2654435761)%100 = 93);
+    // 0..5 hash into train (verified in-test below, not assumed)
+    Seq(
+      (0L, clean, "en", "srcA", clean.length.toLong),
+      (1L, leaked, "en", "srcB", leaked.length.toLong),
+      (13L, bench, "en", "srcC", bench.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert((13L * 2654435761L) % 100 >= 90 && Seq(0L, 1L).forall(i => (i * 2654435761L) % 100 < 90))
+    val kept = SparkEntry.queries("pipeline_decontaminate")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(0L), s"doc 1 leaks an 8-gram of holdout doc 13, got $kept")
+  }
+
+  test("pipeline_pack_sequences: bins partition each shard, budget respected") {
+    val out = SparkEntry.queries("pipeline_pack_sequences")(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.agg(sum("n_docs")).collect().head.getLong(0) == docs.count())
+    // every bin except possibly a shard's last starts below the budget
+    // boundary: bin index must be contiguous from 0 within each source
+    val bad = out.groupBy("source")
+      .agg(min("bin").as("mn"), max("bin").as("mx"), count(lit(1)).as("k"))
+      .filter(col("mn") =!= 0 || col("k") =!= col("mx") + 1)
+    assert(bad.isEmpty, "bins must be contiguous 0..max per shard")
+    out.unpersist()
+  }
+
   test("join_null_safe: the NULL bucket survives and totals cover all orders") {
     val rows = SparkEntry.queries("join_null_safe")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
