@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
 
 /** Arbitrary keyed streaming state (SURVEY.md §2 I / G7) — the typed
@@ -17,10 +17,21 @@ object StateOps {
 
   case class KeyCount(key: Long, n: Long, closed: Boolean)
 
+  /** Funnel progress for one user: step timestamps in epoch millis, -1 =
+    * step not reached. State is three longs per user — constant size. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Emitted whenever a user advances a funnel level. */
+  case class FunnelAdvance(user_id: Long, level: Int, at: Timestamp)
+
   private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
   private implicit val kcEnc: Encoder[KeyCount] = Encoders.product[KeyCount]
+  private implicit val fsEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+  private implicit val faEnc: Encoder[FunnelAdvance] = Encoders.product[FunnelAdvance]
   private implicit val tupEnc: Encoder[(Long, Timestamp)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP)
+  private implicit val tripEnc: Encoder[(Long, String, Timestamp)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.TIMESTAMP)
 
   /** Per-key cumulative event count over a stream of (key, ts). Counts
     * accumulate across micro-batches in `GroupState[Long]`; a key idle past
@@ -51,6 +62,69 @@ object StateOps {
             state.update(n)
             state.setTimeoutTimestamp(maxTs + idleGapMs)
             KeyCount(key, n, closed = false)
+          }
+      }
+
+  /** Streaming funnel detection (the live twin of `event_funnel`): per
+    * user, strict-order signup → click → purchase inside `windowMs` of the
+    * first signup, emitting a `FunnelAdvance` row the moment a level is
+    * reached. This is `flatMapGroupsWithState` — zero-or-more outputs per
+    * key per batch — because a batch can advance a user several levels (or
+    * none), which `mapGroupsWithState`'s one-row contract can't express.
+    *
+    * State discipline at scale: per-user state is three epoch longs;
+    * nothing is stored for users who never signed up; once a user signs up
+    * the state carries an EVENT-TIME timeout at t1 + windowMs — past that
+    * point no further transition is possible (every later step must land
+    * inside the window), so the store drops the key at the watermark and
+    * the state size is bounded by signups inside the horizon, not by the
+    * all-time user count. Eviction buys a semantic: a signup arriving AFTER
+    * the user's previous window closed re-anchors a fresh funnel (the
+    * evicted window is final — its levels were already emitted). The batch
+    * `event_funnel` instead anchors once at the global first signup; the
+    * two agree exactly whenever the watermark horizon spans the replayed
+    * data (no eviction mid-stream), which is what StreamingSpec asserts,
+    * and differ only by deliberate re-anchoring beyond that.
+    *
+    * Within a batch events are processed in event-time order; in-order
+    * delivery across batches is the archive source's replay contract.
+    */
+  def streamingFunnel(events: Dataset[(Long, String, Timestamp)],
+                      watermark: String = "1 hour",
+                      windowMs: Long = 7L * 24 * 3600 * 1000): Dataset[FunnelAdvance] =
+    events.toDF("user_id", "event_type", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Timestamp)],
+         state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // window closed — no transition can follow
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val out = Seq.newBuilder[FunnelAdvance]
+            rows.toSeq.sortBy(_._3.getTime).foreach { case (_, typ, ts) =>
+              val t = ts.getTime
+              if (typ == "signup" && s.t1 < 0) {
+                s = s.copy(t1 = t); out += FunnelAdvance(user, 1, ts)
+              } else if (typ == "click" && s.t1 >= 0 && s.t2 < 0 &&
+                  t > s.t1 && t <= s.t1 + windowMs) {
+                s = s.copy(t2 = t); out += FunnelAdvance(user, 2, ts)
+              } else if (typ == "purchase" && s.t2 >= 0 && s.t3 < 0 &&
+                  t > s.t2 && t <= s.t1 + windowMs) {
+                s = s.copy(t3 = t); out += FunnelAdvance(user, 3, ts)
+              }
+            }
+            if (s.t1 >= 0) { // never store state for users with no signup
+              state.update(s)
+              // timeout must sit past the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(s.t1 + windowMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
       }
 }

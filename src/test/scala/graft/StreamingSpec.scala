@@ -239,6 +239,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState streaming funnel: levels equal the batch event_funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    // watermark wider than the replayed 30-day span: no state eviction mid
+    // replay, so no funnel re-anchors and batch/stream levels must agree
+    // exactly (see the streamingFunnel doc comment for the re-anchor rule)
+    val q = graft.streaming.StateOps.streamingFunnel(
+        mem.toDF().toDF("user_id", "event_type", "ts").as[(Long, String, Timestamp)],
+        watermark = "40 days")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // replay the whole sf0.001 events table in event-time order, split
+      // across three micro-batches — the archive source's in-order contract
+      val all = Tables.events(spark, sf)
+        .select("user_id", "event_type", "ts")
+        .orderBy("ts", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      for (chunk <- all.grouped(400)) { mem.addData(chunk.toSeq); q.processAllAvailable() }
+      // per-user max reached level from the stream, exclusive level counts
+      val streamLevels = spark.sql(
+        "select user_id, max(level) as lvl from funnel_out group by user_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val streamCounts = streamLevels.values.groupBy(identity).map { case (l, v) => (l.toLong, v.size.toLong) }
+      val batchCounts = SparkEntry.queries("event_funnel")(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).filter(_._1 > 0).toMap
+      assert(streamCounts == batchCounts,
+        s"stream $streamCounts vs batch $batchCounts")
+    } finally q.stop()
+  }
+
+  test("streaming funnel evicts closed windows and re-anchors on a later signup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.StateOps.streamingFunnel(
+        mem.toDF().toDF("user_id", "event_type", "ts").as[(Long, String, Timestamp)],
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_restart_out")
+      .outputMode("append").start()
+    try {
+      // funnel 1: signup + click, never purchases; window (7 d) then closes
+      mem.addData((1L, "signup", ts("2024-01-01 00:00:00")),
+                  (1L, "click", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // another user's event pushes the watermark past day 8 -> user 1's
+      // window (ends Jan 8) is evicted at the state-store timeout
+      mem.addData((2L, "view", ts("2024-01-10 00:00:00")))
+      q.processAllAvailable()
+      // funnel 2: the late signup re-anchors; a full chain completes
+      mem.addData((1L, "signup", ts("2024-01-20 00:00:00")),
+                  (1L, "click", ts("2024-01-20 01:00:00")),
+                  (1L, "purchase", ts("2024-01-20 02:00:00")))
+      q.processAllAvailable()
+      val levels = spark.sql(
+        "select level, count(*) as n from funnel_restart_out where user_id = 1 group by level")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // two level-1 and two level-2 advances (one per funnel), one level-3
+      assert(levels == Map(1 -> 2L, 2 -> 2L, 3 -> 1L), levels.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: watermarked state, results equal the batch twin (G6+)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
