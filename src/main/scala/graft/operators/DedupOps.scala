@@ -194,6 +194,46 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // Incremental (continuous-ingest) near-dup screening: an INCOMING
+    // micro-batch (the holdout hash bucket stands in for it) is probed
+    // against the EXISTING corpus' shingle postings; an incoming doc is
+    // rejected when exact Jaccard >= 0.8 against any indexed doc, accepted
+    // otherwise. This is the production shape of dedup under ingest — the
+    // index side is materialized once (OpCache here; at 100 TB the
+    // persisted inverted-index table the batch pipeline already builds)
+    // and only the SMALL incoming side is shingled per batch, so the probe
+    // is an equi-join on the shingle hash with posting lists on one side
+    // and a micro-batch on the other. No prefix filter: prefixes pay off
+    // when BOTH sides are the corpus (see exactJaccardPairs); a micro-batch
+    // probe touches only the postings its own shingles hit. Within-batch
+    // duplicates are dedup_exact's job, not this key's.
+    "dedup_incremental" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+        .withColumn("is_new", pmod(col("doc_id") * 2654435761L, lit(100L)) >= 90)
+      val idx = sh.filter(!col("is_new"))
+      val inc = sh.filter(col("is_new"))
+      val idxPosts = OpCache.cached(dir + "#inc_index",
+        idx.select(col("doc_id").as("i_id"), size(col("sh")).as("i_n"),
+          explode(col("sh")).as("g")))
+      val incPosts = inc.select(col("doc_id").as("d_id"),
+        size(col("sh")).as("d_n"), explode(col("sh")).as("g"))
+      // AllPairs length filter still applies across the two sides
+      val cand = incPosts.join(idxPosts, Seq("g"))
+        .filter(col("i_n") >= ceil(col("d_n") * 0.8) &&
+          col("d_n") >= ceil(col("i_n") * 0.8))
+        .select("d_id", "i_id").distinct()
+      val hits = cand
+        .join(inc.select(col("doc_id").as("d_id"), col("sh").as("sh_d")), Seq("d_id"))
+        .join(idx.select(col("doc_id").as("i_id"), col("sh").as("sh_i")), Seq("i_id"))
+        .filter(jaccard(col("sh_d"), col("sh_i")) >= 0.8)
+        .select(col("d_id").as("doc_id")).distinct()
+      Tables.documents(s, dir)
+        .join(inc.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(hits, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH: 64-permutation signature, 16 bands x 4 rows;
     // band-bucket equi-join proposes candidates, true shingle Jaccard
     // >= 0.7 confirms. Probabilistic recall → rows-only check, no SQL
@@ -359,6 +399,25 @@ object DedupOps {
     // (dedup_ngram_jaccard: AllPairs prefix filtering, a completeness
     // THEOREM not a probability) is the oracle-paired guard of this family;
     // MinHashSpec + PropertySpec pin the signature math itself.
+    // Quadratic cross-split oracle (like dedup_ngram_jaccard's): run at
+    // sf0.01; skip in sf0.1 sweeps.
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT *, (doc_id * 2654435761) % 100 >= 90 AS is_new FROM documents),
+        |sh AS (
+        |  SELECT doc_id, is_new, CASE WHEN len(toks) >= 3
+        |           THEN list_distinct(list_transform(range(len(toks)-2),
+        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |           ELSE [text] END AS g
+        |  FROM (SELECT doc_id, is_new, text, string_split(text,' ') AS toks FROM d)),
+        |hits AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM sh n JOIN sh i ON n.is_new AND NOT i.is_new
+        |  WHERE len(list_intersect(n.g, i.g))::DOUBLE
+        |        / len(list_distinct(list_concat(n.g, i.g))) >= 0.8)
+        |SELECT doc_id, lang, source, n_chars FROM d
+        |WHERE is_new AND doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(toks) >= 3

@@ -114,6 +114,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(kept == Seq(0L), s"doc 1 leaks an 8-gram of holdout doc 13, got $kept")
   }
 
+  test("dedup_incremental rejects incoming near-dups of the index, keeps novel docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup-").toString
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"tok$i").mkString(" ") + " changed"
+    val novel = (1 to 60).map(i => s"new$i").mkString(" ")
+    // 0 hashes to the index bucket; 13/18/31 to the incoming bucket
+    Seq(
+      (0L, base, "en", "srcA", base.length.toLong),     // the index
+      (13L, nearDup, "en", "srcB", nearDup.length.toLong), // near-dup -> reject
+      (18L, novel, "en", "srcC", novel.length.toLong),     // novel -> accept
+      (31L, base, "en", "srcD", base.length.toLong))       // exact dup -> reject
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    assert((0L * 2654435761L) % 100 < 90 &&
+      Seq(13L, 18L, 31L).forall(i => (i * 2654435761L) % 100 >= 90))
+    val kept = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(18L), s"expected only the novel doc accepted, got $kept")
+  }
+
   test("pipeline_pack_sequences: bins partition each shard, budget respected") {
     val out = SparkEntry.queries("pipeline_pack_sequences")(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
