@@ -81,6 +81,46 @@ object EventOps {
           sum("w3").cast(LongType).as("retained_w3"))
     }),
 
+    // Path analysis (the Sankey-diagram staple): per-user event-order
+    // transition bigrams, counted corpus-wide. One window pass (lag over
+    // the user's event-time order — the same single user_id exchange every
+    // sequence query here pays) and one aggregate; the (prev, next) pair
+    // space is tiny so the count exchange moves almost nothing.
+    "event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev", "next")
+    }),
+
+    // DAU / WAU / stickiness. WAU is NOT a per-day distinct over a range
+    // window (quadratic re-scan per day at scale): each user-day
+    // contributes to exactly the 7 windows it can appear in (explode 0..6,
+    // date_add), turning the trailing-week membership into an EQUALITY
+    // join key, then one distinct count per window day. The DuckDB twin
+    // phrases the same membership as a range join — identical result, and
+    // the divergence is the point: the explode formulation is the one that
+    // scales, the range join is the one that reads naturally in SQL.
+    "event_dau_wau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
+          col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast(DoubleType) / col("wau").cast(DoubleType))
+            .as("stickiness"))
+        .orderBy("day")
+    }),
+
     // ORDER BY ... WITH FILL analog: dense hourly per-type activity series.
     // Hours with no events appear with n = 0, and the running total carries
     // across the filled gaps — the two things a sparse GROUP BY can't give.
@@ -147,6 +187,27 @@ object EventOps {
         |       CAST(sum(w2) AS BIGINT) AS retained_w2,
         |       CAST(sum(w3) AS BIGINT) AS retained_w3
         |FROM flags WHERE cohort = 1""".stripMargin,
+    "event_paths" ->
+      """SELECT prev, event_type AS next, count(*) AS n
+        |FROM (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin,
+    "event_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |  FROM (SELECT DISTINCT day FROM ud) d
+        |  JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day)
+        |SELECT day, dau, wau,
+        |       CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "event_gap_fill" ->
       """WITH counts AS (
         |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n_raw
