@@ -178,4 +178,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1500))
   }
+
+  test("event_dau_wau: trailing-week membership is an equality join, not a range NLJ") {
+    val p = plan("event_dau_wau")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the explode-into-7-windows formulation must keep every join keyed:\n" + p.take(1500))
+  }
 }
