@@ -81,6 +81,26 @@ object EventOps {
           sum("w3").cast(LongType).as("retained_w3"))
     }),
 
+    // ClickHouse sequenceMatch analog: encode each user's event-time
+    // journey as a string of type initials (types here start with distinct
+    // letters) and run ordinary regexes over it — '(?1).*(?2).*(?3)'
+    // becomes 's.*c.*p', strictly-consecutive patterns become 'e{2}'. The
+    // journey build is one ordered string aggregation on the same user_id
+    // exchange every sequence query pays; per-user state is bounded by
+    // events-per-user, and the regex runs once per user, not per event.
+    "event_sequence_match" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr(
+          "listagg(substring(event_type, 1, 1), '') WITHIN GROUP (ORDER BY ts, event_id)")
+          .as("j"))
+        .select(col("user_id"),
+          length(col("j")).cast(LongType).as("n_events"),
+          col("j").rlike("s.*c.*p").as("funnel_matched"),
+          col("j").rlike("e{2}").as("double_error"))
+        .orderBy("user_id")
+    }),
+
     // Path analysis (the Sankey-diagram staple): per-user event-order
     // transition bigrams, counted corpus-wide. One window pass (lag over
     // the user's event-time order — the same single user_id exchange every
@@ -187,6 +207,15 @@ object EventOps {
         |       CAST(sum(w2) AS BIGINT) AS retained_w2,
         |       CAST(sum(w3) AS BIGINT) AS retained_w3
         |FROM flags WHERE cohort = 1""".stripMargin,
+    "event_sequence_match" ->
+      """SELECT user_id,
+        |       CAST(len(j) AS BIGINT) AS n_events,
+        |       regexp_matches(j, 's.*c.*p') AS funnel_matched,
+        |       regexp_matches(j, 'e{2}') AS double_error
+        |FROM (SELECT user_id,
+        |             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
+        |      FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
     "event_paths" ->
       """SELECT prev, event_type AS next, count(*) AS n
         |FROM (

@@ -654,6 +654,23 @@ object RelationalOps {
         .orderBy("event_type", "event_id")
     }),
 
+    // E22b: unpivot/melt — wide measure columns to (measure, value) rows,
+    // the inverse of pivot. Spark plans Expand (one pass, no join); the
+    // DuckDB twin is the equivalent UNION ALL stack. Filtered to a tenth of
+    // the orders so the total-order output contract doesn't dominate cost.
+    "unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "measure")
+    }),
+
     // E22: pivot — fixed value list so the output schema is static (at scale
     // an unbounded pivot would force a driver-side distinct first).
     "pivot" -> ((s, dir) => {
@@ -880,6 +897,20 @@ object RelationalOps {
         |       CAST(sum(CASE WHEN l_linestatus = 'O'
         |                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "unpivot" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'l_quantity' AS measure, l_quantity AS val
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey % 10 = 0)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, measure""".stripMargin,
     "agg_argmax" ->
       // composite key = value*1e8 + event_id: same IEEE arithmetic as the
       // Spark side, so the tie-winner is identical (see the query comment)
