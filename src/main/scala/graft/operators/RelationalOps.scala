@@ -128,6 +128,34 @@ object RelationalOps {
         .orderBy("p_id")
     }),
 
+    // E7b: FORWARD as-of — for each click, the next same-user purchase at
+    // or after it (the "time-to-convert" direction). Mirror of join_asof:
+    // same union-tag-sort, but the running value is first(ignoreNulls) over
+    // the FOLLOWING frame. Kind order makes the bound inclusive (purchase
+    // kind=1 sorts after click kind=0 at equal ts, so a same-instant
+    // purchase is inside the click's frame), ascending event_id makes the
+    // earliest purchase the min-event_id tie-winner — matching the oracle's
+    // (ts ASC, event_id ASC) pick. Still ONE keyed exchange, linear.
+    "join_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"), lit(null).cast(TimestampType).as("purchase_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"), col("ts").as("purchase_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionAll(purchases)
+        .withColumn("next_purchase_ts",
+          first(col("purchase_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"), col("next_purchase_ts"))
+        .orderBy("c_id")
+    }),
+
     // E8: cross join (tiny×tiny only — a guard rail, not a pattern).
     "join_cross" -> ((s, dir) => {
       Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
@@ -730,6 +758,16 @@ object RelationalOps {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT c_id, c_user, c_ts, next_purchase_ts FROM (
+        |  SELECT c.event_id AS c_id, c.user_id AS c_user, c.ts AS c_ts,
+        |         p.ts AS next_purchase_ts,
+        |         row_number() OVER (PARTITION BY c.event_id
+        |                            ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON c.user_id = p.user_id AND p.ts >= c.ts
+        |) WHERE rn = 1 ORDER BY c_id""".stripMargin,
     "join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation

@@ -46,6 +46,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Unigram log-probability scoring — the perplexity-filter analog of
+    // public corpus practice: score each document by its mean token
+    // log-probability under the corpus' own unigram LM; outlier (very
+    // unlikely) documents are the quality-filter candidates. The LM is a
+    // token-frequency table built once (OpCache; at 100 TB the vocabulary
+    // table a pipeline materializes anyway) joined back to the token
+    // postings — vocabulary joins are the standard LM-scoring shape.
+    // round(6) absorbs libm ln() last-ulp differences across engines.
+    "text_unigram_logprob" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tokens = OpCache.cached(dir + "#tok_posts",
+        d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok")))
+      val vocab = OpCache.cached(dir + "#unigram_lm",
+        tokens.groupBy("tok").agg(count(lit(1)).as("tf"))
+          .crossJoin(broadcast(tokens.agg(count(lit(1)).as("total"))))
+          .select(col("tok"),
+            (col("tf").cast(DoubleType) / col("total").cast(DoubleType)).as("p")))
+      tokens.join(vocab, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          round(avg(log(col("p"))), 6).as("avg_logp"))
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "n_tok", "avg_logp")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination — remove from the TRAIN split any document
     // sharing an 8-token gram with a HOLDOUT document (the n-gram overlap
     // rule of public LM training practice; holdout stands in for an eval
@@ -294,6 +320,18 @@ object TextOps {
         |       CASE WHEN (doc_id * 2654435761) % 100 < 90
         |            THEN 'train' ELSE 'holdout' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (
+        |  SELECT tok, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM t) AS p
+        |  FROM t GROUP BY tok),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_tok, round(avg(ln(p)), 6) AS avg_logp
+        |  FROM t JOIN v USING (tok) GROUP BY doc_id)
+        |SELECT s.doc_id, d.lang, s.n_tok, s.avg_logp
+        |FROM s JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_decontaminate" ->
       """WITH d AS (
         |  SELECT *, (doc_id * 2654435761) % 100 >= 90 AS is_test FROM documents),
