@@ -222,4 +222,42 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$i: cc vs union-find over ${edges.size} edges")
     }
   }
+
+  test("property: sequence packing equals the sequential greedy reference") {
+    import spark.implicits._
+    val genDocs: Gen[List[(Long, Int, String)]] = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 500L)
+        nTok <- Gen.chooseNum(1, 120)
+        src <- Gen.oneOf("a", "b", "c")
+      } yield (id, nTok, src))
+    } yield rows.distinctBy(_._1)
+    for (i <- 1L to 8L) {
+      val rows = genDocs.apply(Gen.Parameters.default, Seed(i))
+        .getOrElse(List((0L, 1, "a")))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-pack-$i-").toString
+      rows.map { case (id, nTok, src) =>
+        val text = (1 to nTok).map(k => s"t$k").mkString(" ")
+        (id, text, "en", src, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      // sequential greedy reference: walk each shard in doc_id order,
+      // bin = exclusive running token count DIV 256
+      val want = rows.groupBy(_._3).toSeq.flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, nTok, _) =>
+          val bin = cum / 256
+          cum += nTok
+          ((src, bin), (1L, nTok.toLong))
+        }
+      }.groupBy(_._1).map { case (k, vs) =>
+        k -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum)
+      }
+      val got = SparkEntry.queries("pipeline_pack_sequences")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got == want, s"seed=$i over ${rows.size} docs")
+    }
+  }
 }
