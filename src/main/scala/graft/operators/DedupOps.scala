@@ -194,6 +194,30 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // Containment detection — C(A,B) = |A∩B| / |A|: a SHORT document whose
+    // shingles sit almost entirely inside a longer one (quotes, excerpts,
+    // boilerplate wrappers). Symmetric Jaccard misses exactly this case —
+    // a 20-token quote inside a 500-token doc has J ≈ 0.04 but C = 1.0.
+    // Shape: the pair's intersection size IS the count of shared posting
+    // rows, so one posting self-join + pair-count aggregate computes it
+    // with no per-pair set materialization; the shingle key is
+    // high-cardinality, so posting lists stay short. No length filter —
+    // asymmetry is the point (tiny-in-huge is the target pair).
+    "dedup_containment" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val posts = sh.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("g"))
+      posts.as("x").join(posts.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("x.n").as("n_a"),
+          col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast(DoubleType) / col("n_a") >= 0.9)
+        .select(col("a_id"), col("b_id"),
+          round(col("inter").cast(DoubleType) / col("n_a"), 6).as("containment"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Incremental (continuous-ingest) near-dup screening: an INCOMING
     // micro-batch (the holdout hash bucket stands in for it) is probed
     // against the EXISTING corpus' shingle postings; an incoming doc is
@@ -399,6 +423,20 @@ object DedupOps {
     // (dedup_ngram_jaccard: AllPairs prefix filtering, a completeness
     // THEOREM not a probability) is the oracle-paired guard of this family;
     // MinHashSpec + PropertySpec pin the signature math itself.
+    // Quadratic all-pairs oracle: run at sf0.01; skip in sf0.1 sweeps.
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3
+        |           THEN list_distinct(list_transform(range(len(toks)-2),
+        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |           ELSE [text] END AS g
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       round(len(list_intersect(a.g, b.g))::DOUBLE / len(a.g), 6)
+        |         AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
     // Quadratic cross-split oracle (like dedup_ngram_jaccard's): run at
     // sf0.01; skip in sf0.1 sweeps.
     "dedup_incremental" ->

@@ -162,9 +162,49 @@ object EventOps {
         .withColumn("cum_n",
           sum("n").over(Window.partitionBy("event_type").orderBy("hr")))
         .orderBy("hr", "event_type")
+    }),
+
+    // Anomaly surfacing — the observability query the reference's own
+    // Prometheus metrics feed (ref: internal/app metrics): each day's event
+    // count scored against the trailing week's mean/stddev (current day
+    // excluded — a spike must not mask itself). One aggregate exchange to
+    // daily counts, then a bounded-frame window; days with fewer than 3
+    // trailing observations score null instead of a fake zero. round(6)
+    // absorbs cross-engine stddev-merge ulps.
+    "event_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("trail_mean", avg(col("n")).over(w))
+        .withColumn("trail_sd", stddev_samp(col("n")).over(w))
+        .withColumn("trail_k", count(col("n")).over(w))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("trail_mean"), 6).as("trail_mean"),
+          when(col("trail_k") >= 3 && col("trail_sd") > 0,
+            round((col("n") - col("trail_mean")) / col("trail_sd"), 6))
+            .as("z_score"))
+        .orderBy("event_type", "day")
     }))
 
   def oracle: Map[String, String] = Map(
+    "event_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |       round(trail_mean, 6) AS trail_mean,
+        |       CASE WHEN trail_k >= 3 AND trail_sd > 0
+        |            THEN round((n - trail_mean) / trail_sd, 6) END AS z_score
+        |FROM (
+        |  SELECT event_type, day, n,
+        |         avg(n) OVER w AS trail_mean,
+        |         stddev_samp(n) OVER w AS trail_sd,
+        |         count(n) OVER w AS trail_k
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |ORDER BY event_type, day""".stripMargin,
     "event_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -473,6 +473,22 @@ object RelationalOps {
         .orderBy("user_id")
     }),
 
+    // E11c: count-min sketch — the third mergeable sketch next to HLL
+    // (distinct) and SpaceSaving (top-k): point-frequency estimates under
+    // fixed memory. One sketch per day; counters are sums, so the bytes
+    // are order-independent and the fixed seed makes them reproducible —
+    // the key emits the serialized day partials (base64) exactly as a
+    // 100-TB MV would persist them. No SQL estimate/merge function exists,
+    // so merging and the eps error bound are exercised through the public
+    // CountMinSketch API in AnalyticsOpsSpec (rows-only key).
+    "agg_count_min_sketch" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(base64(count_min_sketch(
+          col("event_type"), lit(0.001), lit(0.99), lit(42))).as("sketch_b64"))
+        .orderBy("day")
+    }),
+
     // E12a: rollup with grouping_id; NULL group keys coalesced for ordering.
     "agg_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)

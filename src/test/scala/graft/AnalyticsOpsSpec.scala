@@ -80,6 +80,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(merged == direct, "sketch merge must be lossless vs one pass")
   }
 
+  test("agg_count_min_sketch: merged day partials estimate within the eps bound") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rows = SparkEntry.queries("agg_count_min_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val merged = rows.map { r =>
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(
+        // Spark's base64() is MIME-chunked (76-char lines)
+        java.util.Base64.getMimeDecoder.decode(r.getString(1))))
+    }.reduce { (a, b) => a.mergeInPlace(b); a }
+    val exact = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    for ((t, n) <- exact) {
+      val est = merged.estimateCount(t)
+      // CMS overestimates by at most eps * total stream length (w.h.p.)
+      assert(est >= n && est <= n + math.ceil(0.001 * total).toLong + 1,
+        s"$t: est $est vs exact $n")
+    }
+  }
+
+  test("dedup_containment finds asymmetric overlap symmetric Jaccard misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain-").toString
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    val quote = (50 to 70).map(i => s"w$i").mkString(" ")  // excerpt of doc 0
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+    Seq(
+      (0L, long, "en", "srcA", long.length.toLong),
+      (1L, quote, "en", "srcB", quote.length.toLong),
+      (2L, other, "en", "srcC", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the quote is contained in the long doc (1 -> 0); the long doc is NOT
+    // contained in the quote, and the unrelated doc matches nothing
+    assert(pairs == Seq((1L, 0L)), pairs.toString)
+  }
+
   test("set_ops_all preserves multiset cardinality") {
     val out = SparkEntry.queries("set_ops_all")(spark, sf)
       .groupBy("kind").agg(count(lit(1)).as("n")).collect()
