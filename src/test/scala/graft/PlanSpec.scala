@@ -179,6 +179,16 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("no query key ever plans a true CartesianProduct (global sweep)") {
+    // BroadcastNestedLoopJoin is acceptable where deliberate (a broadcast
+    // side bounds it); CartesianProduct means BOTH sides stream — the
+    // accidental cross join that detonates at scale. Zero keys may do it.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("event_dau_wau: trailing-week membership is an equality join, not a range NLJ") {
     val p = plan("event_dau_wau")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
