@@ -198,23 +198,37 @@ object DedupOps {
     // shingles sit almost entirely inside a longer one (quotes, excerpts,
     // boilerplate wrappers). Symmetric Jaccard misses exactly this case —
     // a 20-token quote inside a 500-token doc has J ≈ 0.04 but C = 1.0.
-    // Shape: the pair's intersection size IS the count of shared posting
-    // rows, so one posting self-join + pair-count aggregate computes it
-    // with no per-pair set materialization; the shingle key is
-    // high-cardinality, so posting lists stay short. No length filter —
+    // A naive posting self-join is a scale trap: one boilerplate shingle
+    // shared by df documents contributes df² pairs. The asymmetric prefix
+    // theorem fixes it exactly (no recall loss): under a fixed global
+    // shingle order, C(A,B) >= t forces A to share one of its FIRST
+    // |A| - ceil(t·|A|) + 1 ordered shingles with B — so only A's short
+    // prefix (rarest-first, df-ascending order, same discipline as
+    // exactJaccardPairs) probes the posting index; the exact containment
+    // is then verified on the two full shingle sets. No length filter —
     // asymmetry is the point (tiny-in-huge is the target pair).
     "dedup_containment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val sh = shingled(s, dir)
       val posts = sh.select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("g"))
-      posts.as("x").join(posts.as("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("x.n").as("n_a"),
-          col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter").cast(DoubleType) / col("n_a") >= 0.9)
-        .select(col("a_id"), col("b_id"),
-          round(col("inter").cast(DoubleType) / col("n_a"), 6).as("containment"))
+      val dfreq = posts.groupBy("g").agg(count(lit(1)).as("dfc"))
+      val w = Window.partitionBy("doc_id").orderBy("dfc", "g")
+      val aPrefix = posts.join(dfreq, Seq("g"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("n") - ceil(col("n") * 0.9) + 1)
+        .select(col("doc_id").as("a_id"), col("g"))
+      val cand = aPrefix.join(posts.select(col("doc_id").as("b_id"), col("g")), Seq("g"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+        .withColumn("containment",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+            size(col("sh_a")).cast(DoubleType))
+        .filter(col("containment") >= 0.9)
+        .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("containment"))
         .orderBy("a_id", "b_id")
     }),
 
