@@ -272,6 +272,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: streaming funnel equals a sequential state-machine reference") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val types = Vector("signup", "click", "purchase", "view", "error")
+    val windowMs = 7L * 24 * 3600 * 1000
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      // unique, strictly increasing timestamps: no tie ambiguity to test
+      val events = (0 until 300).map { k =>
+        (rnd.nextInt(8).toLong, types(rnd.nextInt(types.size)),
+          new Timestamp(base + k * 60000L + rnd.nextInt(50000)))
+      }.sortBy(_._3.getTime)
+      // sequential reference: the documented state machine, no eviction
+      val want = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+      val wantLevels = scala.collection.mutable.Map[Long, Int]()
+      for ((u, typ, ts) <- events) {
+        val t = ts.getTime
+        val (t1, t2, t3) = want.getOrElse(u, (-1L, -1L, -1L))
+        if (typ == "signup" && t1 < 0) {
+          want(u) = (t, t2, t3); wantLevels(u) = math.max(wantLevels.getOrElse(u, 0), 1)
+        } else if (typ == "click" && t1 >= 0 && t2 < 0 && t > t1 && t <= t1 + windowMs) {
+          want(u) = (t1, t, t3); wantLevels(u) = math.max(wantLevels.getOrElse(u, 0), 2)
+        } else if (typ == "purchase" && t2 >= 0 && t3 < 0 && t > t2 && t <= t1 + windowMs) {
+          want(u) = (t1, t2, t); wantLevels(u) = math.max(wantLevels.getOrElse(u, 0), 3)
+        }
+      }
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val q = graft.streaming.StateOps.streamingFunnel(
+          mem.toDF().toDF("user_id", "event_type", "ts").as[(Long, String, Timestamp)],
+          watermark = "60 days")
+        .writeStream.format("memory").queryName(s"funnel_prop_$seed")
+        .outputMode("append").start()
+      try {
+        for (chunk <- events.grouped(97)) { mem.addData(chunk); q.processAllAvailable() }
+        val got = spark.sql(
+          s"select user_id, max(level) from funnel_prop_$seed group by user_id")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == wantLevels.toMap, s"seed=$seed")
+      } finally q.stop()
+    }
+  }
+
   test("streaming funnel evicts closed windows and re-anchors on a later signup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
