@@ -438,6 +438,24 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // E9g: deterministic mode — the most frequent props.k per event type.
+    // Built-in mode() is tie-arbitrary in BOTH engines (a correctness trap
+    // this repo never ships); instead the winner is arg-max over
+    // (count, key) with the count scaled above the key range, so ties break
+    // to the LARGEST key identically everywhere. Two-level aggregate:
+    // counts collapse map-side, the arg-max sees one row per (type, k).
+    "agg_mode" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type", "k").agg(count(lit(1)).as("cnt"))
+      counts.groupBy("event_type")
+        .agg(
+          max_by(col("k"), col("cnt") * lit(1000L) + col("k")).as("mode_k"),
+          max(col("cnt")).as("mode_n"))
+        .orderBy("event_type")
+    }),
+
     // E9e: fixed-width histogram (ClickHouse histogram analog, made
     // deterministic): width_bucket bins value into 12 buckets of 50 over
     // [0, 600). The DuckDB twin is the equivalent floor arithmetic —
@@ -1005,6 +1023,15 @@ object RelationalOps {
         |     AS labels(status, label)
         |  ON status_or_null IS NOT DISTINCT FROM status
         |GROUP BY label ORDER BY label""".stripMargin,
+    "agg_mode" ->
+      // scaled arg-max instead of mode(): tie-deterministic in both engines
+      """WITH c AS (
+        |  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       arg_max(k, cnt * 1000 + k) AS mode_k,
+        |       max(cnt) AS mode_n
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(floor(value / 50) + 1 AS BIGINT) AS bucket,
         |       floor(value / 50) * 50 AS lo,
