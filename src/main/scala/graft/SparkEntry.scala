@@ -44,7 +44,8 @@ object SparkEntry {
     operators.TextOps.queries ++
     operators.MultimodalOps.queries ++
     operators.SqlOps.queries ++
-    operators.EventOps.queries
+    operators.EventOps.queries ++
+    operators.StatsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +59,6 @@ object SparkEntry {
     operators.TextOps.oracle ++
     operators.MultimodalOps.oracle ++
     operators.SqlOps.oracle ++
-    operators.EventOps.oracle
+    operators.EventOps.oracle ++
+    operators.StatsOps.oracle
 }

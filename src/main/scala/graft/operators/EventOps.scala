@@ -164,6 +164,62 @@ object EventOps {
         .orderBy("hr", "event_type")
     }),
 
+    // Batch sessionization — gaps-and-islands: a >30-min silence starts a
+    // new session (the batch twin of the G4 `session_window` key, which is
+    // streaming-native; warehouses phrase it exactly like this). One
+    // user_id exchange carries the lag, the running-sum session counter and
+    // the final per-session aggregate; per-user state is the row itself.
+    // (user_id, sess_n) is unique, so the output order is total.
+    "event_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("sess_n", sum("new_sess").over(run))
+        .groupBy("user_id", "sess_n")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sess_n"), col("session_start"),
+          col("session_end"),
+          (col("session_end").cast(LongType) -
+            col("session_start").cast(LongType)).as("duration_s"),
+          col("n_events"))
+        .orderBy("user_id", "sess_n")
+    }),
+
+    // Marketing attribution: for every converted user, the first- and
+    // last-touch event types strictly before their first purchase, counted
+    // per (first, last) pair. Two row_number passes over the same user_id
+    // window exchange (ascending + descending — ties broken by event_id so
+    // both ends are deterministic), then a tiny pair-space count.
+    "event_attribution" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select("user_id", "event_type", "ts", "event_id")
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      val pre = e.join(firstPurchase, "user_id").filter(col("ts") < col("pt"))
+      val wAsc = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val touched = pre
+        .withColumn("rn_f", row_number().over(wAsc))
+        .withColumn("rn_l", row_number().over(wDesc))
+      val ft = touched.filter(col("rn_f") === 1)
+        .select(col("user_id"), col("event_type").as("first_touch"))
+      val lt = touched.filter(col("rn_l") === 1)
+        .select(col("user_id"), col("event_type").as("last_touch"))
+      ft.join(lt, "user_id")
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("first_touch", "last_touch")
+    }),
+
     // Anomaly surfacing — the observability query the reference's own
     // Prometheus metrics feed (ref: internal/app metrics): each day's event
     // count scored against the trailing week's mean/stddev (current day
@@ -188,6 +244,43 @@ object EventOps {
     }))
 
   def oracle: Map[String, String] = Map(
+    "event_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_n
+        |  FROM y)
+        |SELECT user_id, sess_n, min(ts) AS session_start, max(ts) AS session_end,
+        |       date_diff('second', min(ts), max(ts)) AS duration_s,
+        |       count(*) AS n_events
+        |FROM z GROUP BY user_id, sess_n
+        |ORDER BY user_id, sess_n""".stripMargin,
+    "event_attribution" ->
+      """WITH p AS (SELECT user_id, min(ts) AS pt FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id),
+        |pre AS (
+        |  SELECT e.user_id, e.event_type,
+        |         row_number() OVER (PARTITION BY e.user_id
+        |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn_f,
+        |         row_number() OVER (PARTITION BY e.user_id
+        |                            ORDER BY e.ts DESC, e.event_id DESC) AS rn_l
+        |  FROM events e JOIN p USING (user_id)
+        |  WHERE e.ts < p.pt)
+        |SELECT f.event_type AS first_touch, l.event_type AS last_touch,
+        |       count(*) AS n_users
+        |FROM (SELECT user_id, event_type FROM pre WHERE rn_f = 1) f
+        |JOIN (SELECT user_id, event_type FROM pre WHERE rn_l = 1) l USING (user_id)
+        |GROUP BY first_touch, last_touch
+        |ORDER BY first_touch, last_touch""".stripMargin,
     "event_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

@@ -122,6 +122,30 @@ object TextOps {
         .orderBy("source", "bin")
     }),
 
+    // Context-window chunking — slice each document into fixed-size token
+    // windows (64 tokens, stride 48 → 16-token overlap), the step that turns
+    // cleaned documents into model-sized training sequences. The token array
+    // is materialized once behind an OpCache barrier so the Generate path
+    // never re-evaluates the split per output chunk (explode re-runs its
+    // child projection per OUTPUT row otherwise); map-only after the split —
+    // no shuffle anywhere, (doc_id, off) is the unique total order.
+    "pipeline_chunk_documents" -> ((s, dir) => {
+      val win = 64L
+      val stride = 48L
+      val tk = OpCache.cached(dir + "#chunk_toks",
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("tk"))
+          .withColumn("n", size(col("tk")).cast(LongType)))
+      tk.select(col("doc_id"), col("tk"), col("n"),
+          explode(sequence(lit(0L), col("n") - 1L, lit(stride))).as("off"))
+        .select(col("doc_id"), col("off"),
+          least(lit(win), col("n") - col("off")).as("n_tokens"),
+          concat_ws(" ",
+            slice(col("tk"), (col("off") + 1L).cast(IntegerType), lit(win.toInt)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "off")
+    }),
+
     // The composed corpus-preparation pipeline — the three stages a
     // training corpus actually passes through, as ONE declarative plan:
     // exact dedup (keep min doc_id per text) → quality gate (the
@@ -362,6 +386,18 @@ object TextOps {
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "pipeline_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, tk, n,
+        |         unnest(generate_series(0, n - 1, 48)) AS off
+        |  FROM t)
+        |SELECT doc_id, off, least(64, n - off) AS n_tokens,
+        |       array_to_string(list_slice(tk, off + 1, off + 64), ' ') AS chunk_text
+        |FROM x ORDER BY doc_id, off""".stripMargin,
     "pipeline_prepare_corpus" ->
       """WITH dedup AS (
         |  SELECT doc_id, lang, text FROM documents
