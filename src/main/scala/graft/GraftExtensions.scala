@@ -47,5 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_band_keys"),
       new ExpressionInfo("graft.functions.SrpBandKeys", "srp_band_keys"),
       (children: Seq[Expression]) => graft.functions.SrpBandKeys(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("normalize_text"),
+      new ExpressionInfo("graft.functions.NormalizeText", "normalize_text"),
+      (children: Seq[Expression]) => graft.functions.NormalizeText(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder_value"),
+      new ExpressionInfo("graft.functions.ZOrderValue", "zorder_value"),
+      (children: Seq[Expression]) =>
+        graft.functions.ZOrderValue(children.head, children(1))))
   }
 }

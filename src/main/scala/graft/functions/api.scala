@@ -55,6 +55,22 @@ object api {
     graftBridge.column(SrpBandKeys(graftBridge.expression(v.cast(dd))))
   }
 
+  /** Codegen'd Unicode normalization of a text column — NFD + strip
+    * combining marks + lowercase + whitespace collapse (see [[NormalizeText]]).
+    */
+  def normalizeText(text: Column): Column =
+    graftBridge.column(NormalizeText(graftBridge.expression(text)))
+
+  /** Codegen'd Z-order (Morton) value of two bigint key columns — the
+    * multi-dimensional clustering key (see [[ZOrderValue]]).
+    */
+  def zorderValue(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.types.LongType
+    graftBridge.column(ZOrderValue(
+      graftBridge.expression(x.cast(LongType)),
+      graftBridge.expression(y.cast(LongType))))
+  }
+
   /** Squared Euclidean distance of two numeric-array columns — built-in
     * higher-order functions (codegen'd enough for index-build paths; the
     * per-pair hot path is cosineSim above).

@@ -198,6 +198,23 @@ object PipelineOps {
         .orderBy("event_id")
     }),
 
+    // D2b: multi-dimensional clustering — the Delta/Iceberg OPTIMIZE ZORDER
+    // analog. zval = Morton interleave of (l_partkey, l_suppkey)
+    // (graft.functions.ZOrderValue, fused codegen; SQL: zorder_value());
+    // ORDER BY zval IS the clustered-write plan (range partition + sort), so
+    // at 100 TB the rewritten files carry tight min/max on BOTH keys and a
+    // filter on either one prunes row groups — a 1-D sort only ever serves
+    // its leading column. The DuckDB twin evaluates the interleave as the
+    // 42-term shift-mask-or chain, cross-checking the magic-number path.
+    "sort_zorder" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.functions.api.zorderValue(col("l_partkey"), col("l_suppkey"))
+            .as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     // C5/D5: full sink round-trip — every row survives the partitioned,
     // sorted, zstd write byte-for-byte.
     "sink_partitioned_write" -> ((s, dir) => {
@@ -292,6 +309,16 @@ object PipelineOps {
       """SELECT event_id, ts, user_id, value FROM events
         |WHERE ts BETWEEN TIMESTAMP '2024-01-01 06:00:00' AND TIMESTAMP '2024-01-01 18:00:00'
         |ORDER BY event_id""".stripMargin,
+    "sort_zorder" -> {
+      // the relational phrasing of ZOrderValue.interleave: 21 bits per
+      // dimension, x on even positions, y on odd
+      def terms(c: String, off: Int) =
+        (0 until 21).map(i => s"((($c >> $i) & 1) << ${2 * i + off})")
+      val z = (terms("l_partkey", 0) ++ terms("l_suppkey", 1)).mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $z AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+    },
     "sink_partitioned_write" ->
       """SELECT event_id, ts, user_id, event_type, value, props, CAST(ts AS DATE) AS d
         |FROM events ORDER BY event_id""".stripMargin,

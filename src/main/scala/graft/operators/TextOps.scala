@@ -122,6 +122,24 @@ object TextOps {
         .orderBy("source", "bin")
     }),
 
+    // Unicode normalization — the canonical-form cleanup every corpus
+    // pipeline runs before tokenization: NFD-decompose, strip combining
+    // marks, lowercase, collapse whitespace (graft.functions.NormalizeText,
+    // one fused codegen'd pass; SQL: normalize_text()). The test corpus is
+    // ASCII, so accents are injected deterministically first (translate
+    // a/e/u → á/é/ü — identical in both engines) and the oracle twin is
+    // DuckDB's independent utf8proc path: lower(strip_accents(...)) +
+    // regex whitespace collapse. Map-only; doc_id is the total order.
+    "text_normalize" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), translate(col("text"), "aeu", "áéü").as("accented"))
+        .select(col("doc_id"),
+          graft.functions.api.normalizeText(col("accented")).as("normalized"),
+          length(col("accented")).cast(LongType).as("n_chars_raw"))
+        .withColumn("n_chars_norm", length(col("normalized")).cast(LongType))
+        .orderBy("doc_id")
+    }),
+
     // Context-window chunking — slice each document into fixed-size token
     // windows (64 tokens, stride 48 → 16-token overlap), the step that turns
     // cleaned documents into model-sized training sequences. The token array
@@ -386,6 +404,19 @@ object TextOps {
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "text_normalize" ->
+      """WITH a AS (
+        |  SELECT doc_id, translate(text, 'aeu', 'áéü') AS accented
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, accented,
+        |         trim(regexp_replace(lower(strip_accents(accented)),
+        |                             '\s+', ' ', 'g')) AS normalized
+        |  FROM a)
+        |SELECT doc_id, normalized,
+        |       CAST(length(accented) AS BIGINT) AS n_chars_raw,
+        |       CAST(length(normalized) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "pipeline_chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk,
