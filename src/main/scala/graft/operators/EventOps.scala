@@ -192,6 +192,40 @@ object EventOps {
         .orderBy("user_id", "sess_n")
     }),
 
+    // SCD2 history build — compact an append-only event log into
+    // slowly-changing-dimension rows: consecutive equal states collapse
+    // into one row carrying [valid_from, valid_to) and an is_current flag.
+    // This is the canonical "replay the archive into a dimension table"
+    // read the reference's ReplacingMergeTree model implies (ref:
+    // README.md:14-16 — merge-time replace keeps latest; SCD2 is the
+    // keep-ALL-versions twin). Change detection (lag != state), the
+    // running version counter, the per-version aggregate and the
+    // valid_to lead all ride ONE user_id window exchange; at 100 TB
+    // user_id is the well-spread shuffle key and per-user history is
+    // small, so no partition outgrows memory.
+    "scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val versioned = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"))
+        .withColumn("prev_state", lag(col("state"), 1).over(w))
+        .withColumn("chg",
+          when(col("prev_state").isNull ||
+            col("prev_state") =!= col("state"), 1L).otherwise(0L))
+        .withColumn("version", sum("chg").over(run))
+      val byVersion = Window.partitionBy("user_id").orderBy("version")
+      versioned
+        .groupBy("user_id", "version")
+        .agg(min("state").as("state"), // constant within the group
+          min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"), col("n_events"))
+        .orderBy("user_id", "version")
+    }),
+
     // Marketing attribution: for every converted user, the first- and
     // last-touch event types strictly before their first purchase, counted
     // per (first, last) pair. Two row_number passes over the same user_id
@@ -218,6 +252,66 @@ object EventOps {
         .groupBy("first_touch", "last_touch")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("first_touch", "last_touch")
+    }),
+
+    // Exponential moving average (ClickHouse `exponentialMovingAverage`
+    // analog) over the daily event-count series — the smoothing every
+    // monitoring dashboard applies before thresholding. Phrased as a
+    // FINITE trailing window (8 taps, α=0.3 — weight beyond 8 steps is
+    // 0.7⁸ < 6%, renormalized away): the infinite recurrence is inherently
+    // sequential, but the truncated kernel is just 8 lag() taps riding ONE
+    // window exchange, mergeable and restartable like any other windowed
+    // aggregate. Terms are summed in fixed j=0..7 order on both engines;
+    // round(6) absorbs libm pow() ulps.
+    "window_ema" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val terms = (0 until 8).map { j =>
+        val wt = lit(0.3 * math.pow(0.7, j))
+        val lj = lag(col("n"), j).over(w)
+        (when(lj.isNotNull, wt * lj).otherwise(lit(0.0)),
+          when(lj.isNotNull, wt).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ema", round(num / den, 6))
+        .orderBy("event_type", "day")
+    }),
+
+    // Interval join, banded — the scale-safe phrasing of "assign every
+    // event to the global error-incident window covering it". A naive
+    // interval join has no equality key and plans as a nested loop; the
+    // banded form explodes each incident into the hours it covers (bounded
+    // by incident duration) and equi-joins on the hour, so the fact table
+    // shuffles once on a well-spread key and the exact [start, end] filter
+    // runs post-join. Incidents are 30-min-gap islands of the error
+    // sub-stream, built per day partition (never one global window).
+    "join_interval_bucketed" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val wi = Window.partitionBy("d").orderBy("ts", "event_id")
+      val run = wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inc = e.filter(col("event_type") === "error")
+        .select(to_date(col("ts")).as("d"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(wi))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("inc_n", sum("brk").over(run))
+        .groupBy(col("d").as("inc_day"), col("inc_n"))
+        .agg(min("ts").as("inc_start"), max("ts").as("inc_end"))
+      val bands = inc.select(col("inc_day"), col("inc_n"),
+        col("inc_start"), col("inc_end"),
+        explode(sequence(date_trunc("hour", col("inc_start")),
+          date_trunc("hour", col("inc_end")),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      e.withColumn("hr", date_trunc("hour", col("ts")))
+        .join(bands, Seq("hr"))
+        .filter(col("ts").between(col("inc_start"), col("inc_end")))
+        .select(col("event_id"), col("inc_day"), col("inc_n"), col("inc_start"))
+        .orderBy("event_id")
     }),
 
     // Anomaly surfacing — the observability query the reference's own
@@ -264,6 +358,72 @@ object EventOps {
         |       count(*) AS n_events
         |FROM z GROUP BY user_id, sess_n
         |ORDER BY user_id, sess_n""".stripMargin,
+    "window_ema" -> {
+      val num = (0 until 8).map(j =>
+        s"CASE WHEN l$j IS NOT NULL THEN 0.3 * power(0.7, $j) * l$j ELSE 0.0 END")
+        .mkString(" + ")
+      val den = (0 until 8).map(j =>
+        s"CASE WHEN l$j IS NOT NULL THEN 0.3 * power(0.7, $j) ELSE 0.0 END")
+        .mkString(" + ")
+      val lags = (0 until 8).map(j => s"lag(n, $j) OVER w AS l$j").mkString(", ")
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, day, n, $lags
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, n, round(($num) / ($den), 6) AS ema
+         |FROM l ORDER BY event_type, day""".stripMargin
+    },
+    "join_interval_bucketed" ->
+      """WITH err AS (
+        |  SELECT CAST(ts AS DATE) AS d, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY CAST(ts AS DATE)
+        |                       ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type = 'error'),
+        |brk AS (
+        |  SELECT d, ts, event_id,
+        |         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM err),
+        |isl AS (
+        |  SELECT d, ts,
+        |         CAST(sum(b) OVER (PARTITION BY d ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS inc_n
+        |  FROM brk),
+        |inc AS (
+        |  SELECT d AS inc_day, inc_n, min(ts) AS inc_start, max(ts) AS inc_end
+        |  FROM isl GROUP BY d, inc_n)
+        |SELECT e.event_id, i.inc_day, i.inc_n, i.inc_start
+        |FROM events e JOIN inc i
+        |  ON e.ts BETWEEN i.inc_start AND i.inc_end
+        |ORDER BY e.event_id""".stripMargin,
+    "scd2_history" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_state
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id, state,
+        |         CASE WHEN prev_state IS NULL OR prev_state <> state
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts, state,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM y),
+        |v AS (
+        |  SELECT user_id, version, min(state) AS state,
+        |         min(ts) AS valid_from, count(*) AS n_events
+        |  FROM z GROUP BY user_id, version)
+        |SELECT user_id, version, state, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |         AS is_current,
+        |       n_events
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "event_attribution" ->
       """WITH p AS (SELECT user_id, min(ts) AS pt FROM events
         |           WHERE event_type = 'purchase' GROUP BY user_id),

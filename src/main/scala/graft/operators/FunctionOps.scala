@@ -169,6 +169,33 @@ object FunctionOps {
         .orderBy("event_id")
     }),
 
+    // Hash / binary-encoding surface — content addressing is how both the
+    // archive (idempotent event keys) and the corpus pipeline (document
+    // fingerprints, multimodal SHA-256 ids) name immutable payloads. All
+    // map-only codegen'd built-ins; DuckDB computes the same standard
+    // digests independently, so the oracle cross-checks two
+    // implementations of MD5/SHA-256/hex/base64 rather than one formula.
+    "fn_hash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(col("text").cast(BinaryType)).as("md5_hex"),
+          sha2(col("text").cast(BinaryType), 256).as("sha256_hex"),
+          hex(col("text").cast(BinaryType)).as("hexed"),
+          // Spark's base64 is the RFC 2045 MIME codec (a CRLF every 76
+          // chars); strip the chunking to emit the canonical RFC 4648 form
+          // every other engine (incl. the DuckDB twin) produces
+          regexp_replace(base64(col("text").cast(BinaryType)),
+            "\r\n", "").as("b64"),
+          // decode(unbase64(base64(x))) == x: the round-trip law, checked
+          // per row rather than asserted in prose
+          (decode(unbase64(base64(col("text").cast(BinaryType))), "UTF-8")
+            === col("text")).as("b64_roundtrip"),
+          length(unhex(hex(col("text").cast(BinaryType))))
+            .cast(LongType).as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // F8: casts across numeric/string/timestamp.
     "fn_cast" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -267,6 +294,15 @@ object FunctionOps {
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         |       CAST('3.5' AS DOUBLE) AS parsed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_hash" ->
+      """SELECT doc_id,
+        |       md5(text) AS md5_hex,
+        |       sha256(text) AS sha256_hex,
+        |       hex(text) AS hexed,
+        |       to_base64(encode(text)) AS b64,
+        |       decode(from_base64(to_base64(encode(text)))) = text AS b64_roundtrip,
+        |       CAST(octet_length(unhex(hex(text))) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_url" ->
       """WITH u AS (
         |  SELECT event_id,

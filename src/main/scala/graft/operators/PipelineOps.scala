@@ -248,6 +248,37 @@ object PipelineOps {
           col("ts") <= lit("2024-01-01 18:00:00").cast(TimestampType))
         .select("event_id", "ts", "user_id", "value")
         .orderBy("event_id")
+    }),
+
+    // CSV export/import round-trip — the interchange format every archive
+    // eventually has to emit for tools that cannot read parquet. Lossless
+    // by construction: an explicit µs timestamp format on both write and
+    // read (the default CSV format drops sub-ms precision), explicit read
+    // schema (no inference scan — schema inference is a full extra pass at
+    // 100 TB), and doubles survive because Spark writes the shortest
+    // round-trippable decimal. Left uncompressed deliberately: gzipped CSV
+    // is non-splittable, one 100 GB .csv.gz would serialize on one task —
+    // splittability is the scale property this sink keeps.
+    "sink_csv_roundtrip" -> ((s, dir) => {
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val path = OpCache.once(dir + "#csv_sink") {
+        val out = scratch(dir, "events_csv")
+        Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("overwrite")
+          .option("header", "true")
+          .option("timestampFormat", tsFmt)
+          .csv(out)
+        out
+      }
+      s.read
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .option("header", "true")
+        .option("timestampFormat", tsFmt)
+        .option("mode", "FAILFAST") // corrupt interchange data fails loudly
+        .csv(path)
+        .orderBy("event_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -325,5 +356,8 @@ object PipelineOps {
     "sink_orc_roundtrip" ->
       """SELECT event_id, ts, user_id, value FROM events
         |WHERE ts BETWEEN TIMESTAMP '2024-01-01 06:00:00' AND TIMESTAMP '2024-01-01 18:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "sink_csv_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin)
 }

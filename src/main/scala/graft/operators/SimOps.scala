@@ -194,6 +194,57 @@ object SimOps {
         .orderBy("q_id", "rk")
     }),
 
+    // Per-class centroid (prototype) vectors and every vector's cosine to
+    // its own class centroid — the compaction step behind IVF coarse
+    // quantizers, class prototypes, and outlier mining ("which members sit
+    // far from their cluster center?"). The centroid build is the only
+    // shuffle: posexplode is map-local, the (label, dim) partial averages
+    // collapse map-side before one exchange, and the finished centroid
+    // table is labels × dim — dimension-table sized at any corpus scale —
+    // so the scoring pass is a broadcast join + map-only fused cosine.
+    "sim_centroid" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val cent = e
+        .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(avg("x").as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          p => p.getField("c")).as("cv"))
+      e.join(broadcast(cent), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(api.cosineSim(col("v"), col("cv")), 6).as("cos_centroid"))
+        .orderBy("vec_id")
+    }),
+
+    // Symmetric int8 quantization of the embedding column — the 4×
+    // shrink every 100-TB vector corpus applies before indexing (public
+    // FAISS/ScaNN practice). Map-only: per-vector scale = max|x|/127,
+    // q = round(x/scale) ∈ [-127,127]. The quantized L2² is an EXACT
+    // integer (strong oracle bits), and reconstruction MSE comes from the
+    // algebraic identity Σ(x-q·s)² = ⟨v,v⟩ − 2s⟨v,q⟩ + s²⟨q,q⟩ — three
+    // scalar reductions instead of materializing the residual vector,
+    // with the same left-to-right dot both engines use elsewhere.
+    "embed_quantize" -> ((s, dir) => {
+      val e = vecs(s, dir)
+        .withColumn("scale",
+          greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30))
+            / lit(127.0))
+        .withColumn("q", transform(col("v"),
+          x => round(x / col("scale")).cast(IntegerType)))
+      val qd = transform(col("q"), x => x.cast(DoubleType))
+      e.select(col("vec_id"), col("label"),
+          round(col("scale"), 6).as("scale"),
+          element_at(col("q"), 1).as("q1"),
+          aggregate(col("q"), lit(0L),
+            (acc, x) => acc + x.cast(LongType) * x.cast(LongType))
+            .as("q_l2sq"),
+          round((dot(col("v"), col("v"))
+            - lit(2.0) * col("scale") * dot(col("v"), qd)
+            + col("scale") * col("scale") * dot(qd, qd)) / lit(64.0), 6)
+            .as("mse"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal record: text + embedding + metadata bundled in one struct
     // column (documents joined to embeddings on doc_id = vec_id, dimension
     // broadcast), fields projected back out as scalars.
@@ -240,6 +291,41 @@ object SimOps {
         |SELECT q_id, vec_id, cos,
         |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
         |FROM scored QUALIFY rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    "sim_centroid" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |el AS (SELECT vec_id, label, i, v[i] AS x
+        |       FROM e, range(1, 65) t(i)),
+        |cent AS (SELECT label, i, avg(x) AS c FROM el GROUP BY label, i)
+        |SELECT vec_id, label,
+        |       round(sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))), 6)
+        |         AS cos_centroid
+        |FROM el JOIN cent USING (label, i)
+        |GROUP BY vec_id, label
+        |ORDER BY vec_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, label, v,
+        |             greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+        |               / 127.0 AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, label, v, scale,
+        |             list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv
+        |      FROM s)
+        |SELECT vec_id, label,
+        |       round(scale, 6) AS scale,
+        |       qv[1] AS q1,
+        |       CAST(list_sum(list_transform(qv,
+        |              x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS q_l2sq,
+        |       round((list_dot_product(v, v)
+        |              - 2.0 * scale * list_dot_product(v, list_transform(qv, x -> x::DOUBLE))
+        |              + scale * scale * list_dot_product(list_transform(qv, x -> x::DOUBLE),
+        |                                                 list_transform(qv, x -> x::DOUBLE)))
+        |             / 64.0, 6) AS mse
+        |FROM q ORDER BY vec_id""".stripMargin,
     "multimodal_struct" ->
       """SELECT doc_id, lang, label,
         |       CAST(len(embedding) AS BIGINT) AS dim,

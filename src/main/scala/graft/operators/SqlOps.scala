@@ -58,6 +58,21 @@ object SqlOps {
           |  AND o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM graft_orders)
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // LATERAL correlated subquery — "top-2 per group" phrased the way
+    // migrated warehouse SQL phrases it (a per-row dependent subquery with
+    // ORDER BY + LIMIT). Catalyst plans the lateral as a join and the
+    // per-key limit via the same window-group-limit machinery as
+    // `topk_per_group`, so the SQL spelling costs nothing extra. The
+    // nationkey equality is the join key; nation is 25 rows, broadcast.
+    "sql_lateral" -> ((s, dir) =>
+      withViews(s, dir, "nation", "customer")(
+        """SELECT n_name, c_custkey, c_acctbal
+          |FROM graft_nation,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer
+          |         WHERE c_nationkey = n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)),
+
     // Recursive CTE (hierarchy walk): each customer key's synthetic
     // ancestor chain key -> key/2 -> ... -> 1 — the iterate-in-SQL surface
     // (ClickHouse and every warehouse dialect ship it; Spark 4 executes it
@@ -95,6 +110,13 @@ object SqlOps {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |  AND o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "sql_lateral" ->
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
     "sql_recursive" ->
       """WITH RECURSIVE anc(custkey, anc_key, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer
