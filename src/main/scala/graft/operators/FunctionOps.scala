@@ -169,6 +169,24 @@ object FunctionOps {
         .orderBy("event_id")
     }),
 
+    // Struct surface — nested records as first-class values: build, access
+    // through dotted paths, and serialize to JSON. This is the typed face
+    // of the raw-JSON archive model (B1's projection in reverse): at scale
+    // structs cost nothing extra — Tungsten stores them unboxed and
+    // Catalyst prunes unaccessed fields out of the scan.
+    "fn_struct" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("o", struct(
+          col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          struct(col("o_orderpriority").as("prio")).as("meta")))
+        .select(col("o_orderkey"),
+          col("o.status").as("status"),
+          col("o.meta.prio").as("prio"),
+          to_json(col("o")).as("packed"))
+        .orderBy("o_orderkey")
+    }),
+
     // Hash / binary-encoding surface — content addressing is how both the
     // archive (idempotent event keys) and the corpus pipeline (document
     // fingerprints, multimodal SHA-256 ids) name immutable payloads. All
@@ -293,6 +311,15 @@ object FunctionOps {
         |       CAST(o_orderdate AS DATE) AS as_date,
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         |       CAST('3.5' AS DOUBLE) AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_struct" ->
+      """SELECT o_orderkey,
+        |       o_orderstatus AS status,
+        |       o_orderpriority AS prio,
+        |       to_json(struct_pack(key := o_orderkey,
+        |                           status := o_orderstatus,
+        |                           meta := struct_pack(prio := o_orderpriority)))::VARCHAR
+        |         AS packed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_hash" ->
       """SELECT doc_id,

@@ -186,16 +186,71 @@ object MultimodalOps {
     }
   }
 
-  /** documents → MediaRecord with real synthesized PNG/WAV payloads — a
-    * narrow typed map (render runs where the data lives, no shuffle).
+  /** Perceptual average-hash (aHash, public algorithm) over REAL decoded
+    * pixels: grayscale → 8×8 block means → threshold at the global mean →
+    * 64 bits. Re-encodes and light edits of the same image land within a
+    * few bits; unrelated images are ~32 bits apart — the image twin of
+    * [[graft.functions.SimHash64]]'s text fingerprint.
+    */
+  def aHash(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "corrupt PNG payload")
+    val w = img.getWidth; val h = img.getHeight
+    val sum = new Array[Double](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+        val c = (y * 8 / h) * 8 + (x * 8 / w)
+        sum(c) += gray; cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cell = Array.tabulate(64)(i => if (cnt(i) > 0) sum(i) / cnt(i) else 0.0)
+    val mean = cell.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (cell(i) >= mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** A re-encoded variant with one least-significant pixel edit — the
+    * controlled near-duplicate used to demonstrate (and test) that the
+    * perceptual-hash pipeline pairs edited re-encodes with their originals.
+    */
+  def perturb(payload: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → MediaRecord with real synthesized PNG/WAV payloads. The
+    * media LAKE is a stored artifact, not something synthesized per query:
+    * rendered ONCE per (JVM, sfDir) into scratch parquet (binary payload
+    * column), after which every multimodal key reads payload bytes from
+    * storage — so the keys measure the decode/feature stage, exactly as at
+    * 100 TB where payloads arrive from object storage, not a generator.
     */
   private def mediaRecords(s: SparkSession, dir: String):
       org.apache.spark.sql.Dataset[MediaRecord] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("n_chars"), col("source"))
-      .as[(Long, Long, String)]
-      .map { case (id, nc, src) => MediaRecord(id, renderMedia(id, nc), src) }
+    val path = OpCache.once(dir + "#media_lake") {
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-sink/$key/media_lake"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .as[(Long, Long, String)]
+        .map { case (id, nc, src) => MediaRecord(id, renderMedia(id, nc), src) }
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path).as[MediaRecord]
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -222,6 +277,42 @@ object MultimodalOps {
           col("height").cast(LongType), col("kept_frames").cast(LongType),
           col("source"))
         .orderBy("doc_id")
+    }),
+
+    // Image near-duplicate detection on REAL pixels: every PNG payload is
+    // aHash-fingerprinted, its one-pixel-edited re-encode is hashed too,
+    // and candidates come from a 4×16-bit band equi-join over the 64-bit
+    // hash (pigeonhole: hamming ≤ 3 guarantees a shared band) with a
+    // popcount verify — the exact discipline `dedup_simhash` applies to
+    // text, here driven by a JVM codec. The decode+hash side is a narrow
+    // map; the only shuffle is the band equi-join on a well-spread 16-bit
+    // key. Deterministic but JVM-codec-derived -> rows-only check; the
+    // original↔variant pairing is pinned exactly in NorthStarSpec.
+    "multimodal_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = mediaRecords(s, dir)
+        .filter(col("doc_id") % 2 === 0) // PNG rows; pushes to the lake scan
+        .mapPartitions(_.flatMap { r =>
+          Seq(r.doc_id -> aHash(r.payload),
+            (r.doc_id + 1000000L) -> aHash(perturb(r.payload)))
+        })
+        .toDF("img_id", "ahash")
+      val banded = hashes.select(col("img_id"), col("ahash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))
+              .as("key"))): _*)).as("bk"))
+        .select(col("img_id"), col("ahash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("left_id"), col("b.img_id").as("right_id"),
+          bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast(LongType)
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("left_id", "right_id")
     }),
 
     // Feature extraction with the REAL decode: width/height/frames come

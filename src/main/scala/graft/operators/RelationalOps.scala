@@ -279,6 +279,24 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // E9c': the whole quantile LADDER in one aggregate (ClickHouse
+    // `quantiles(...)(x)` analog) — one sort per group serves every
+    // requested q, instead of one percentile call per cut re-gathering
+    // the same values. Array-valued output is unnested to scalar columns
+    // so the oracle hash stays flat.
+    "agg_quantiles_multi" -> ((s, dir) => {
+      val cuts = array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), cuts).as("qs"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 4).as("p25"),
+          round(element_at(col("qs"), 2), 4).as("p50"),
+          round(element_at(col("qs"), 3), 4).as("p75"),
+          round(element_at(col("qs"), 4), 4).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
     // E9d: the scale path for quantiles — `approx_percentile` keeps a
     // bounded sketch per group with map-side partial merge (ClickHouse
     // `quantileTDigest` analog), so no group's values ever gather on one
@@ -625,6 +643,26 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // E16c: forward fill (last_value IGNORE NULLS) — the observe-and-carry
+    // primitive behind sensor gap repair and sparse-attribute densification.
+    // Purchases carry a reading; every other event carries the latest
+    // purchase value seen so far for that user (null before the first).
+    // One user_id window exchange; the frame is running, so state per key
+    // is a single value — at 100 TB this is the cheapest window shape there
+    // is. The DuckDB twin uses its native IGNORE NULLS — two independent
+    // implementations of the same SQL-standard semantics.
+    "window_fill_forward" -> ((s, dir) => {
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("reading",
+          when(col("event_type") === "purchase", col("value")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("reading"),
+          last(col("reading"), ignoreNulls = true).over(run).as("filled"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // E17: multi-key sort with explicit null placement.
     "sort_multi" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -839,6 +877,13 @@ object RelationalOps {
         |       round(quantile_cont(value, 0.95), 4) AS p95,
         |       round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_quantiles_multi" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |       count(DISTINCT l_partkey) AS n_part, count(*) AS n
@@ -926,6 +971,14 @@ object RelationalOps {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "window_fill_forward" ->
+      """SELECT user_id, event_id, event_type,
+        |       CASE WHEN event_type = 'purchase' THEN value END AS reading,
+        |       last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |                  IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "agg_incremental_merge" ->
       // merged daily partials must equal the direct full aggregate
       """SELECT event_type, count(*) AS n,

@@ -204,6 +204,38 @@ object TextOps {
         .limit(30)
     }),
 
+    // Bigram collocations by pointwise mutual information — the phrase
+    // detector of classic corpus pipelines (word2vec phrase merging,
+    // ClickHouse users hand-roll exactly this over token tables). Bigrams
+    // come from a map-local arrays_zip of each token list with its own
+    // tail (never a positions self-join), so the only shuffles are the
+    // two count aggregations on well-spread word keys; corpus totals are
+    // broadcast scalars. PMI = ln(c_ab·T² / (B·c_a·c_b)) is computed with
+    // the identical double expression on both engines (every count is
+    // < 2^53-exact), round(6), total order, top-20.
+    "text_collocations" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(toks.as("t"))
+      val uni = d.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val bi = d.select(explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val tT = uni.agg(sum("cw").as("tt"))
+      val tB = bi.agg(sum("cab").as("tb"))
+      bi.filter(col("cab") >= 10)
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tT)).crossJoin(broadcast(tB))
+        .select(col("w1"), col("w2"), col("cab"),
+          round(log((col("cab").cast(DoubleType) * col("tt") * col("tt"))
+            / (col("tb").cast(DoubleType) * col("c1") * col("c2"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Language-ID heuristic: argmax of marker-word hit ratio.
     "text_langid" -> ((s, dir) => {
       val scored = profiles.foldLeft(Tables.documents(s, dir)) {
@@ -453,6 +485,26 @@ object TextOps {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 30""".stripMargin,
+    "text_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |uc AS (SELECT w, count(*) AS cw
+        |       FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+        |bc AS (SELECT w1, w2, count(*) AS cab
+        |       FROM (SELECT u[1] AS w1, u[2] AS w2
+        |             FROM (SELECT unnest(list_zip(tk[1:len(tk) - 1], tk[2:])) AS u
+        |                   FROM t))
+        |       GROUP BY w1, w2),
+        |tot AS (SELECT (SELECT sum(cw) FROM uc) AS tt,
+        |               (SELECT sum(cab) FROM bc) AS tb)
+        |SELECT w1, w2, cab,
+        |       round(ln((CAST(cab AS DOUBLE) * tt * tt)
+        |                / (CAST(tb AS DOUBLE) * c1 * c2)), 6) AS pmi
+        |FROM bc
+        |JOIN (SELECT w AS w1, cw AS c1 FROM uc) USING (w1)
+        |JOIN (SELECT w AS w2, cw AS c2 FROM uc) USING (w2)
+        |CROSS JOIN tot
+        |WHERE cab >= 10
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "text_langid" ->
       """WITH f AS (
         |  SELECT doc_id, lang AS labeled_lang, string_split(text,' ') AS t FROM documents),

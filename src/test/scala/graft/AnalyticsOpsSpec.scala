@@ -187,6 +187,64 @@ class AnalyticsOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("embed_quantize: int8 range respected, MSE bounded by (scale/2)^2") {
+    val rows = SparkEntry.queries("embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q1 = r.getAs[Int]("q1")
+      val mse = r.getAs[Double]("mse")
+      assert(q1 >= -127 && q1 <= 127, s"q1 out of int8 range: $q1")
+      // symmetric rounding puts every residual within scale/2 (plus the
+      // round(6) the query applies to both columns)
+      assert(mse <= scale * scale / 4 + 1e-6, s"mse $mse vs scale $scale")
+    }
+  }
+
+  test("scd2_history: versions partition each user's events, validity chains") {
+    val out = SparkEntry.queries("scd2_history")(spark, sf).cache()
+    val e = Tables.events(spark, sf)
+    assert(out.agg(sum("n_events")).collect().head.getLong(0) == e.count(),
+      "version rows must partition all events")
+    // exactly one open (is_current) row per user, and valid_to of row k
+    // equals valid_from of row k+1 (checked via the lead used to build it:
+    // re-derive independently with a self-join on version+1)
+    val users = e.select("user_id").distinct().count()
+    assert(out.filter(col("is_current")).count() == users)
+    val chained = out.as("a").join(out.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.version") + 1 === col("b.version"))
+      .filter(col("a.valid_to") =!= col("b.valid_from"))
+    assert(chained.isEmpty, "valid_to must chain to the next valid_from")
+    out.unpersist()
+  }
+
+  test("window_ema stays within the trailing window's min/max envelope") {
+    val out = SparkEntry.queries("window_ema")(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, 0)
+    val bad = out
+      .withColumn("lo", min("n").over(w)).withColumn("hi", max("n").over(w))
+      .filter(col("ema") < col("lo") - 1e-6 || col("ema") > col("hi") + 1e-6)
+    assert(bad.isEmpty, "a convex combination cannot leave the envelope")
+  }
+
+  test("agg_weighted_median: at least half the weight sits on each side") {
+    val med = SparkEntry.queries("agg_weighted_median")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("w"))
+    med.foreach { case (rf, (tot, m)) =>
+      val below = li.filter(col("l_returnflag") === rf &&
+        col("l_extendedprice") <= m).agg(sum("w")).collect().head.getLong(0)
+      val above = li.filter(col("l_returnflag") === rf &&
+        col("l_extendedprice") >= m).agg(sum("w")).collect().head.getLong(0)
+      assert(2 * below >= tot && 2 * above >= tot,
+        s"$rf: median $m splits $below/$above of $tot")
+    }
+  }
+
   test("join_null_safe: the NULL bucket survives and totals cover all orders") {
     val rows = SparkEntry.queries("join_null_safe")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -176,4 +176,19 @@ class NorthStarSpec extends SparkSpec {
     assert(fp(0L) == fp(1L))
     assert(fp(0L) != fp(3L))
   }
+
+  test("multimodal_near_dup pairs every edited re-encode with its original") {
+    val pairs = SparkEntry.queries("multimodal_near_dup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pngIds = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every original must pair with its one-pixel-edited variant...
+    val expected = pngIds.map(id => (id, id + 1000000L))
+    assert(expected.subsetOf(pairs.toSet),
+      s"missing ${(expected -- pairs.toSet).take(5)}")
+    // ...and unrelated random images must stay far apart: any extra pair
+    // would mean two independent noise images landed within hamming 3
+    assert(pairs.toSet == expected, s"spurious pairs: ${(pairs.toSet -- expected).take(5)}")
+  }
 }

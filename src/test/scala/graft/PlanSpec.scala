@@ -194,4 +194,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "the explode-into-7-windows formulation must keep every join keyed:\n" + p.take(1500))
   }
+
+  test("sim_centroid: scoring join broadcasts the labels x dim centroid table") {
+    val p = plan("sim_centroid")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must never shuffle for centroid scoring:\n" + p.take(1200))
+  }
+
+  test("profile_columns: 17 aggregates run over ONE scan of the table") {
+    val p = plan("profile_columns")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      "the profiler must not re-scan per column:\n" + p.take(1500))
+  }
+
+  test("scd2_history: change-detect, version, and validity all ride one user_id exchange") {
+    val p = plan("scd2_history")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // hashpartitioning(user_id) satisfies the (user_id, version) groupBy and
+    // both windows; the only other exchange is the final presentation sort
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n" + p.take(2000))
+  }
+
+  test("join_interval_bucketed: the containment join is equality-keyed on the hour band") {
+    val p = plan("join_interval_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banding must keep the interval join keyed:\n" + p.take(1500))
+  }
 }
