@@ -542,8 +542,8 @@ object EventOps {
         |  FROM bounds),
         |types AS (SELECT DISTINCT event_type FROM events)
         |SELECT hr, event_type, COALESCE(n_raw, 0) AS n,
-        |       sum(COALESCE(n_raw, 0)) OVER (PARTITION BY event_type ORDER BY hr
-        |                                     ROWS UNBOUNDED PRECEDING) AS cum_n
+        |       CAST(sum(COALESCE(n_raw, 0)) OVER (PARTITION BY event_type ORDER BY hr
+        |                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
         |FROM hours CROSS JOIN types
         |LEFT JOIN counts USING (hr, event_type)
         |ORDER BY hr, event_type""".stripMargin)

@@ -214,6 +214,25 @@ object FunctionOps {
         .orderBy("doc_id")
     }),
 
+    // Regex surface beyond the single-extract in F1: extract-ALL (array),
+    // match-count, boolean match, and a grouped replace. Patterns stay in
+    // the RE2-compatible subset (no backrefs/lookaround) so Spark's
+    // java.util.regex and DuckDB's RE2 scan identically — the same
+    // discipline text_pii_redact established. All map-only codegen'd ops.
+    "fn_regex" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+          col("text").rlike("scan").as("has_scan"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+e\\b"), lit(0)))
+            .cast(LongType).as("n_e_words"),
+          array_join(slice(regexp_extract_all(col("text"), lit("[a-z]+e\\b"), lit(0)),
+            1, 3), ",").as("e_sample"),
+          regexp_replace(col("text"), "(table|scan)", "<$1>").as("tagged"))
+        .orderBy("doc_id")
+    }),
+
     // F8: casts across numeric/string/timestamp.
     "fn_cast" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -312,6 +331,15 @@ object FunctionOps {
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         |       CAST('3.5' AS DOUBLE) AS parsed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_regex" ->
+      """SELECT doc_id,
+        |       regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+        |       regexp_matches(text, 'scan') AS has_scan,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+e\b')) AS BIGINT) AS n_e_words,
+        |       COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+e\b')[1:3], ','), '')
+        |         AS e_sample,
+        |       regexp_replace(text, '(table|scan)', '<\1>', 'g') AS tagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_struct" ->
       """SELECT o_orderkey,
         |       o_orderstatus AS status,

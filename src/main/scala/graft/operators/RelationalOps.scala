@@ -156,6 +156,45 @@ object RelationalOps {
         .orderBy("c_id")
     }),
 
+    // E7c: NEAREST as-of — each purchase pairs with its temporally closest
+    // click in EITHER direction (equal distance resolves backward, the
+    // deterministic convention). Both directional carries ride the SAME
+    // union-tag-sort: last(ignoreNulls) preceding + first(ignoreNulls)
+    // following share one user_id exchange and one sort — completing the
+    // backward (join_asof) / forward (join_asof_forward) family without a
+    // second shuffle, still linear per row.
+    "join_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast(TimestampType).as("click_ts"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+      val back = last(col("click_ts"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val fwd = first(col("click_ts"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      clicks.unionAll(purchases)
+        .withColumn("back", back).withColumn("fwd", fwd)
+        .filter(col("kind") === 1)
+        .withColumn("nearest_click_ts",
+          when(col("back").isNull, col("fwd"))
+            .when(col("fwd").isNull, col("back"))
+            .when(unix_micros(col("ts")) - unix_micros(col("back")) <=
+              unix_micros(col("fwd")) - unix_micros(col("ts")), col("back"))
+            .otherwise(col("fwd")))
+        .withColumn("direction",
+          when(col("nearest_click_ts").isNull, lit(null).cast(StringType))
+            .when(col("nearest_click_ts") <= col("ts"), "back")
+            .otherwise("fwd"))
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("nearest_click_ts"), col("direction"))
+        .orderBy("p_id")
+    }),
+
     // E8: cross join (tiny×tiny only — a guard rail, not a pattern).
     "join_cross" -> ((s, dir) => {
       Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
@@ -829,6 +868,21 @@ object RelationalOps {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_asof_nearest" ->
+      """SELECT p_id, p_user, p_ts, nearest_click_ts,
+        |       CASE WHEN nearest_click_ts IS NULL THEN NULL
+        |            WHEN nearest_click_ts <= p_ts THEN 'back'
+        |            ELSE 'fwd' END AS direction
+        |FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+        |         c.ts AS nearest_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+        |                                     c.ts ASC, c.event_id ASC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "join_asof_forward" ->
       """SELECT c_id, c_user, c_ts, next_purchase_ts FROM (

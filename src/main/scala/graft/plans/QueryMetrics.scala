@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** C9 progress metering, made explicit (ref: the reference logs rows/s and
+  * bytes/s on a 3 s ticker and exports OTel counters —
+  * cmd/gh-load/main.go:270-300, cmd/gh-archived/main.go:218-267). The Spark
+  * analog is a `QueryExecutionListener`: per finished action it records the
+  * tag (callers label work via the `graft.query` local property), wall
+  * duration, scanned rows (sum of every leaf scan's numOutputRows metric —
+  * the rows/s numerator) and result rows. Registration is per-session and
+  * the sink is a bounded in-memory ring: at scale this is exactly where an
+  * OTel/StatsD exporter would hang, with zero cost on the query path (the
+  * listener bus is async and off the execution hot path).
+  */
+object QueryMetrics {
+
+  final case class Entry(tag: String, durationNs: Long,
+                         scannedRows: Long, outputRows: Long, failed: Boolean)
+
+  private val maxEntries = 1024 // bounded: a long-lived session must not leak
+  private val log = new java.util.concurrent.ConcurrentLinkedDeque[Entry]
+
+  def entries: Seq[Entry] = {
+    val it = log.iterator()
+    val buf = Seq.newBuilder[Entry]
+    while (it.hasNext) buf += it.next()
+    buf.result()
+  }
+
+  def clear(): Unit = log.clear()
+
+  private def record(e: Entry): Unit = {
+    log.addLast(e)
+    while (log.size() > maxEntries) log.pollFirst()
+  }
+
+  /** The session-scoped label for subsequent actions. Session conf, not a
+    * SparkContext local property: the execution-listener bus delivers on
+    * its own thread, where thread-local job properties are invisible, but
+    * the session state travels with the QueryExecution itself. Queries
+    * running concurrently in ONE session share the label — tag per
+    * logical step, as Bench/Verify-style drivers naturally do.
+    */
+  def tag(spark: SparkSession, name: String): Unit =
+    if (name == null) spark.conf.unset("graft.query")
+    else spark.conf.set("graft.query", name)
+
+  final class Listener extends QueryExecutionListener {
+    private def tagOf(qe: QueryExecution, fallback: String): String =
+      qe.sparkSession.conf.getOption("graft.query").getOrElse(fallback)
+
+    // AQE nests the real operators inside wrapper "leaves": the whole query
+    // sits in AdaptiveSparkPlanExec and each materialized stage appears as
+    // a QueryStageExec leaf — recurse through both to reach the scans
+    private def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+      case l if l.children.isEmpty => Seq(l)
+      case n => n.children.flatMap(leaves)
+    }
+
+    private def scanned(qe: QueryExecution): Long =
+      leaves(qe.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit =
+      record(Entry(tagOf(qe, funcName), durationNs, scanned(qe),
+        qe.executedPlan.metrics.get("numOutputRows")
+          .map(_.value).getOrElse(-1L),
+        failed = false))
+
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit =
+      record(Entry(tagOf(qe, funcName), -1L, 0L, 0L, failed = true))
+  }
+
+  /** Idempotent per session instance: registering twice would double-count. */
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (registered.add(spark)) spark.listenerManager.register(new Listener)
+  }
+}
