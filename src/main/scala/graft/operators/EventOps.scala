@@ -254,6 +254,50 @@ object EventOps {
         .orderBy("first_touch", "last_touch")
     }),
 
+    // Linear interpolation over the dense hour grid — the ClickHouse
+    // `WITH FILL ... INTERPOLATE` analog and the step past gap-fill
+    // (zeros) and forward-fill (staircase): missing hours get the value
+    // the line between their known neighbors passes through. Known points
+    // are hourly decimal-exact averages; the four neighbor carries (value
+    // and timestamp, both directions) ride ONE event_type window exchange
+    // over the broadcast-grid left join; the blend ratio is a quotient of
+    // exact integer second deltas, so both engines compute identical
+    // doubles before round(6). Edge hours with only one known side stay
+    // null — fabricating a flat extrapolation would be a lie the
+    // monitoring consumer can't detect.
+    "event_interpolate" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val known = e
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg((sum(dec(col("value"))).cast(DoubleType) / count(lit(1))).as("v"))
+      val hours = e
+        .agg(min(date_trunc("hour", col("ts"))).as("h_min"),
+          max(date_trunc("hour", col("ts"))).as("h_max"))
+        .select(explode(sequence(col("h_min"), col("h_max"),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      val types = e.select("event_type").distinct()
+      val ord = Window.partitionBy("event_type").orderBy("hr")
+      val prec = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val folw = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val knownHr = when(col("v").isNotNull, col("hr"))
+      hours.crossJoin(broadcast(types))
+        .join(known, Seq("hr", "event_type"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(prec))
+        .withColumn("pt", last(knownHr, ignoreNulls = true).over(prec))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(folw))
+        .withColumn("nt", first(knownHr, ignoreNulls = true).over(folw))
+        .select(col("hr"), col("event_type"), round(col("v"), 6).as("v"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  (unix_timestamp(col("hr")) - unix_timestamp(col("pt")))
+                    .cast(DoubleType) /
+                  (unix_timestamp(col("nt")) - unix_timestamp(col("pt")))),
+            6).as("interp"))
+        .orderBy("hr", "event_type")
+    }),
+
     // Exponential moving average (ClickHouse `exponentialMovingAverage`
     // analog) over the daily event-count series — the smoothing every
     // monitoring dashboard applies before thresholding. Phrased as a
@@ -358,6 +402,38 @@ object EventOps {
         |       count(*) AS n_events
         |FROM z GROUP BY user_id, sess_n
         |ORDER BY user_id, sess_n""".stripMargin,
+    "event_interpolate" ->
+      """WITH known AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT min(date_trunc('hour', ts)) AS h_min,
+        |         max(date_trunc('hour', ts)) AS h_max FROM events),
+        |hours AS (
+        |  SELECT unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |g AS (
+        |  SELECT hr, event_type, v,
+        |         last_value(v IGNORE NULLS) OVER w AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |           OVER w AS pt,
+        |         first_value(v IGNORE NULLS) OVER wf AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |           OVER wf AS nt
+        |  FROM hours CROSS JOIN types LEFT JOIN known USING (hr, event_type)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY hr
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT hr, event_type, round(v, 6) AS v,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |                    pv + (nv - pv) * CAST(epoch(hr) - epoch(pt) AS DOUBLE)
+        |                         / (epoch(nt) - epoch(pt))
+        |             END, 6) AS interp
+        |FROM g ORDER BY hr, event_type""".stripMargin,
     "window_ema" -> {
       val num = (0 until 8).map(j =>
         s"CASE WHEN l$j IS NOT NULL THEN 0.3 * power(0.7, $j) * l$j ELSE 0.0 END")
