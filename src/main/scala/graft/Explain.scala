@@ -11,7 +11,11 @@ object Explain {
     "agg_group", "filter_pred", "topk", "window_rank",
     "partition_prune", "sorted_range_scan", "replace_by_key",
     "dedup_minhash", "dedup_ngram_jaccard", "sim_topk", "sim_topk_ivf",
-    "agg_skew_salted", "text_termfreq")
+    "agg_skew_salted", "text_termfreq",
+    // round-3 scale-critical additions
+    "sim_centroid", "profile_columns", "scd2_history",
+    "join_interval_bucketed", "join_asof_nearest", "multimodal_near_dup",
+    "event_interpolate", "agg_quantiles_multi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -290,13 +290,16 @@ object MultimodalOps {
     // original↔variant pairing is pinned exactly in NorthStarSpec.
     "multimodal_near_dup" -> ((s, dir) => {
       import s.implicits._
-      val hashes = mediaRecords(s, dir)
-        .filter(col("doc_id") % 2 === 0) // PNG rows; pushes to the lake scan
-        .mapPartitions(_.flatMap { r =>
-          Seq(r.doc_id -> aHash(r.payload),
-            (r.doc_id + 1000000L) -> aHash(perturb(r.payload)))
-        })
-        .toDF("img_id", "ahash")
+      // persisted: the band self-join references the hash table on BOTH
+      // sides — unpersisted, Spark would run the decode+hash map twice
+      val hashes = OpCache.cached(dir + "#ahash",
+        mediaRecords(s, dir)
+          .filter(col("doc_id") % 2 === 0) // PNG rows; pushes to the lake scan
+          .mapPartitions(_.flatMap { r =>
+            Seq(r.doc_id -> aHash(r.payload),
+              (r.doc_id + 1000000L) -> aHash(perturb(r.payload)))
+          })
+          .toDF("img_id", "ahash"))
       val banded = hashes.select(col("img_id"), col("ahash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
