@@ -30,8 +30,11 @@ object WindowOps {
     * and (user_id, p_id/p_ts).
     */
   def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
-    purchases.join(clicks,
-        purchases("user_id") === clicks("user_id") &&
+    // rename instead of dataset-qualified columns: both sides usually derive
+    // from the same scan, where `purchases("user_id") === clicks("user_id")`
+    // resolves only through self-join lineage disambiguation (and warns)
+    purchases.join(clicks.withColumnRenamed("user_id", "c_user"),
+        col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"))
       .select(col("p_id"), col("c_id"), col("p_ts"), col("c_ts"))

@@ -272,6 +272,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState carry-forward equals the batch window_fill_forward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Timestamp, Double)]
+    // watermark wider than the replayed span: no idle eviction mid-replay,
+    // so the stream must reproduce the batch window exactly
+    val q = graft.streaming.StateOps.carryForward(
+        mem.toDF().toDF("user_id", "event_id", "event_type", "ts", "value")
+          .as[(Long, Long, String, Timestamp, Double)],
+        watermark = "40 days")
+      .writeStream.format("memory").queryName("carry_out")
+      .outputMode("append").start()
+    try {
+      val all = Tables.events(spark, sf)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), r.getDouble(4)))
+      for (chunk <- all.grouped(400)) { mem.addData(chunk.toSeq); q.processAllAvailable() }
+      val stream = spark.sql("select user_id, event_id, filled from carry_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val batch = SparkEntry.queries("window_fill_forward")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      assert(stream.size == batch.size, s"${stream.size} vs ${batch.size}")
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("property: streaming funnel equals a sequential state-machine reference") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
