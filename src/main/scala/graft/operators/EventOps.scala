@@ -358,6 +358,33 @@ object EventOps {
         .orderBy("event_id")
     }),
 
+    // Full cohort retention MATRIX (generalizing `event_retention`'s single
+    // cohort): every signup-week cohort × week offset 0..3, distinct active
+    // users — the grid every growth dashboard renders. Week index is exact
+    // integer arithmetic from a fixed epoch; activity collapses to distinct
+    // (user, week) pairs BEFORE any join (the 100-TB trick: the matrix
+    // join touches user-weeks, not raw events); the pivot is over a fixed
+    // tiny offset domain so the output schema is static.
+    "event_retention_matrix" -> ((s, dir) => {
+      val acts = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01").cast(DateType))
+            / lit(7.0)).as("w"))
+        .distinct()
+      val cohorts = acts.groupBy("user_id").agg(min("w").as("cohort_week"))
+      val m = acts.join(cohorts, "user_id")
+        .withColumn("off", col("w") - col("cohort_week"))
+        .groupBy("cohort_week")
+        .pivot("off", Seq(0, 1, 2, 3))
+        .agg(countDistinct("user_id"))
+      m.select(col("cohort_week"),
+          coalesce(col("0"), lit(0L)).as("w0"),
+          coalesce(col("1"), lit(0L)).as("w1"),
+          coalesce(col("2"), lit(0L)).as("w2"),
+          coalesce(col("3"), lit(0L)).as("w3"))
+        .orderBy("cohort_week")
+    }),
+
     // Anomaly surfacing — the observability query the reference's own
     // Prometheus metrics feed (ref: internal/app metrics): each day's event
     // count scored against the trailing week's mean/stddev (current day
@@ -402,6 +429,20 @@ object EventOps {
         |       count(*) AS n_events
         |FROM z GROUP BY user_id, sess_n
         |ORDER BY user_id, sess_n""".stripMargin,
+    "event_retention_matrix" ->
+      """WITH acts AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |                    / 7.0) AS BIGINT) AS w
+        |  FROM events),
+        |c AS (SELECT user_id, min(w) AS cohort_week FROM acts GROUP BY user_id)
+        |SELECT cohort_week,
+        |       count(DISTINCT CASE WHEN w - cohort_week = 0 THEN user_id END) AS w0,
+        |       count(DISTINCT CASE WHEN w - cohort_week = 1 THEN user_id END) AS w1,
+        |       count(DISTINCT CASE WHEN w - cohort_week = 2 THEN user_id END) AS w2,
+        |       count(DISTINCT CASE WHEN w - cohort_week = 3 THEN user_id END) AS w3
+        |FROM acts JOIN c USING (user_id)
+        |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
     "event_interpolate" ->
       """WITH known AS (
         |  SELECT date_trunc('hour', ts) AS hr, event_type,

@@ -186,6 +186,30 @@ object PipelineOps {
         .orderBy("d")
     }),
 
+    // D1+: DYNAMIC partition pruning — the filter on the partition column
+    // arrives from a JOIN, not a literal: find the two worst error days,
+    // then read ONLY those day directories of the archive. At 100 TB this
+    // is the difference between scanning 2 partitions and 1000 — the dim
+    // side broadcasts and Catalyst injects its day set as a runtime
+    // partition filter on the fact scan (plan-guarded: PartitionFilters
+    // carries a dynamicpruning subquery). partition_prune covers the
+    // static-literal case; this is the join-driven one.
+    "join_partition_prune_dynamic" -> ((s, dir) => {
+      val path = writeSink(s, dir)
+      val fact = s.read.parquet(path)
+      val topDays = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_err"))
+        .orderBy(col("n_err").desc, col("d"))
+        .limit(2)
+      fact.join(broadcast(topDays), Seq("d"))
+        .groupBy("d", "n_err")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+        .orderBy("d")
+    }),
+
     // D2: primary-key range scan — ts-sorted parquet gives min/max row-group
     // skipping for the time-range predicate.
     "sorted_range_scan" -> ((s, dir) => {
@@ -330,6 +354,15 @@ object PipelineOps {
       """SELECT event_id, ts, user_id, event_type FROM events
         |WHERE ts >= (SELECT max(ts) - INTERVAL 3 DAY FROM events)
         |ORDER BY event_id""".stripMargin,
+    "join_partition_prune_dynamic" ->
+      """WITH top2 AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n_err
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY 1 ORDER BY n_err DESC, d LIMIT 2)
+        |SELECT t.d, t.n_err, count(*) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN top2 t ON CAST(e.ts AS DATE) = t.d
+        |GROUP BY t.d, t.n_err ORDER BY t.d""".stripMargin,
     "partition_prune" ->
       """SELECT CAST(ts AS DATE) AS d, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

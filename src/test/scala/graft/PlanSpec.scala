@@ -216,6 +216,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n" + p.take(2000))
   }
 
+  test("join_partition_prune_dynamic: the join injects a runtime partition filter") {
+    val p = plan("join_partition_prune_dynamic")
+    assert(p.contains("dynamicpruning"),
+      "the day-dim join must prune fact partitions at runtime:\n" + p.take(2500))
+  }
+
   test("join_interval_bucketed: the containment join is equality-keyed on the hour band") {
     val p = plan("join_interval_bucketed")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
