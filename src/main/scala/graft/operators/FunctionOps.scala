@@ -233,6 +233,46 @@ object FunctionOps {
         .orderBy("doc_id")
     }),
 
+    // ANSI-safe error handling — the raw-archive reality: some fraction of
+    // every 100 TB is junk, and a pipeline that throws on the first bad
+    // cell never finishes. try_cast / try_divide / try_to_timestamp return
+    // null instead of failing the task (the row-level complement of B3's
+    // file-level FAILFAST/PERMISSIVE choice). Junk is synthesized
+    // deterministically so both engines see identical inputs.
+    "fn_try" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("raw_num",
+          when(col("event_id") % 3 === 0, lit("not_a_number"))
+            .otherwise(col("event_id").cast(StringType)))
+        .withColumn("raw_date",
+          when(col("event_id") % 2 === 0, lit("2024-01-15"))
+            .otherwise(lit("junk")))
+        .select(
+          col("event_id"),
+          expr("try_cast(raw_num AS BIGINT)").as("parsed_num"),
+          try_divide(col("value"), (col("event_id") % 5).cast(DoubleType))
+            .as("safe_div"),
+          expr("try_cast(raw_date AS DATE)").as("parsed_date"))
+        .orderBy("event_id")
+    }),
+
+    // Spark 4 VariantType — the modern half-structured path: parse once
+    // into the binary variant encoding, extract typed fields without
+    // re-parsing text per access (the engine-native successor to
+    // get_json_object over a string column). Outputs are extracted
+    // scalars, so the parquet the driver compares stays plain-typed.
+    "fn_variant" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k_long"),
+          variant_get(col("v"), "$.k", "string").as("k_str"),
+          variant_get(col("v"), "$.missing", "bigint").as("absent"),
+          to_json(col("v")).as("normalized"))
+        .orderBy("event_id")
+    }),
+
     // F8: casts across numeric/string/timestamp.
     "fn_cast" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -331,6 +371,26 @@ object FunctionOps {
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         |       CAST('3.5' AS DOUBLE) AS parsed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_try" ->
+      """WITH x AS (
+        |  SELECT event_id, value,
+        |         CASE WHEN event_id % 3 = 0 THEN 'not_a_number'
+        |              ELSE CAST(event_id AS VARCHAR) END AS raw_num,
+        |         CASE WHEN event_id % 2 = 0 THEN '2024-01-15'
+        |              ELSE 'junk' END AS raw_date
+        |  FROM events)
+        |SELECT event_id,
+        |       TRY_CAST(raw_num AS BIGINT) AS parsed_num,
+        |       value / NULLIF(CAST(event_id % 5 AS DOUBLE), 0) AS safe_div,
+        |       TRY_CAST(raw_date AS DATE) AS parsed_date
+        |FROM x ORDER BY event_id""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_id,
+        |       CAST(props->>'$.k' AS BIGINT) AS k_long,
+        |       props->>'$.k' AS k_str,
+        |       CAST(props->>'$.missing' AS BIGINT) AS absent,
+        |       to_json(from_json(props::JSON, '{"k":"BIGINT"}'))::VARCHAR AS normalized
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_regex" ->
       """SELECT doc_id,
         |       regexp_extract(text, '^([a-z]+)', 1) AS first_word,

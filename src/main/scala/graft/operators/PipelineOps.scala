@@ -274,6 +274,33 @@ object PipelineOps {
         .orderBy("event_id")
     }),
 
+    // Single-day backfill via DYNAMIC partition overwrite — the ops move
+    // the reference's replay story implies (re-load one hour/day after a
+    // correction, ref: cmd/gh-load bounded ranges): rewrite exactly one
+    // day's directory with corrected values while every other partition's
+    // files stay untouched. `partitionOverwriteMode=dynamic` scopes the
+    // overwrite to partitions present in the incoming frame — the
+    // ClickHouse `ALTER TABLE ... DROP/ATTACH PARTITION` analog. The
+    // correction is decimal-exact (+100.00) so the oracle compares
+    // bit-equal doubles. Uses its own sink: the shared one serves the
+    // pruning keys, which must keep seeing uncorrected data.
+    "sink_partition_overwrite_day" -> ((s, dir) => {
+      val path = OpCache.once(dir + "#overwrite_sink") {
+        val out = scratch(dir, "events_overwrite")
+        val e = Tables.events(s, dir).withColumn("d", to_date(col("ts")))
+        e.write.mode("overwrite").partitionBy("d").parquet(out)
+        e.filter(col("d") === lit("2024-01-02").cast(DateType))
+          .withColumn("value", (dec(col("value")) + lit(100)).cast(DoubleType))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("d").parquet(out)
+        out
+      }
+      s.read.parquet(path)
+        .select(col("event_id"), col("d"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // CSV export/import round-trip — the interchange format every archive
     // eventually has to emit for tools that cannot read parquet. Lossless
     // by construction: an explicit µs timestamp format on both write and
@@ -392,5 +419,11 @@ object PipelineOps {
         |ORDER BY event_id""".stripMargin,
     "sink_csv_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "sink_partition_overwrite_day" ->
+      """SELECT event_id, CAST(ts AS DATE) AS d,
+        |       CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02'
+        |            THEN CAST(CAST(value AS DECIMAL(18,2)) + 100 AS DOUBLE)
+        |            ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin)
 }
