@@ -318,6 +318,25 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // E12+: grouping indicators — with mixed subtotal rows in one result,
+    // `grouping()` is how a consumer tells "the NULL that means ALL" from
+    // a genuine NULL group key (the one thing COALESCE labels can't do if
+    // 'ALL' were a real value). The portable bitmask is built explicitly
+    // as g_rf·2 + g_ls so both engines agree on bit order.
+    "agg_grouping_id" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping("l_returnflag").cast(LongType).as("g_rf"),
+          grouping("l_linestatus").cast(LongType).as("g_ls"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("g_rf"), col("g_ls"),
+          (col("g_rf") * 2 + col("g_ls")).as("gid"))
+        .orderBy("gid", "flag", "status")
+    }),
+
     // E9c': the whole quantile LADDER in one aggregate (ClickHouse
     // `quantiles(...)(x)` analog) — one sort per group serves every
     // requested q, instead of one percentile call per cut re-gathering
@@ -931,6 +950,16 @@ object RelationalOps {
         |       round(quantile_cont(value, 0.95), 4) AS p95,
         |       round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_grouping_id" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+        |         AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin,
     "agg_quantiles_multi" ->
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -236,6 +236,27 @@ object TextOps {
         .limit(20)
     }),
 
+    // Fuzzy string matching — levenshtein argmin against a reference
+    // vocabulary, the spell-correction / entity-resolution primitive (the
+    // edit-distance confirm step a fuzzy-dedup pipeline runs after its
+    // cheap candidate filter). Map-only: the 5-word vocabulary rides in
+    // the row as a literal array; argmin-with-tiebreak is array_sort on
+    // (distance, word) structs — no explode, no shuffle. Both engines run
+    // the standard Wagner-Fischer distance — cross-implementation, not
+    // one formula checked against itself.
+    "text_fuzzy_match" -> ((s, dir) => {
+      val refs = Seq("table", "vector", "stream", "filter", "window")
+      val first = element_at(split(col("text"), " "), 1)
+      val dists = array(refs.map(r =>
+        struct(levenshtein(first, lit(r)).as("d"), lit(r).as("w"))): _*)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), first.as("first_word"),
+          element_at(array_sort(dists), 1).getField("w").as("best"),
+          element_at(array_sort(dists), 1).getField("d")
+            .cast(LongType).as("dist"))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID heuristic: argmax of marker-word hit ratio.
     "text_langid" -> ((s, dir) => {
       val scored = profiles.foldLeft(Tables.documents(s, dir)) {
@@ -485,6 +506,16 @@ object TextOps {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 30""".stripMargin,
+    "text_fuzzy_match" ->
+      """WITH f AS (SELECT doc_id, string_split(text, ' ')[1] AS fw FROM documents),
+        |d AS (SELECT doc_id, fw, w, levenshtein(fw, w) AS dist
+        |      FROM f, (SELECT unnest(['table', 'vector', 'stream',
+        |                              'filter', 'window']) AS w)),
+        |r AS (SELECT doc_id, fw, w, dist,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY dist, w) AS rn
+        |      FROM d)
+        |SELECT doc_id, fw AS first_word, w AS best, CAST(dist AS BIGINT) AS dist
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
         |uc AS (SELECT w, count(*) AS cw

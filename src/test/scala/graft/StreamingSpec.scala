@@ -272,6 +272,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from finalized windows (G6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, ts("2024-01-01 00:05:00")), (2L, ts("2024-01-01 00:20:00"))))
+      q.processAllAvailable()
+      // event time jumps 3 h: the watermark passes 01:00 and append mode
+      // finalizes the first window with n = 2
+      mem.addData(Seq((3L, ts("2024-01-01 03:00:00"))))
+      q.processAllAvailable()
+      // a LATE row for the closed 00:00 window — behind the watermark,
+      // must be dropped, not resurrect or re-emit the window
+      mem.addData(Seq((4L, ts("2024-01-01 00:30:00"))))
+      q.processAllAvailable()
+      mem.addData(Seq((5L, ts("2024-01-01 06:00:00"))))
+      q.processAllAvailable()
+      val first = spark.sql(
+        "select n from late_out where w_start = timestamp'2024-01-01 00:00:00'")
+        .collect().map(_.getLong(0)).toSeq
+      assert(first == Seq(2L),
+        s"closed window must emit once with the on-time count only: $first")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carry-forward equals the batch window_fill_forward") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
