@@ -192,6 +192,32 @@ object EventOps {
         .orderBy("user_id", "sess_n")
     }),
 
+    // ANY-ORDER funnel (ClickHouse windowFunnel's relaxed mode next to
+    // `event_funnel`'s strict one): a user's anchor is the FIRST of the
+    // three step types they ever perform; a step counts if its first
+    // occurrence lands within 7 days of that anchor, in any order. One
+    // conditional-aggregate pass per user (three firsts collapse map-side
+    // before the single user_id exchange), then a tiny distribution count.
+    "event_funnel_any_order" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+      val firsts = e.groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_s"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_p"))
+        .withColumn("anchor", least(col("t_s"), col("t_c"), col("t_p")))
+      val horizon = col("anchor") + expr("INTERVAL 7 DAYS")
+      firsts
+        .withColumn("n_steps",
+          when(col("t_s").isNotNull && col("t_s") <= horizon, 1L).otherwise(0L) +
+          when(col("t_c").isNotNull && col("t_c") <= horizon, 1L).otherwise(0L) +
+          when(col("t_p").isNotNull && col("t_p") <= horizon, 1L).otherwise(0L))
+        .groupBy("n_steps")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("n_steps")
+    }),
+
     // SCD2 history build — compact an append-only event log into
     // slowly-changing-dimension rows: consecutive equal states collapse
     // into one row carrying [valid_from, valid_to) and an is_current flag.
@@ -515,6 +541,24 @@ object EventOps {
         |FROM events e JOIN inc i
         |  ON e.ts BETWEEN i.inc_start AND i.inc_end
         |ORDER BY e.event_id""".stripMargin,
+    "event_funnel_any_order" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_s,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_c,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+        |  GROUP BY user_id),
+        |a AS (SELECT *, least(t_s, t_c, t_p) AS anchor FROM f)
+        |SELECT CAST(
+        |         CASE WHEN t_s IS NOT NULL AND t_s <= anchor + INTERVAL 7 DAY
+        |              THEN 1 ELSE 0 END
+        |       + CASE WHEN t_c IS NOT NULL AND t_c <= anchor + INTERVAL 7 DAY
+        |              THEN 1 ELSE 0 END
+        |       + CASE WHEN t_p IS NOT NULL AND t_p <= anchor + INTERVAL 7 DAY
+        |              THEN 1 ELSE 0 END AS BIGINT) AS n_steps,
+        |       count(*) AS n_users
+        |FROM a GROUP BY 1 ORDER BY n_steps""".stripMargin,
     "scd2_history" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id, event_type AS state,

@@ -114,6 +114,26 @@ object FunctionOps {
         .orderBy("doc_id")
     }),
 
+    // F5b: the rest of the array higher-order family — exists / forall
+    // short-circuit predicates, flatten, sequence generation, sorted
+    // distinct. All codegen'd built-ins; DuckDB phrases exists/forall as
+    // list_filter cardinalities (two formulations, same semantics), and
+    // distinct is sorted on both sides because DuckDB's list_distinct
+    // does not preserve encounter order.
+    "fn_array_hof" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          exists(col("toks"), t => length(t) > 6).as("has_long"),
+          forall(col("toks"), t => length(t) > 0).as("all_nonempty"),
+          size(flatten(array(slice(col("toks"), lit(1), lit(2)),
+            slice(col("toks"), lit(3), lit(2))))).cast(LongType).as("flat4"),
+          size(sequence(lit(1), size(col("toks")))).cast(LongType).as("seq_n"),
+          array_join(array_sort(array_distinct(slice(col("toks"), lit(1), lit(4)))),
+            "|").as("first_uniq"))
+        .orderBy("doc_id")
+    }),
+
     // F6: map construction + access (testdata has no map column — built
     // in-query from event fields, FIXTURES.md).
     "fn_map" -> ((s, dir) => {
@@ -346,6 +366,15 @@ object FunctionOps {
         |       CAST(list_sum(list_transform(toks, t -> length(t) * length(t))) AS BIGINT) AS sum_len_sq
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "fn_array_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |       len(list_filter(tk, t -> length(t) > 6)) > 0 AS has_long,
+        |       len(list_filter(tk, t -> NOT (length(t) > 0))) = 0 AS all_nonempty,
+        |       CAST(len(flatten([tk[1:2], tk[3:4]])) AS BIGINT) AS flat4,
+        |       CAST(len(generate_series(1, len(tk))) AS BIGINT) AS seq_n,
+        |       array_to_string(list_sort(list_distinct(tk[1:4])), '|') AS first_uniq
+        |FROM t ORDER BY doc_id""".stripMargin,
     "fn_map" ->
       """SELECT event_id,
         |       event_type AS m_type,
