@@ -291,13 +291,15 @@ object MultimodalOps {
     "multimodal_near_dup" -> ((s, dir) => {
       import s.implicits._
       // persisted: the band self-join references the hash table on BOTH
-      // sides — unpersisted, Spark would run the decode+hash map twice
+      // sides — unpersisted, Spark would run the decode+hash map twice.
+      // img_id = doc_id·2 (+1 for the variant): collision-free for ANY
+      // doc_id (an additive offset would alias once ids reach it)
       val hashes = OpCache.cached(dir + "#ahash",
         mediaRecords(s, dir)
           .filter(col("doc_id") % 2 === 0) // PNG rows; pushes to the lake scan
           .mapPartitions(_.flatMap { r =>
-            Seq(r.doc_id -> aHash(r.payload),
-              (r.doc_id + 1000000L) -> aHash(perturb(r.payload)))
+            Seq(r.doc_id * 2 -> aHash(r.payload),
+              (r.doc_id * 2 + 1) -> aHash(perturb(r.payload)))
           })
           .toDF("img_id", "ahash"))
       val banded = hashes.select(col("img_id"), col("ahash"),

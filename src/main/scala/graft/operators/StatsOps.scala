@@ -133,7 +133,10 @@ object StatsOps {
       val part = Window.partitionBy("l_returnflag")
       Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_quantity").cast(LongType).as("w"))
+          // explicit floor: a bare double→long cast truncates in Spark but
+          // ROUNDS in DuckDB — floor() pins one semantics on both engines
+          // (no-op here: the fixture quantities are integer-valued)
+          floor(col("l_quantity")).as("w"))
         .withColumn("cum", sum("w").over(cum))
         .withColumn("tot", sum("w").over(part))
         .filter(lit(2L) * col("cum") >= col("tot"))
@@ -232,7 +235,7 @@ object StatsOps {
     "agg_weighted_median" ->
       """WITH x AS (
         |  SELECT l_returnflag, l_extendedprice,
-        |         CAST(l_quantity AS BIGINT) AS w
+        |         CAST(floor(l_quantity) AS BIGINT) AS w
         |  FROM lineitem),
         |c AS (
         |  SELECT l_returnflag, l_extendedprice,

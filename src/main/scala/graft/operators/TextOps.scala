@@ -250,10 +250,10 @@ object TextOps {
       val dists = array(refs.map(r =>
         struct(levenshtein(first, lit(r)).as("d"), lit(r).as("w"))): _*)
       Tables.documents(s, dir)
+        .withColumn("nearest", element_at(array_sort(dists), 1))
         .select(col("doc_id"), first.as("first_word"),
-          element_at(array_sort(dists), 1).getField("w").as("best"),
-          element_at(array_sort(dists), 1).getField("d")
-            .cast(LongType).as("dist"))
+          col("nearest.w").as("best"),
+          col("nearest.d").cast(LongType).as("dist"))
         .orderBy("doc_id")
     }),
 

@@ -8,12 +8,11 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * bytes/s on a 3 s ticker and exports OTel counters —
   * cmd/gh-load/main.go:270-300, cmd/gh-archived/main.go:218-267). The Spark
   * analog is a `QueryExecutionListener`: per finished action it records the
-  * tag (callers label work via the `graft.query` local property), wall
-  * duration, scanned rows (sum of every leaf scan's numOutputRows metric —
-  * the rows/s numerator) and result rows. Registration is per-session and
-  * the sink is a bounded in-memory ring: at scale this is exactly where an
-  * OTel/StatsD exporter would hang, with zero cost on the query path (the
-  * listener bus is async and off the execution hot path).
+  * tag, wall duration, scanned rows (sum of every leaf scan's numOutputRows
+  * metric — the rows/s numerator) and result rows. Registration is
+  * per-session and the sink is a bounded in-memory ring: at scale this is
+  * exactly where an OTel/StatsD exporter would hang, with zero cost on the
+  * query path (the listener bus is async and off the execution hot path).
   */
 object QueryMetrics {
 
@@ -22,6 +21,9 @@ object QueryMetrics {
 
   private val maxEntries = 1024 // bounded: a long-lived session must not leak
   private val log = new java.util.concurrent.ConcurrentLinkedDeque[Entry]
+  // ConcurrentLinkedDeque.size() is an O(n) traversal — keep the bound's
+  // counter separately so every record() stays O(1)
+  private val logSize = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def entries: Seq[Entry] = {
     val it = log.iterator()
@@ -30,23 +32,40 @@ object QueryMetrics {
     buf.result()
   }
 
-  def clear(): Unit = log.clear()
+  def clear(): Unit = { log.clear(); logSize.set(0) }
 
   private def record(e: Entry): Unit = {
     log.addLast(e)
-    while (log.size() > maxEntries) log.pollFirst()
+    if (logSize.incrementAndGet() > maxEntries && log.pollFirst() != null)
+      logSize.decrementAndGet()
   }
 
-  /** The session-scoped label for subsequent actions. Session conf, not a
-    * SparkContext local property: the execution-listener bus delivers on
-    * its own thread, where thread-local job properties are invisible, but
-    * the session state travels with the QueryExecution itself. Queries
-    * running concurrently in ONE session share the label — tag per
-    * logical step, as Bench/Verify-style drivers naturally do.
+  /** The session-scoped label for subsequent actions — session conf, which
+    * the listener reads back on delivery. The listener bus is ASYNC: a
+    * re-tag racing an in-flight delivery would mislabel the earlier query,
+    * so sequential drivers should prefer [[timed]], which closes the race
+    * by waiting for the tagged entry before returning.
     */
   def tag(spark: SparkSession, name: String): Unit =
     if (name == null) spark.conf.unset("graft.query")
     else spark.conf.set("graft.query", name)
+
+  /** Run `action` under `name` and wait (bounded) until its entry lands, so
+    * back-to-back timed() calls can never mislabel each other despite the
+    * async listener bus. Returns the action's result.
+    */
+  def timed[T](spark: SparkSession, name: String, waitMs: Long = 10000)
+              (action: => T): T = synchronized {
+    tag(spark, name)
+    val before = entries.count(_.tag == name)
+    try {
+      val out = action
+      val end = System.currentTimeMillis() + waitMs
+      while (entries.count(_.tag == name) == before &&
+             System.currentTimeMillis() < end) Thread.sleep(10)
+      out
+    } finally tag(spark, null)
+  }
 
   final class Listener extends QueryExecutionListener {
     private def tagOf(qe: QueryExecution, fallback: String): String =

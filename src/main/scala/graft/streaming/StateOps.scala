@@ -89,62 +89,6 @@ object StateOps {
     * Within a batch events are processed in event-time order; in-order
     * delivery across batches is the archive source's replay contract.
     */
-  case class CarryState(atMs: Long, v: Double)
-  case class FilledEvent(user_id: Long, event_id: Long, filled: Option[Double])
-
-  private implicit val csEnc: Encoder[CarryState] = Encoders.product[CarryState]
-  private implicit val feEnc: Encoder[FilledEvent] = Encoders.product[FilledEvent]
-  private implicit val quintEnc: Encoder[(Long, Long, String, Timestamp, Double)] =
-    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING,
-      Encoders.TIMESTAMP, Encoders.scalaDouble)
-
-  /** Streaming forward fill (the live twin of `window_fill_forward`): per
-    * user, every event is enriched with the latest purchase value observed
-    * so far — None before the first purchase. State is ONE (ts, value)
-    * pair per user, the smallest state a stateful enrichment can carry,
-    * evicted after `idleGapMs` of event time like `runningCounts` (an
-    * idle user's next event restarts from None — the eviction is the
-    * watermark contract, documented rather than hidden). Within a batch
-    * events apply in (event-time, event_id) order — the same total order
-    * the batch twin's window uses — so a single-replay stream reproduces
-    * `window_fill_forward`'s filled column exactly (StreamingSpec).
-    */
-  def carryForward(events: Dataset[(Long, Long, String, Timestamp, Double)],
-                   watermark: String = "1 hour",
-                   idleGapMs: Long = 24L * 3600 * 1000): Dataset[FilledEvent] =
-    events.toDF("user_id", "event_id", "event_type", "ts", "value")
-      .withWatermark("ts", watermark)
-      .as[(Long, Long, String, Timestamp, Double)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[CarryState, FilledEvent](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, String, Timestamp, Double)],
-         state: GroupState[CarryState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var s = state.getOption.orNull
-            val out = Seq.newBuilder[FilledEvent]
-            var maxTs = Long.MinValue
-            rows.toSeq.sortBy(r => (r._4.getTime, r._2)).foreach {
-              case (_, eventId, typ, ts, value) =>
-                val t = ts.getTime
-                if (t > maxTs) maxTs = t
-                // update before emitting: the batch twin's running frame
-                // includes the current row, so a purchase sees its own value
-                if (typ == "purchase") s = CarryState(t, value)
-                out += FilledEvent(user, eventId, Option(s).map(_.v))
-            }
-            if (s != null) {
-              state.update(s)
-              state.setTimeoutTimestamp(
-                math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.result().iterator
-          }
-      }
-
   def streamingFunnel(events: Dataset[(Long, String, Timestamp)],
                       watermark: String = "1 hour",
                       windowMs: Long = 7L * 24 * 3600 * 1000): Dataset[FunnelAdvance] =
@@ -179,6 +123,62 @@ object StateOps {
               // timeout must sit past the current watermark or Spark rejects it
               state.setTimeoutTimestamp(
                 math.max(s.t1 + windowMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+
+  case class CarryState(v: Double)
+  case class FilledEvent(user_id: Long, event_id: Long, filled: Option[Double])
+
+  private implicit val csEnc: Encoder[CarryState] = Encoders.product[CarryState]
+  private implicit val feEnc: Encoder[FilledEvent] = Encoders.product[FilledEvent]
+  private implicit val quintEnc: Encoder[(Long, Long, String, Timestamp, Double)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING,
+      Encoders.TIMESTAMP, Encoders.scalaDouble)
+
+  /** Streaming forward fill (the live twin of `window_fill_forward`): per
+    * user, every event is enriched with the latest purchase value observed
+    * so far — None before the first purchase. State is ONE value per
+    * user, the smallest state a stateful enrichment can carry,
+    * evicted after `idleGapMs` of event time like `runningCounts` (an
+    * idle user's next event restarts from None — the eviction is the
+    * watermark contract, documented rather than hidden). Within a batch
+    * events apply in (event-time, event_id) order — the same total order
+    * the batch twin's window uses — so a single-replay stream reproduces
+    * `window_fill_forward`'s filled column exactly (StreamingSpec).
+    */
+  def carryForward(events: Dataset[(Long, Long, String, Timestamp, Double)],
+                   watermark: String = "1 hour",
+                   idleGapMs: Long = 24L * 3600 * 1000): Dataset[FilledEvent] =
+    events.toDF("user_id", "event_id", "event_type", "ts", "value")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CarryState, FilledEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Timestamp, Double)],
+         state: GroupState[CarryState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.orNull
+            val out = Seq.newBuilder[FilledEvent]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(r => (r._4.getTime, r._2)).foreach {
+              case (_, eventId, typ, ts, value) =>
+                val t = ts.getTime
+                if (t > maxTs) maxTs = t
+                // update before emitting: the batch twin's running frame
+                // includes the current row, so a purchase sees its own value
+                if (typ == "purchase") s = CarryState(value)
+                out += FilledEvent(user, eventId, Option(s).map(_.v))
+            }
+            if (s != null) {
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }

@@ -183,8 +183,9 @@ class NorthStarSpec extends SparkSpec {
     val pngIds = Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // every original must pair with its one-pixel-edited variant...
-    val expected = pngIds.map(id => (id, id + 1000000L))
+    // every original (img_id = doc_id·2) must pair with its one-pixel-edited
+    // variant (doc_id·2 + 1)...
+    val expected = pngIds.map(id => (id * 2, id * 2 + 1))
     assert(expected.subsetOf(pairs.toSet),
       s"missing ${(expected -- pairs.toSet).take(5)}")
     // ...and unrelated random images must stay far apart: any extra pair

@@ -14,22 +14,22 @@ class QueryMetricsSpec extends SparkSpec {
     cond
   }
 
-  test("listener records a tagged entry with duration and scanned rows") {
+  test("timed() records a tagged entry with duration and scanned rows") {
     QueryMetrics.register(spark)
     QueryMetrics.clear()
-    QueryMetrics.tag(spark, "metered_scan")
-    val n = Tables.events(spark, sf).filter(col("event_type") === "error").count()
+    // timed() waits for the async delivery, so back-to-back timed sections
+    // cannot mislabel each other
+    val n = QueryMetrics.timed(spark, "metered_scan") {
+      Tables.events(spark, sf).filter(col("event_type") === "error").count()
+    }
     assert(n > 0)
-    // the execution-listener bus is async; wait for delivery
-    assert(await(QueryMetrics.entries.exists(_.tag == "metered_scan")),
-      s"no metered_scan entry in ${QueryMetrics.entries.map(_.tag)}")
-    val e = QueryMetrics.entries.find(_.tag == "metered_scan").get
+    val e = QueryMetrics.entries.find(_.tag == "metered_scan")
+      .getOrElse(fail(s"no metered_scan entry in ${QueryMetrics.entries.map(_.tag)}"))
     assert(!e.failed)
     assert(e.durationNs > 0)
     // the leaf scan reads every event row (filter applies above the scan or
     // inside it; either way the metric is positive and bounded by the table)
     assert(e.scannedRows > 0 && e.scannedRows <= Tables.events(spark, sf).count())
-    QueryMetrics.tag(spark, null)
   }
 
   test("registration is idempotent — no double-counted entries") {
