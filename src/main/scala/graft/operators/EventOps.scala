@@ -411,6 +411,36 @@ object EventOps {
         .orderBy("cohort_week")
     }),
 
+    // Day-over-day audience overlap — exact Jaccard between consecutive
+    // days' user sets ("how much of today's audience is yesterday's?"),
+    // the set-similarity reading of retention. Distinct (day, user) pairs
+    // collapse FIRST (the same trick as the retention matrix), the
+    // intersection is an equality self-join on (user, day+1), and set
+    // sizes join back on the day — every shuffle equality-keyed, counts
+    // exact integers.
+    "event_day_overlap" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val sizes = du.groupBy("d").agg(count(lit(1)).as("n"))
+      val inter = du.as("a")
+        .join(du.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            date_add(col("a.d"), 1) === col("b.d"))
+        .groupBy(col("a.d").as("d"))
+        .agg(count(lit(1)).as("n_both"))
+      sizes.as("s1")
+        .join(sizes.as("s2"), date_add(col("s1.d"), 1) === col("s2.d"))
+        .join(inter, col("s1.d") === inter("d"), "left")
+        .select(col("s1.d").as("d"), col("s1.n").as("n_day"),
+          col("s2.n").as("n_next"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"))
+        .withColumn("jaccard",
+          round(col("n_both").cast(DoubleType) /
+            (col("n_day") + col("n_next") - col("n_both")), 6))
+        .orderBy("d")
+    }),
+
     // Anomaly surfacing — the observability query the reference's own
     // Prometheus metrics feed (ref: internal/app metrics): each day's event
     // count scored against the trailing week's mean/stddev (current day
@@ -541,6 +571,20 @@ object EventOps {
         |FROM events e JOIN inc i
         |  ON e.ts BETWEEN i.inc_start AND i.inc_end
         |ORDER BY e.event_id""".stripMargin,
+    "event_day_overlap" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |sizes AS (SELECT d, count(*) AS n FROM du GROUP BY d),
+        |inter AS (
+        |  SELECT a.d AS d, count(*) AS n_both
+        |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.d + 1 = b.d
+        |  GROUP BY a.d)
+        |SELECT s1.d AS d, s1.n AS n_day, s2.n AS n_next,
+        |       COALESCE(i.n_both, 0) AS n_both,
+        |       round(CAST(COALESCE(i.n_both, 0) AS DOUBLE) /
+        |             (s1.n + s2.n - COALESCE(i.n_both, 0)), 6) AS jaccard
+        |FROM sizes s1 JOIN sizes s2 ON s1.d + 1 = s2.d
+        |LEFT JOIN inter i ON s1.d = i.d
+        |ORDER BY d""".stripMargin,
     "event_funnel_any_order" ->
       """WITH f AS (
         |  SELECT user_id,

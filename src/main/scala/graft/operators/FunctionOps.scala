@@ -293,6 +293,21 @@ object FunctionOps {
         .orderBy("event_id")
     }),
 
+    // C-style formatting — report/export rendering (zero-pad, hex,
+    // thousands grouping). Integer and string conversions only: %f is
+    // deliberately absent because Java's formatter rounds ties half-UP
+    // while C (and DuckDB's fmt) rounds half-EVEN — the one conversion
+    // whose output is not engine-portable.
+    "fn_printf" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          format_string("user-%05d", col("user_id")).as("padded"),
+          format_string("%s@%x", col("event_type"), col("event_id"))
+            .as("typed_hex"),
+          format_string("%,d", col("event_id") * 1000).as("grouped"))
+        .orderBy("event_id")
+    }),
+
     // F8: casts across numeric/string/timestamp.
     "fn_cast" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -400,6 +415,12 @@ object FunctionOps {
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         |       CAST('3.5' AS DOUBLE) AS parsed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_printf" ->
+      """SELECT event_id,
+        |       printf('user-%05d', user_id) AS padded,
+        |       printf('%s@%x', event_type, event_id) AS typed_hex,
+        |       printf('%,d', event_id * 1000) AS grouped
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_try" ->
       """WITH x AS (
         |  SELECT event_id, value,
