@@ -260,4 +260,89 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$i over ${rows.size} docs")
     }
   }
+
+  test("property: banded interval join equals the naive range join") {
+    import spark.implicits._
+    // random event tables: ids unique, minute-grain offsets inside 2 days,
+    // ~1/4 errors so incidents form and break across the 30-min gap
+    val genEv: Gen[List[(Long, Long, String)]] = for {
+      n <- Gen.chooseNum(5, 150)
+      rows <- Gen.listOfN(n, for {
+        off <- Gen.chooseNum(0L, 2L * 24 * 3600)
+        typ <- Gen.frequency(1 -> Gen.const("error"), 3 -> Gen.const("click"))
+      } yield (off, typ))
+    } yield rows.zipWithIndex.map { case ((off, t), k) => (k.toLong, off, t) }
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    for (i <- 1L to 10L) {
+      val rows = genEv.apply(Gen.Parameters.default, Seed(i))
+        .getOrElse(List((0L, 0L, "error")))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-band-$i-").toString
+      rows.map { case (id, off, typ) =>
+        // ts stored as parquet int64 NANOS, the events-table layout
+        (id, (base + off * 1000L) * 1000000L, id % 7, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      // sequential reference: per-day 30-min error islands, then a naive
+      // containment scan of every event against every incident
+      val ms = rows.map { case (id, off, t) => (id, base + off * 1000L, t) }
+      val dayOf = (t: Long) => java.time.Instant.ofEpochMilli(t)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val incidents = ms.filter(_._3 == "error")
+        .groupBy(e => dayOf(e._2)).toSeq.flatMap { case (day, es) =>
+          var n = 0L
+          var prev = Long.MinValue
+          val buf = scala.collection.mutable.ListBuffer.empty[(Any, Long, Long, Long)]
+          es.sortBy(e => (e._2, e._1)).foreach { case (_, t, _) =>
+            if (prev == Long.MinValue || t > prev + 30L * 60 * 1000) {
+              n += 1; buf += ((day, n, t, t))
+            } else {
+              val last = buf.remove(buf.size - 1)
+              buf += ((last._1, last._2, last._3, t))
+            }
+            prev = t
+          }
+          buf.toSeq
+        }
+      val want = (for {
+        (id, t, _) <- ms
+        (day, n, s0, s1) <- incidents
+        if t >= s0 && t <= s1
+      } yield (id, day.toString, n)).toSet
+      val got = SparkEntry.queries("join_interval_bucketed")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+        .toSet
+      assert(got == want, s"seed=$i: ${got.size} vs ${want.size} pairs")
+    }
+  }
+
+  test("property: weighted median equals the expanded brute-force median") {
+    import spark.implicits._
+    val genLi: Gen[List[(String, Double, Long)]] = for {
+      n <- Gen.chooseNum(1, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("A", "B")
+        p <- Gen.chooseNum(1, 500)
+        w <- Gen.chooseNum(1L, 9L)
+      } yield (g, p.toDouble, w))
+    } yield rows
+    for (i <- 1L to 15L) {
+      val rows = genLi.apply(Gen.Parameters.default, Seed(i))
+        .getOrElse(List(("A", 1.0, 1L)))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-wm-$i-").toString
+      rows.map { case (g, p, w) => (g, p, w.toDouble) }
+        .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+        .write.parquet(s"$dir/lineitem.parquet")
+      // brute force: expand each row `w` times, pick the smallest value
+      // whose doubled cumulative rank reaches the total
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val expanded = rs.flatMap { case (_, p, w) => Seq.fill(w.toInt)(p) }.sorted
+        val tot = expanded.size
+        g -> expanded.zipWithIndex
+          .collectFirst { case (p, k) if 2 * (k + 1) >= tot => p }.get
+      }
+      val got = SparkEntry.queries("agg_weighted_median")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got == want, s"seed=$i")
+    }
+  }
 }
