@@ -411,6 +411,30 @@ object EventOps {
         .orderBy("cohort_week")
     }),
 
+    // Time-to-convert latency distribution — the funnel family's missing
+    // axis: not HOW MANY users convert but HOW LONG conversion takes.
+    // First click per user, first purchase AT/AFTER that click, then the
+    // exact quantile ladder over the per-user deltas (integer seconds —
+    // timestamps are µs-exact, so the quantile interpolation sees
+    // identical inputs on both engines). Two user_id exchanges (the
+    // anchor aggregate, the purchase-after-anchor aggregate), then a
+    // single-row reduce.
+    "event_conversion_time" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val anchor = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(anchor, "user_id")
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"), min("c_ts").as("c_ts"))
+        .select((unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("delta_us"))
+      conv.agg(
+          count(lit(1)).as("n_converted"),
+          round(percentile(col("delta_us"), lit(0.5)) / 1e6, 6).as("median_s"),
+          round(percentile(col("delta_us"), lit(0.9)) / 1e6, 6).as("p90_s"))
+    }),
+
     // Day-over-day audience overlap — exact Jaccard between consecutive
     // days' user sets ("how much of today's audience is yesterday's?"),
     // the set-similarity reading of retention. Distinct (day, user) pairs
@@ -571,6 +595,19 @@ object EventOps {
         |FROM events e JOIN inc i
         |  ON e.ts BETWEEN i.inc_start AND i.inc_end
         |ORDER BY e.event_id""".stripMargin,
+    "event_conversion_time" ->
+      """WITH a AS (SELECT user_id, min(ts) AS c_ts FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts, min(a.c_ts) AS c_ts
+        |  FROM events e JOIN a USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= a.c_ts
+        |  GROUP BY e.user_id),
+        |d AS (SELECT epoch_us(p_ts) - epoch_us(c_ts) AS delta_us FROM c)
+        |SELECT count(*) AS n_converted,
+        |       round(quantile_cont(delta_us, 0.5) / 1e6, 6) AS median_s,
+        |       round(quantile_cont(delta_us, 0.9) / 1e6, 6) AS p90_s
+        |FROM d""".stripMargin,
     "event_day_overlap" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |sizes AS (SELECT d, count(*) AS n FROM du GROUP BY d),
