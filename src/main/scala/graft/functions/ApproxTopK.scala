@@ -139,3 +139,116 @@ case class ApproxTopK(
   override protected def withNewChildInternal(newChild: Expression): ApproxTopK =
     copy(child = newChild)
 }
+
+/** Weighted SpaceSaving (ClickHouse `topKWeighted` analog): identical
+  * sketch, but each row contributes its WEIGHT instead of 1 — "top items
+  * by revenue / bytes / tokens", not by row count. The replacement rule
+  * generalizes verbatim (newcomer inherits minC + w with error bound
+  * minC); negative weights are rejected — SpaceSaving's never-underestimate
+  * guarantee is meaningless with cancellation. Same merge, same
+  * exact-when-distinct≤capacity contract as [[ApproxTopK]].
+  */
+case class ApproxTopKWeighted(
+    left: Expression,
+    right: Expression,
+    k: Int = 3,
+    capacity: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.LinkedHashMap[String, (Long, Long)]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 1 && capacity >= k, "need capacity >= k >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("w", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "approx_topk_weighted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, bigint), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def createAggregationBuffer(): mutable.LinkedHashMap[String, (Long, Long)] =
+    mutable.LinkedHashMap.empty
+
+  override def update(
+      buf: mutable.LinkedHashMap[String, (Long, Long)],
+      input: InternalRow): mutable.LinkedHashMap[String, (Long, Long)] = {
+    val v = left.eval(input)
+    val wv = right.eval(input)
+    if (v != null && wv != null) {
+      val item = v.asInstanceOf[UTF8String].toString
+      val w = wv.asInstanceOf[Long]
+      require(w >= 0L, s"$prettyName: negative weight $w")
+      buf.get(item) match {
+        case Some((c, e)) => buf.update(item, (c + w, e))
+        case None if buf.size < capacity => buf.update(item, (w, 0L))
+        case None =>
+          val (minItem, (minC, _)) = buf.minBy { case (i, (c, _)) => (c, i) }
+          buf.remove(minItem)
+          buf.update(item, (minC + w, minC))
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.LinkedHashMap[String, (Long, Long)],
+      other: mutable.LinkedHashMap[String, (Long, Long)]): mutable.LinkedHashMap[String, (Long, Long)] = {
+    for ((item, (c, e)) <- other) buf.get(item) match {
+      case Some((c0, e0)) => buf.update(item, (c0 + c, e0 + e))
+      case None => buf.update(item, (c, e))
+    }
+    if (buf.size > capacity) {
+      val keep = buf.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
+      buf.clear()
+      buf ++= keep
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.LinkedHashMap[String, (Long, Long)]): Any = {
+    val top = buf.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(k)
+    new GenericArrayData(top.map { case (i, (c, e)) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(i), c, e))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.LinkedHashMap[String, (Long, Long)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    for ((i, (c, e)) <- buf) {
+      val b = i.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[String, (Long, Long)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.LinkedHashMap.empty[String, (Long, Long)]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt(); val b = new Array[Byte](len); in.readFully(b)
+      buf.update(new String(b, StandardCharsets.UTF_8), (in.readLong(), in.readLong()))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ApproxTopKWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ApproxTopKWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ApproxTopKWeighted =
+    copy(left = newLeft, right = newRight)
+}

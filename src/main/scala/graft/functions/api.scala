@@ -35,6 +35,14 @@ object api {
     graftBridge.column(ApproxTopK(graftBridge.expression(item), k, capacity)
       .toAggregateExpression())
 
+  /** Weighted SpaceSaving — top items by summed long weight, the
+    * ClickHouse `topKWeighted` analog (see [[ApproxTopKWeighted]]).
+    */
+  def approxTopKWeighted(item: Column, weight: Column,
+                         k: Int = 3, capacity: Int = 64): Column =
+    graftBridge.column(ApproxTopKWeighted(graftBridge.expression(item),
+      graftBridge.expression(weight), k, capacity).toAggregateExpression())
+
   /** Codegen'd word-k-gram repetition stats `(n, n_distinct)` of a text
     * column — single fused pass (see [[NgramDupStats]]).
     */

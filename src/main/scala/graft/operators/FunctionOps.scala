@@ -293,6 +293,28 @@ object FunctionOps {
         .orderBy("event_id")
     }),
 
+    // IPv4 arithmetic (ClickHouse IPv4NumToString / IPv4StringToNum /
+    // CIDR-match analogs) — API/access logs carry addresses and "group by
+    // /24, match a subnet" is the classic security slice. No engine inet
+    // type needed: an IPv4 is a 32-bit int, rendering is three shifts and
+    // a concat, the subnet test is integer masking — identical portable
+    // arithmetic on both engines, synthesized deterministically here.
+    "fn_ip" -> ((s, dir) => {
+      val ip = pmod(col("event_id") * 2654435761L, lit(1L << 32))
+      val oct = (k: Int) => pmod(shiftright(ip, k * 8), lit(256L))
+      val ipStr = concat_ws(".",
+        oct(3).cast(StringType), oct(2).cast(StringType),
+        oct(1).cast(StringType), oct(0).cast(StringType))
+      // /24 network and membership in 10.0.0.0/8
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          ip.as("ip_num"),
+          ipStr.as("ip_str"),
+          (ip - pmod(ip, lit(256L))).as("net24"),
+          (oct(3) === 10L).as("in_10_slash_8"))
+        .orderBy("event_id")
+    }),
+
     // C-style formatting — report/export rendering (zero-pad, hex,
     // thousands grouping). Integer and string conversions only: %f is
     // deliberately absent because Java's formatter rounds ties half-UP
@@ -415,6 +437,20 @@ object FunctionOps {
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         |       CAST('3.5' AS DOUBLE) AS parsed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_ip" ->
+      """WITH x AS (
+        |  SELECT event_id,
+        |         (event_id * 2654435761) % 4294967296 AS ip
+        |  FROM events)
+        |SELECT event_id,
+        |       ip AS ip_num,
+        |       concat_ws('.', CAST((ip // 16777216) % 256 AS VARCHAR),
+        |                      CAST((ip // 65536) % 256 AS VARCHAR),
+        |                      CAST((ip // 256) % 256 AS VARCHAR),
+        |                      CAST(ip % 256 AS VARCHAR)) AS ip_str,
+        |       ip - (ip % 256) AS net24,
+        |       (ip // 16777216) % 256 = 10 AS in_10_slash_8
+        |FROM x ORDER BY event_id""".stripMargin,
     "fn_printf" ->
       """SELECT event_id,
         |       printf('user-%05d', user_id) AS padded,

@@ -391,6 +391,24 @@ object RelationalOps {
         .orderBy("day", "rank")
     }),
 
+    // The weighted twin (ClickHouse `topKWeighted`): top event types by
+    // summed VALUE, not row count — weights are exact integer cents
+    // (decimal ×100) so the sketch totals are bit-deterministic, and
+    // distinct types fit capacity, so the sketch is exact and the oracle
+    // is the plain weighted top-3.
+    "agg_approx_topk_weighted" -> ((s, dir) => {
+      val cents = (dec(col("value")) * 100).cast(LongType)
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.functions.api.approxTopKWeighted(
+          col("event_type"), cents, 3, 64).as("top"))
+        .select(col("day"), posexplode(col("top")).as(Seq("rank", "t")))
+        .select(col("day"), col("rank").cast(LongType).as("rank"),
+          col("t.item").as("event_type"), col("t.w").as("w_cents"),
+          col("t.err").as("err"))
+        .orderBy("day", "rank")
+    }),
+
     // D-group extension: incremental aggregate maintenance — the ClickHouse
     // SummingMergeTree / materialized-view idiom a migrating user leans on.
     // Daily PARTIAL aggregates (count + decimal sum per type per day) are
@@ -978,6 +996,20 @@ object RelationalOps {
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "agg_approx_topk_weighted" ->
+      // exact because distinct event types fit the sketch capacity
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |              AS BIGINT) AS w
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, CAST(rn - 1 AS BIGINT) AS rank, event_type,
+        |       w AS w_cents, 0::BIGINT AS err
+        |FROM (SELECT day, event_type, w,
+        |             row_number() OVER (PARTITION BY day
+        |                                ORDER BY w DESC, event_type) AS rn
+        |      FROM c)
+        |WHERE rn <= 3 ORDER BY day, rank""".stripMargin,
     "agg_approx_topk" ->
       // exact because distinct event types fit the sketch capacity
       """WITH c AS (

@@ -35,6 +35,29 @@ class ApproxTopKSpec extends SparkSpec {
     assert(got._2 - got._3 <= 400L, s"cnt - err must lower-bound the true count: $got")
   }
 
+  test("weighted: exact totals when distinct fits capacity, weight-ordered") {
+    val rows = Seq(("a", 5L), ("a", 5L), ("b", 30L), ("c", 1L), ("c", 2L))
+    val got = rows.toDF("x", "w").repartition(3)
+      .agg(api.approxTopKWeighted(col("x"), col("w"), 3, 16).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select("e.item", "e.w", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("b", 30L, 0L), ("a", 10L, 0L), ("c", 3L, 0L)))
+  }
+
+  test("weighted: heavy item survives eviction pressure, never undercounted") {
+    // one item carrying most of the weight + 200 light singletons
+    val rows = Seq.fill(40)(("hot", 50L)) ++ (1 to 200).map(i => (s"rare$i", 1L))
+    val got = rows.toDF("x", "w").repartition(5)
+      .agg(api.approxTopKWeighted(col("x"), col("w"), 1, 16).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select("e.item", "e.w", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).head
+    assert(got._1 == "hot", s"heavy item evicted: $got")
+    assert(got._2 >= 2000L, s"weighted SpaceSaving must never underestimate: $got")
+    assert(got._2 - got._3 <= 2000L, s"w - err must lower-bound the true total: $got")
+  }
+
   test("SQL surface: approx_topk registered via GraftExtensions") {
     val r = spark.sql(
       "SELECT approx_topk(x, 2, 8) AS t FROM VALUES ('p'),('p'),('q') AS v(x)")
