@@ -101,6 +101,25 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // sequenceCount analog: NON-OVERLAPPING occurrence counts of patterns
+    // in the per-user journey string (how many click→purchase cycles, how
+    // many error bursts — not just "did it happen"). Regex engines count
+    // non-overlapping matches left-to-right identically on both sides;
+    // same single ordered-LISTAGG exchange as `event_sequence_match`.
+    "event_sequence_count" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr(
+          "listagg(substring(event_type, 1, 1), '') WITHIN GROUP (ORDER BY ts, event_id)")
+          .as("j"))
+        .select(col("user_id"),
+          regexp_count(col("j"), lit("c[^p]*p")).cast(LongType)
+            .as("n_convert_cycles"),
+          regexp_count(col("j"), lit("ee+")).cast(LongType)
+            .as("n_error_bursts"))
+        .orderBy("user_id")
+    }),
+
     // Path analysis (the Sankey-diagram staple): per-user event-order
     // transition bigrams, counted corpus-wide. One window pass (lag over
     // the user's event-time order — the same single user_id exchange every
@@ -742,6 +761,18 @@ object EventOps {
         |       CAST(sum(w2) AS BIGINT) AS retained_w2,
         |       CAST(sum(w3) AS BIGINT) AS retained_w3
         |FROM flags WHERE cohort = 1""".stripMargin,
+    "event_sequence_count" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), ''
+        |                    ORDER BY ts, event_id) AS j
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(len(regexp_extract_all(j, 'c[^p]*p')) AS BIGINT)
+        |         AS n_convert_cycles,
+        |       CAST(len(regexp_extract_all(j, 'ee+')) AS BIGINT)
+        |         AS n_error_bursts
+        |FROM x ORDER BY user_id""".stripMargin,
     "event_sequence_match" ->
       """SELECT user_id,
         |       CAST(len(j) AS BIGINT) AS n_events,

@@ -293,6 +293,20 @@ object FunctionOps {
         .orderBy("event_id")
     }),
 
+    // F1c: the second string tier — field splitting (split_part is THE
+    // log-column extractor), character translation, repetition, reversal.
+    // All codegen'd built-ins with exact DuckDB twins.
+    "fn_string_extra" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          split_part(col("p_type"), lit(" "), lit(2)).as("type_mid"),
+          translate(col("p_brand"), "#", "-").as("brand_dash"),
+          repeat(lit("*"), pmod(col("p_partkey"), lit(5)).cast(IntegerType) + 1)
+            .as("stars"),
+          reverse(col("p_name")).as("rev_name"))
+        .orderBy("p_partkey")
+    }),
+
     // IPv4 arithmetic (ClickHouse IPv4NumToString / IPv4StringToNum /
     // CIDR-match analogs) — API/access logs carry addresses and "group by
     // /24, match a subnet" is the classic security slice. No engine inet
@@ -437,6 +451,13 @@ object FunctionOps {
         |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
         |       CAST('3.5' AS DOUBLE) AS parsed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_string_extra" ->
+      """SELECT p_partkey,
+        |       split_part(p_type, ' ', 2) AS type_mid,
+        |       translate(p_brand, '#', '-') AS brand_dash,
+        |       repeat('*', p_partkey % 5 + 1) AS stars,
+        |       reverse(p_name) AS rev_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "fn_ip" ->
       """WITH x AS (
         |  SELECT event_id,
