@@ -101,6 +101,47 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // PageRank over the repo-transition graph — the second iterative graph
+    // algorithm next to `dedup_cluster_cc`'s connected components: which
+    // repos do user journeys flow INTO? Edges are distinct (prev repo →
+    // next repo) transitions per user journey; 10 fixed power iterations
+    // with damping 0.85. Every iteration is one equality join on src plus
+    // one aggregate on dst — the classic BSP shape — with per-iteration
+    // `localCheckpoint` cutting lineage exactly as the CC rounds do (at
+    // cluster scale: reliable checkpoint). The node count rides along as
+    // a broadcast scalar, never a driver constant. The oracle unrolls the
+    // same 10 iterations as chained CTEs; identical double algebra,
+    // round(6) absorbs contribution-sum ordering ulps.
+    "graph_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          pmod(col("event_id"), lit(97L)).as("repo"))
+      val edges = ev.withColumn("src", lag(col("repo"), 1).over(w))
+        .filter(col("src").isNotNull && col("src") =!= col("repo"))
+        .select(col("src"), col("repo").as("dst"))
+        .distinct().localCheckpoint()
+      val nodes = edges.select(col("src").as("repo"))
+        .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+      var ranks = nodes.crossJoin(nRow)
+        .select(col("repo"), (lit(1.0) / col("n")).as("r"))
+      for (_ <- 1 to 10) {
+        val contrib = edges
+          .join(ranks.select(col("repo").as("src"), col("r")), "src")
+          .join(outdeg, "src")
+          .groupBy(col("dst").as("repo"))
+          .agg(sum(col("r") / col("d")).as("c"))
+        ranks = nodes.join(contrib, Seq("repo"), "left").crossJoin(nRow)
+          .select(col("repo"),
+            (lit(0.15) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0)))
+              .as("r"))
+          .localCheckpoint()
+      }
+      ranks.select(col("repo"), round(col("r"), 6).as("rank")).orderBy("repo")
+    }),
+
     // sequenceCount analog: NON-OVERLAPPING occurrence counts of patterns
     // in the per-user journey string (how many click→purchase cycles, how
     // many error bursts — not just "did it happen"). Regex engines count
@@ -761,6 +802,37 @@ object EventOps {
         |       CAST(sum(w2) AS BIGINT) AS retained_w2,
         |       CAST(sum(w3) AS BIGINT) AS retained_w3
         |FROM flags WHERE cohort = 1""".stripMargin,
+    "graph_pagerank" -> {
+      val iters = (1 to 10).map { k =>
+        s"""r$k AS (
+           |  SELECT n.repo,
+           |         CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+           |           + CAST(0.85 AS DOUBLE) * COALESCE(s.c, 0) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS repo, sum(p.r / o.d) AS c
+           |    FROM edges e
+           |    JOIN r${k - 1} p ON e.src = p.repo
+           |    JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) s USING (repo))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id, event_id % 97 AS repo FROM events),
+         |tr AS (
+         |  SELECT user_id, repo,
+         |         lag(repo) OVER (PARTITION BY user_id
+         |                         ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |edges AS (SELECT DISTINCT src, repo AS dst FROM tr
+         |          WHERE src IS NOT NULL AND src <> repo),
+         |nodes AS (SELECT DISTINCT repo FROM
+         |          (SELECT src AS repo FROM edges UNION SELECT dst FROM edges)),
+         |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT repo, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r
+         |       FROM nodes),
+         |$iters
+         |SELECT repo, round(r, 6) AS rank FROM r10 ORDER BY repo""".stripMargin
+    },
     "event_sequence_count" ->
       """WITH x AS (
         |  SELECT user_id,
