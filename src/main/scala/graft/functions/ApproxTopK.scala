@@ -185,8 +185,16 @@ case class ApproxTopKWeighted(
     if (v != null && wv != null) {
       val item = v.asInstanceOf[UTF8String].toString
       val w = wv.asInstanceOf[Long]
-      require(w >= 0L, s"$prettyName: negative weight $w")
-      buf.get(item) match {
+      // Negative weights break the SpaceSaving invariants (counts must be
+      // monotone); surface a plain IllegalArgumentException from the task
+      // (documented contract — callers see it wrapped in a SparkException).
+      if (w < 0L)
+        throw new IllegalArgumentException(s"$prettyName: negative weight $w")
+      // A zero-weight row carries no mass: treat it like null rather than
+      // letting an unseen w=0 item evict an established counter and
+      // inherit minC (legal under SpaceSaving but wasteful — ClickHouse's
+      // topKWeighted likewise ignores it).
+      if (w > 0L || buf.contains(item)) buf.get(item) match {
         case Some((c, e)) => buf.update(item, (c + w, e))
         case None if buf.size < capacity => buf.update(item, (w, 0L))
         case None =>

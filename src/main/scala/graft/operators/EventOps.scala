@@ -112,35 +112,12 @@ object EventOps {
     // a broadcast scalar, never a driver constant. The oracle unrolls the
     // same 10 iterations as chained CTEs; identical double algebra,
     // round(6) absorbs contribution-sum ordering ulps.
-    "graph_pagerank" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          pmod(col("event_id"), lit(97L)).as("repo"))
-      val edges = ev.withColumn("src", lag(col("repo"), 1).over(w))
-        .filter(col("src").isNotNull && col("src") =!= col("repo"))
-        .select(col("src"), col("repo").as("dst"))
-        .distinct().localCheckpoint()
-      val nodes = edges.select(col("src").as("repo"))
-        .union(edges.select(col("dst"))).distinct().localCheckpoint()
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-      val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-      var ranks = nodes.crossJoin(nRow)
-        .select(col("repo"), (lit(1.0) / col("n")).as("r"))
-      for (_ <- 1 to 10) {
-        val contrib = edges
-          .join(ranks.select(col("repo").as("src"), col("r")), "src")
-          .join(outdeg, "src")
-          .groupBy(col("dst").as("repo"))
-          .agg(sum(col("r") / col("d")).as("c"))
-        ranks = nodes.join(contrib, Seq("repo"), "left").crossJoin(nRow)
-          .select(col("repo"),
-            (lit(0.15) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0)))
-              .as("r"))
-          .localCheckpoint()
-      }
-      ranks.select(col("repo"), round(col("r"), 6).as("rank")).orderBy("repo")
-    }),
+    // Dangling-node mass (rank at nodes with no out-edges) is DROPPED each
+    // iteration here, matching the oracle's identical algebra; the
+    // textbook-correct variant that redistributes that mass uniformly is
+    // `pageRank(_, _, redistributeDangling = true)`, pinned by
+    // AnalyticsOpsSpec (rank mass conserved at 1.0).
+    "graph_pagerank" -> ((s, dir) => pageRank(s, dir, redistributeDangling = false)),
 
     // sequenceCount analog: NON-OVERLAPPING occurrence counts of patterns
     // in the per-user journey string (how many click→purchase cycles, how
@@ -547,6 +524,71 @@ object EventOps {
             .as("z_score"))
         .orderBy("event_type", "day")
     }))
+
+  /** PageRank over the repo-transition graph (see the `graph_pagerank` key
+    * comment). With `redistributeDangling = true` the rank mass parked at
+    * sink nodes is spread uniformly each iteration (the standard
+    * stochastic-matrix completion), so total rank stays exactly 1.0 — the
+    * scale-correct form; the extra cost is one anti-join aggregate (a
+    * single double) per iteration, broadcast back. With `false` the mass
+    * is dropped, which is what the DuckDB oracle unrolls.
+    */
+  def pageRank(s: SparkSession, dir: String,
+      redistributeDangling: Boolean): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        pmod(col("event_id"), lit(97L)).as("repo"))
+    val edges = ev.withColumn("src", lag(col("repo"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("repo"))
+      .select(col("src"), col("repo").as("dst"))
+      .distinct().localCheckpoint()
+    pageRankOnEdges(edges, redistributeDangling)
+  }
+
+  /** The iteration core over an arbitrary distinct (src, dst) edge set —
+    * separated so the dangling-mass semantics can be pinned on a graph
+    * that actually HAS sink nodes (the events transition graph at test
+    * scale is dense enough that every repo has an out-edge).
+    */
+  def pageRankOnEdges(edges: DataFrame,
+      redistributeDangling: Boolean): DataFrame = {
+    val nodes = edges.select(col("src").as("repo"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("repo"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to 10) {
+      val contrib = edges
+        .join(ranks.select(col("repo").as("src"), col("r")), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("repo"))
+        .agg(sum(col("r") / col("d")).as("c"))
+      val base =
+        if (redistributeDangling) {
+          // dangling mass = total rank at nodes with no out-edge: a single
+          // double, computed distributed and broadcast back as a 1-row DF.
+          val dm = broadcast(
+            ranks.join(outdeg.select(col("src").as("repo")),
+                Seq("repo"), "left_anti")
+              .agg(coalesce(sum(col("r")), lit(0.0)).as("dm")))
+          nodes.join(contrib, Seq("repo"), "left").crossJoin(nRow)
+            .crossJoin(dm)
+            .select(col("repo"),
+              (lit(0.15) / col("n") + lit(0.85) *
+                (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")))
+                .as("r"))
+        } else {
+          nodes.join(contrib, Seq("repo"), "left").crossJoin(nRow)
+            .select(col("repo"),
+              (lit(0.15) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0)))
+                .as("r"))
+        }
+      ranks = base.localCheckpoint()
+    }
+    ranks.select(col("repo"), round(col("r"), 6).as("rank")).orderBy("repo")
+  }
 
   def oracle: Map[String, String] = Map(
     "event_sessionize" ->

@@ -491,6 +491,12 @@ object FunctionOps {
         |       value / NULLIF(CAST(event_id % 5 AS DOUBLE), 0) AS safe_div,
         |       TRY_CAST(raw_date AS DATE) AS parsed_date
         |FROM x ORDER BY event_id""".stripMargin,
+    // FIXTURE CONTRACT: `normalized` hardcodes the props schema
+    // '{"k":"BIGINT"}' because the events fixture's props column is exactly
+    // the one-key object {"k": N} (TESTDATA.md); the Spark side emits
+    // to_json of the full parsed variant, so these only agree while that
+    // holds. If the fixture ever grows keys, extract the same single field
+    // on both sides instead.
     "fn_variant" ->
       """SELECT event_id,
         |       CAST(props->>'$.k' AS BIGINT) AS k_long,

@@ -241,8 +241,7 @@ object MultimodalOps {
       org.apache.spark.sql.Dataset[MediaRecord] = {
     import s.implicits._
     val path = OpCache.once(dir + "#media_lake") {
-      val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-sink/$key/media_lake"
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-sink/${OpCache.pathKey(dir)}/media_lake"
       Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"), col("source"))
         .as[(Long, Long, String)]

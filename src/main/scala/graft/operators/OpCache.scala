@@ -13,6 +13,17 @@ object OpCache {
   private val frames = scala.collection.mutable.Map.empty[String, DataFrame]
   private val actions = scala.collection.mutable.Map.empty[String, String]
 
+  /** Collision-free filesystem key for a data dir: the readable sanitized
+    * form alone is lossy (all non-alphanumerics collapse to '_', so
+    * distinct dirs could collide), so append a hash of the raw string; the
+    * JVM pid isolates concurrent processes sharing the same tmpdir from
+    * racing each other's mode("overwrite") writes.
+    */
+  def pathKey(dir: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${h}_p${ProcessHandle.current().pid()}"
+  }
+
   /** Persist `df` (memory+disk, spillable) the first time `key` is seen.
     * Synchronized, not a lock-free map: `getOrElseUpdate` on a concurrent
     * map may evaluate the thunk twice under a first-access race, which here

@@ -29,8 +29,7 @@ object PipelineOps {
     * at-least-once + ReplacingMergeTree design (SURVEY.md §5.1).
     */
   private def scratch(sfDir: String, name: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft-sink/$key/$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft-sink/${OpCache.pathKey(sfDir)}/$name"
   }
 
   /** C5+D1+D2+D5: the ClickHouse-table analog — day-partitioned, sorted by

@@ -25,6 +25,18 @@ import org.apache.spark.sql.types._
 object RelationalOps {
   import Tables.dec
 
+  /** Sorted per-user purchase-id arrays — the array-typed core of
+    * `agg_collect`. Kept as a named helper so AnalyticsOpsSpec can pin the
+    * array semantics directly while the query key serializes to a
+    * driver-comparable string column.
+    */
+  def aggCollectArrays(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("event_id"))).as("ids"),
+        count(lit(1)).as("n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: projection + predicate algebra (IN, BETWEEN, LIKE, IS NULL, bool).
     "filter_pred" -> ((s, dir) => {
@@ -210,7 +222,8 @@ object RelationalOps {
     // zero hash exchanges in PlanSpec. The merge hint pins sort-merge so
     // the demonstration doesn't degenerate to a broadcast at small SF.
     "join_bucketed" -> ((s, dir) => {
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // pathKey may contain '.', illegal in a table identifier — flatten it
+      val key = OpCache.pathKey(dir).replaceAll("[^A-Za-z0-9_]", "_")
       val (ot, lt) = (s"orders_b_$key", s"lineitem_b_$key")
       OpCache.once(dir + "#bucketed") {
         if (!s.catalog.tableExists(ot)) {
@@ -432,15 +445,13 @@ object RelationalOps {
     // made deterministic: collect_list order is partition-arrival order —
     // nondeterministic under retries, AQE re-planning and cluster resizes —
     // so the array is SORTED before it leaves the aggregate, the only
-    // contract that is stable at any scale. The joined-string variant
-    // rides the same sorted array.
+    // contract that is stable at any scale. The query key serializes the
+    // array as a joined string (the raw array column is not comparable by
+    // the driver harness); the array form itself is pinned in
+    // AnalyticsOpsSpec via aggCollectArrays below.
     "agg_collect" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(col("event_id"))).as("ids"),
-          count(lit(1)).as("n"))
-        .select(col("user_id"), col("ids"),
+      aggCollectArrays(s, dir)
+        .select(col("user_id"),
           array_join(col("ids"), ",").as("ids_csv"), col("n"))
         .orderBy("user_id")
     }),
@@ -1024,7 +1035,6 @@ object RelationalOps {
         |WHERE rn <= 3 ORDER BY day, rank""".stripMargin,
     "agg_collect" ->
       """SELECT user_id,
-        |       list(event_id ORDER BY event_id) AS ids,
         |       array_to_string(list(event_id ORDER BY event_id), ',') AS ids_csv,
         |       count(*) AS n
         |FROM events WHERE event_type = 'purchase'

@@ -111,7 +111,7 @@ object SimOps {
         }
         val cents = seeds.indices.map(i => refined.getOrElse(i + 1, seeds(i)))
         val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf/" +
-          dir.replaceAll("[^A-Za-z0-9.]", "_")
+          OpCache.pathKey(dir)
         e.withColumn("cell", nearestCell(col("v"), cents))
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         (path, cents)

@@ -78,9 +78,12 @@ object TextOps {
     // benchmark). Shape: explode grams → inverted-index equi-join on the
     // gram → anti-join the hits out of train. The gram array is built once
     // per row and the exploded postings are persisted (OpCache) so the
-    // Generate path never re-evaluates the transform; at 100 TB the join
-    // key would be xxhash64(gram) and the postings a materialized table —
-    // same plan shape, smaller shuffle payload.
+    // Generate path never re-evaluates the transform. The join key is
+    // xxhash64(gram) — grams are hashed to fixed-width longs map-side, so
+    // the posting exchange ships 8 bytes/row instead of a ~50-byte string
+    // (the hash is internal to each engine: the DuckDB twin uses its own
+    // 64-bit hash(), and only the surviving doc ids are compared; a
+    // within-engine collision would need ~2^32 distinct grams).
     "pipeline_decontaminate" -> ((s, dir) => {
       val n = 8
       val docs = Tables.documents(s, dir)
@@ -90,8 +93,8 @@ object TextOps {
         docs.select(col("doc_id"), col("is_test"),
           explode(when(size(toks) >= n,
             transform(sequence(lit(0), size(toks) - n),
-              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-            .otherwise(array(col("text")))).as("g")))
+              i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+            .otherwise(array(xxhash64(col("text"))))).as("g")))
       val testGrams = grams.filter(col("is_test")).select("g").distinct()
       val contaminated = grams.filter(!col("is_test"))
         .join(testGrams, "g").select("doc_id").distinct()
@@ -434,8 +437,8 @@ object TextOps {
         |  SELECT doc_id, is_test,
         |         unnest(CASE WHEN len(toks) >= 8
         |           THEN list_transform(range(len(toks)-7),
-        |                  i -> array_to_string(toks[i+1:i+8], ' '))
-        |           ELSE [text] END) AS g
+        |                  i -> hash(array_to_string(toks[i+1:i+8], ' ')))
+        |           ELSE [hash(text)] END) AS g
         |  FROM (SELECT doc_id, is_test, text, string_split(text,' ') AS toks FROM d)),
         |dirty AS (
         |  SELECT DISTINCT t.doc_id

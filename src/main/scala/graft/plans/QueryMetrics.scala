@@ -53,6 +53,15 @@ object QueryMetrics {
   /** Run `action` under `name` and wait (bounded) until its entry lands, so
     * back-to-back timed() calls can never mislabel each other despite the
     * async listener bus. Returns the action's result.
+    *
+    * Assumes a single-threaded driver per SparkSession: the tag lives in
+    * session conf, so a query launched CONCURRENTLY on the same session
+    * from another thread during a timed block would be labeled `name` and
+    * its arrival would satisfy the wait below while the real action's
+    * entry is still in flight. timed() calls themselves are serialized by
+    * the `synchronized`; interleaving untimed concurrent queries is the
+    * caller's responsibility (use a separate `SparkSession.newSession()`
+    * per thread — conf is per-session — if that's needed).
     */
   def timed[T](spark: SparkSession, name: String, waitMs: Long = 10000)
               (action: => T): T = synchronized {

@@ -245,6 +245,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_collect arrays are sorted and agree with the serialized key") {
+    // the query key emits only driver-comparable columns (ids_csv, n);
+    // the array contract lives here: sorted, complete, and exactly what
+    // ids_csv serializes.
+    val arr = graft.operators.RelationalOps.aggCollectArrays(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1), r.getLong(2))).sortBy(_._1)
+    assert(arr.nonEmpty)
+    arr.foreach { case (u, ids, n) =>
+      assert(ids == ids.sorted, s"$u: ids must leave the aggregate sorted")
+      assert(ids.size.toLong == n, s"$u: n must equal the array length")
+    }
+    val csv = SparkEntry.queries("agg_collect")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(csv.map(_._1).toSeq == arr.map(_._1).toSeq)
+    csv.zip(arr).foreach { case ((_, s), (_, ids, _)) =>
+      assert(s == ids.mkString(","), "ids_csv must serialize the same array")
+    }
+  }
+
+  test("pageRank dangling-mass redistribution conserves total rank") {
+    // 3-node graph with a genuine sink: 1→2, 2→1, 1→3; node 3 has no
+    // out-edge. The query key's algebra (oracle-matched) drops the mass
+    // parked at 3 each iteration; the redistributing variant must keep
+    // total rank at exactly 1.0 and dominate the dropping variant
+    // pointwise (all update coefficients are non-negative).
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val drop = graft.operators.EventOps.pageRankOnEdges(edges, false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keep = graft.operators.EventOps.pageRankOnEdges(edges, true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(keep.keySet == Set(1L, 2L, 3L) && drop.keySet == keep.keySet)
+    assert(math.abs(keep.values.sum - 1.0) < 1e-4,
+      s"redistributed ranks must sum to 1, got ${keep.values.sum}")
+    assert(drop.values.sum < 1.0 - 1e-3,
+      "the dropping variant must lose the sink mass on this graph")
+    keep.foreach { case (n, r) =>
+      assert(r >= drop(n) - 1e-9, s"node $n: redistribution can only add mass")
+    }
+  }
+
   test("join_null_safe: the NULL bucket survives and totals cover all orders") {
     val rows = SparkEntry.queries("join_null_safe")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
