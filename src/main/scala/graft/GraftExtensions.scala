@@ -52,6 +52,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.NormalizeText", "normalize_text"),
       (children: Seq[Expression]) => graft.functions.NormalizeText(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo("graft.functions.ThetaSketchAgg", "theta_sketch"),
+      (children: Seq[Expression]) => graft.functions.ThetaSketchAgg(children.head,
+        children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo("graft.functions.ThetaUnionAgg", "theta_union_agg"),
+      (children: Seq[Expression]) => graft.functions.ThetaUnionAgg(children.head,
+        children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo("graft.functions.ThetaIntersect", "theta_intersect"),
+      (children: Seq[Expression]) =>
+        graft.functions.ThetaIntersect(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("theta_union"),
+      new ExpressionInfo("graft.functions.ThetaUnion", "theta_union"),
+      (children: Seq[Expression]) =>
+        graft.functions.ThetaUnion(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo("graft.functions.ThetaEstimate", "theta_estimate"),
+      (children: Seq[Expression]) =>
+        graft.functions.ThetaEstimate(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("zorder_value"),
       new ExpressionInfo("graft.functions.ZOrderValue", "zorder_value"),
       (children: Seq[Expression]) =>

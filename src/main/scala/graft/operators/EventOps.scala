@@ -502,6 +502,35 @@ object EventOps {
         .orderBy("d")
     }),
 
+    // The SKETCH form of day-over-day overlap — mergeable theta/KMV
+    // sketches per day, intersected pairwise: the ClickHouse
+    // `uniqTheta`/`groupBitmapAnd` analog and the 100-TB path where
+    // `event_day_overlap`'s exact self-join re-scans raw events for every
+    // audience question. Day sketches are O(k) bytes, persistable as an
+    // MV, and answer ANY day/audience combination (union AND intersection
+    // — the algebra HLL lacks) from sketch bytes alone.
+    // Oracle-pairable by contract: the sketch is EXACT while a day's
+    // distinct count ≤ k (theta never trips), and test-data audiences
+    // (≤ ~1.4k/day at sf0.1) sit far under k=4096, so the estimates
+    // equal the exact counts; beyond k the key degrades to ±1/√k
+    // relative error (the approximate regime is pinned in
+    // ThetaSketchSpec, not here).
+    "agg_theta_intersect" -> ((s, dir) => {
+      import graft.functions.api.{thetaSketch, thetaIntersect, thetaUnion, thetaEstimate}
+      val sk = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy("d").agg(thetaSketch(col("user_id"), 4096).as("sk"))
+      sk.as("s1").join(sk.as("s2"), date_add(col("s1.d"), 1) === col("s2.d"))
+        .select(col("s1.d").as("d"),
+          round(thetaEstimate(col("s1.sk"))).cast(LongType).as("est_day"),
+          round(thetaEstimate(col("s2.sk"))).cast(LongType).as("est_next"),
+          round(thetaEstimate(thetaIntersect(col("s1.sk"), col("s2.sk"))))
+            .cast(LongType).as("est_both"),
+          round(thetaEstimate(thetaUnion(col("s1.sk"), col("s2.sk"))))
+            .cast(LongType).as("est_either"))
+        .orderBy("d")
+    }),
+
     // Anomaly surfacing — the observability query the reference's own
     // Prometheus metrics feed (ref: internal/app metrics): each day's event
     // count scored against the trailing week's mean/stddev (current day
@@ -721,6 +750,21 @@ object EventOps {
         |       COALESCE(i.n_both, 0) AS n_both,
         |       round(CAST(COALESCE(i.n_both, 0) AS DOUBLE) /
         |             (s1.n + s2.n - COALESCE(i.n_both, 0)), 6) AS jaccard
+        |FROM sizes s1 JOIN sizes s2 ON s1.d + 1 = s2.d
+        |LEFT JOIN inter i ON s1.d = i.d
+        |ORDER BY d""".stripMargin,
+    // exact twin of the sketch estimates — valid while day audiences ≤ k
+    // (see the agg_theta_intersect key comment)
+    "agg_theta_intersect" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |sizes AS (SELECT d, count(*) AS n FROM du GROUP BY d),
+        |inter AS (
+        |  SELECT a.d AS d, count(*) AS n_both
+        |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.d + 1 = b.d
+        |  GROUP BY a.d)
+        |SELECT s1.d AS d, s1.n AS est_day, s2.n AS est_next,
+        |       COALESCE(i.n_both, 0) AS est_both,
+        |       s1.n + s2.n - COALESCE(i.n_both, 0) AS est_either
         |FROM sizes s1 JOIN sizes s2 ON s1.d + 1 = s2.d
         |LEFT JOIN inter i ON s1.d = i.d
         |ORDER BY d""".stripMargin,
