@@ -138,6 +138,44 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // TIME-CONSTRAINED sequence match — the ClickHouse
+    // `sequenceMatch('(?1)(?t<=21600)(?2)(?t<=86400)(?3)')` semantics the
+    // journey-string regex can't express: signup, then a click within 6 h
+    // OF THAT SIGNUP, then a purchase within 24 h OF THAT CLICK, with any
+    // events allowed in between and `t` measured between MATCHED events.
+    // Evaluated exactly as a staged NFA in ONE window pass: at each row,
+    // `last_s` is the latest prior signup (the latest predecessor
+    // maximizes the chance of satisfying the bound, so existence against
+    // it IS existence against any), clicks satisfying the bound become
+    // stage-2 tokens, and the same argument cascades to purchases. Both
+    // window chains share one (user_id) exchange + sort; no self-join,
+    // no journey materialization — the formulation that still works when
+    // a user has a million events. `matched_any` (no time bound) rides
+    // the same pass for contrast with `event_sequence_match`.
+    "event_sequence_match_time" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("last_s",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("good_c", col("event_type") === "click" &&
+          col("last_s").isNotNull &&
+          col("ts") <= col("last_s") + expr("INTERVAL 6 HOURS"))
+        .withColumn("any_c", col("event_type") === "click" &&
+          col("last_s").isNotNull)
+        .withColumn("last_gc", max(when(col("good_c"), col("ts"))).over(w))
+        .withColumn("last_ac", max(when(col("any_c"), col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(max(col("event_type") === "purchase" &&
+            col("last_gc").isNotNull &&
+            col("ts") <= col("last_gc") + expr("INTERVAL 24 HOURS")),
+            lit(false)).as("matched_time"),
+          coalesce(max(col("event_type") === "purchase" &&
+            col("last_ac").isNotNull), lit(false)).as("matched_any"))
+        .orderBy("user_id")
+    }),
+
     // Path analysis (the Sankey-diagram staple): per-user event-order
     // transition bigrams, counted corpus-wide. One window pass (lag over
     // the user's event-time order — the same single user_id exchange every
@@ -940,6 +978,34 @@ object EventOps {
         |             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
         |      FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+    "event_sequence_match_time" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         max(CASE WHEN event_type = 'signup' THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_s
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *,
+        |         event_type = 'click' AND last_s IS NOT NULL
+        |           AND ts <= last_s + INTERVAL 6 HOUR AS good_c,
+        |         event_type = 'click' AND last_s IS NOT NULL AS any_c
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *,
+        |         max(CASE WHEN good_c THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_gc,
+        |         max(CASE WHEN any_c THEN ts END) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ac
+        |  FROM s2)
+        |SELECT user_id, count(*) AS n_events,
+        |       COALESCE(max(event_type = 'purchase' AND last_gc IS NOT NULL
+        |                    AND ts <= last_gc + INTERVAL 24 HOUR), false) AS matched_time,
+        |       COALESCE(max(event_type = 'purchase' AND last_ac IS NOT NULL),
+        |                false) AS matched_any
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "event_paths" ->
       """SELECT prev, event_type AS next, count(*) AS n
         |FROM (

@@ -265,6 +265,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("event_sequence_match_time equals the brute-force existential check") {
+    // independent semantics pin: for every user, literally enumerate
+    // (signup, click, purchase) triples and test the chain bounds —
+    // including the "later signup rescues the chain" case a greedy
+    // first-match would miss. Feasible because sf0.001 is tiny; the query
+    // itself is the single-window-pass formulation.
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_type"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = ev.map { case (u, rows) =>
+      // "before" is the row order (ts, event_id) — ties break like the
+      // window's ROWS frame does
+      def evs(tp: String) = rows.filter(_._3 == tp).map(r => (r._2, r._4))
+      def before(a: (Long, Long), b: (Long, Long)) =
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      val (ss, cs, ps) = (evs("signup"), evs("click"), evs("purchase"))
+      val matched = ps.exists(p => cs.exists(c => before(c, p) &&
+        p._1 <= c._1 + 86400L * 1000000 &&
+        ss.exists(s => before(s, c) && c._1 <= s._1 + 21600L * 1000000)))
+      val any = ps.exists(p => cs.exists(c => before(c, p) &&
+        ss.exists(s => before(s, c))))
+      u -> (matched, any)
+    }
+    val got = SparkEntry.queries("event_sequence_match_time")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, e) =>
+      assert(got(u) == e, s"user $u: window NFA disagrees with brute force")
+    }
+    // the time bound must actually bite on this data
+    assert(expected.values.exists { case (m, a) => a && !m },
+      "fixture should contain chains that only the unconstrained form matches")
+    assert(expected.values.exists(_._1), "some user should match with bounds")
+  }
+
   test("pageRank dangling-mass redistribution conserves total rank") {
     // 3-node graph with a genuine sink: 1→2, 2→1, 1→3; node 3 has no
     // out-edge. The query key's algebra (oracle-matched) drops the mass
