@@ -73,7 +73,8 @@ object ArchiveStream {
     */
   def archive(events: DataFrame, outDir: String, checkpointDir: String,
               trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-              compactEvery: Int = 0): StreamingQuery =
+              compactEvery: Int = 0,
+              afterWrite: Long => Unit = _ => ()): StreamingQuery =
     dedup(events)
       .writeStream
       .outputMode("append")
@@ -88,6 +89,11 @@ object ArchiveStream {
           .option("compression", "zstd")
           .partitionBy("d")
           .parquet(outDir)
+        // fault-injection seam: runs after the sink append but before the
+        // micro-batch commits to the checkpoint — throwing here is exactly
+        // a crash in the at-least-once window (StreamingSpec's
+        // crash-recovery test), and a no-op in production
+        afterWrite(batchId)
         // periodic forced merge, the reference's 60 s OPTIMIZE ticker
         // (ref: cmd/gh-archived/main.go:54-55,74-77): foreachBatch bodies
         // run serially, so compaction never races an append

@@ -455,6 +455,73 @@ class StreamingSpec extends SparkSpec {
     assert(streaming.toSeq == batch.toSeq)
   }
 
+  test("checkpoint crash-recovery: restart from the checkpoint dir converges on the uninterrupted run (G8)") {
+    // The reference's whole correctness story is at-least-once delivery +
+    // idempotent storage (ref: cmd/gh-load/main.go:257-261, README.md:14).
+    // Demonstrated, not assumed: run the archive stream over a real file
+    // source, crash it AFTER a sink append but BEFORE the micro-batch
+    // commits (the at-least-once window), rebuild the query on a FRESH
+    // session from the same checkpoint dir, drain, and require the
+    // replace-by-key read to equal an uninterrupted control run. The
+    // replayed batch leaves duplicate rows in storage by design; the
+    // canonical read collapses them.
+    import graft.sources.GhArchiveSource
+    val src = Files.createTempDirectory("graft-crash-src-").toString
+    def ev(id: Long, t: String) = s"""{"id":$id,"created_at":"$t"}"""
+    val hours = Seq(
+      "2024-01-15-0" -> Seq(ev(1, "2024-01-15T00:10:00Z"), ev(2, "2024-01-15T00:40:00Z")),
+      "2024-01-15-1" -> Seq(ev(3, "2024-01-15T01:05:00Z"), ev(1, "2024-01-15T00:10:00Z")),
+      "2024-01-15-2" -> Seq(ev(4, "2024-01-15T02:30:00Z")),
+      "2024-01-16-0" -> Seq(ev(5, "2024-01-16T00:01:00Z")))
+    hours.foreach { case (key, lines) =>
+      val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(s"$src/$key.json.gz")), "UTF-8"))
+      lines.foreach(w.println); w.close()
+    }
+    def canonical(dir: String): Seq[(Long, java.sql.Timestamp)] = {
+      val stored = spark.read.parquet(dir)
+      stored.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("ts", "hour")))
+        .filter(col("rn") === 1)
+        .select("id", "ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).sortBy(_._1).toSeq
+    }
+    val base = Files.createTempDirectory("graft-crash-").toString
+    val (outA, ckptA) = (s"$base/a", s"$base/ckptA")
+    // run 1: crash after batch 1's files are appended but before commit
+    val crashed = ArchiveStream.archive(
+      GhArchiveSource.readStream(spark, src, maxFilesPerTrigger = 1),
+      outA, ckptA, Trigger.ProcessingTime("50 milliseconds"),
+      afterWrite = bid => if (bid == 1) throw new RuntimeException("injected crash"))
+    val failed =
+      try { crashed.processAllAvailable(); false }
+      catch { case _: Exception => true }
+    assert(failed, "the injected crash must terminate the first run")
+    assert(crashed.exception.isDefined)
+    // run 2: REBUILD the query on a fresh session, same checkpoint + sink
+    val s2 = spark.newSession()
+    val resumed = ArchiveStream.archive(
+      GhArchiveSource.readStream(s2, src, maxFilesPerTrigger = 1),
+      outA, ckptA, Trigger.ProcessingTime("50 milliseconds"))
+    try { resumed.processAllAvailable() } finally resumed.stop()
+    // control: uninterrupted run over the same archive
+    val (outB, ckptB) = (s"$base/b", s"$base/ckptB")
+    val control = ArchiveStream.archive(
+      GhArchiveSource.readStream(spark, src, maxFilesPerTrigger = 1),
+      outB, ckptB, Trigger.ProcessingTime("50 milliseconds"))
+    try { control.processAllAvailable() } finally control.stop()
+    assert(canonical(outA) == canonical(outB),
+      "post-recovery replace-by-key read must equal the uninterrupted run")
+    assert(canonical(outA).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    // and the crash actually exercised the at-least-once window: the
+    // replayed batch's rows are present at least twice in raw storage
+    assert(spark.read.parquet(outA).count() >
+      spark.read.parquet(outB).count(),
+      "recovery must have re-appended the uncommitted batch")
+  }
+
   test("applyTtl drops nothing younger than 3 days and everything older") {
     val e = Tables.events(spark, sf)
     val kept = ArchiveStream.applyTtl(e.withColumnRenamed("event_id", "id"))
