@@ -73,11 +73,14 @@ object SimOps {
       p => p("cell")), 1, nprobe)
 
   /** Per-(JVM, scale dir) IVF index build: K seed centroids sampled by
-    * xxhash64(vec_id) order, ONE Lloyd refinement (map-only argmin against
-    * the seed literals + per-cell element-wise mean — the only shuffle in
-    * the build, n x dim skinny rows; at 100 TB this training pass runs on a
-    * sample while assignment still covers the full corpus), then the corpus
-    * written ONCE as cell-partitioned parquet. Returns (index path, the K
+    * xxhash64(vec_id) order, Lloyd trained to a fixed 5 iterations on a
+    * BOUNDED deterministic sample (hash-ordered 4096 vectors — training
+    * cost tracks the sample, not the corpus, which is what keeps the
+    * build O(sample·iters) at 100 TB; each iteration is a map-only argmin
+    * against the current centroid literals + per-cell element-wise mean,
+    * the only shuffle n×dim skinny rows). Full-corpus assignment against
+    * the trained centroids follows, and the corpus is written ONCE as
+    * cell-partitioned parquet. Returns (index path, the K
     * centroids) — the centroids are the collected index METADATA (K ~
     * sqrt(N) rows, dimension-table sized), which is what makes assignment
     * and probe shuffle-free.
@@ -89,27 +92,38 @@ object SimOps {
     synchronized {
       ivfIndexes.getOrElseUpdate(dir, {
         val k = 16
+        val lloydIters = 5
         val e = vecs(s, dir).select("vec_id", "v")
         val seeds: Seq[Seq[Double]] = e.orderBy(xxhash64(col("vec_id"))).limit(k)
           .select("v").collect().map(_.getSeq[Double](0)).toSeq
-        // persist barrier: Generate (posexplode) re-evaluates its child
-        // projection per OUTPUT row, which would charge the 16-centroid
-        // argmin 64x per vector (measured 13x slower) — materialize the
-        // assignment first, explode from the cache
-        val assign0 = e.select(nearestCell(col("v"), seeds).as("cell"), col("v"))
+        // training sample: deterministic hash-ordered draw, persisted once
+        // and rescanned per iteration
+        val sample = e.orderBy(xxhash64(col("vec_id"))).limit(4096).select("v")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val centroidRows =
-          try {
-            assign0
-              .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-              .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-              .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-          } finally { assign0.unpersist(); () }
-        // cells that captured no vectors in the Lloyd step keep their seed
-        val refined = centroidRows.groupBy(_._1).map { case (cell, rs) =>
-          cell -> rs.sortBy(_._2).map(_._3).toSeq
-        }
-        val cents = seeds.indices.map(i => refined.getOrElse(i + 1, seeds(i)))
+        var cents: Seq[Seq[Double]] = seeds
+        try {
+          for (_ <- 1 to lloydIters) {
+            // persist barrier: Generate (posexplode) re-evaluates its child
+            // projection per OUTPUT row, which would charge the 16-centroid
+            // argmin 64x per vector (measured 13x slower) — materialize the
+            // assignment first, explode from the cache
+            val assign = sample
+              .select(nearestCell(col("v"), cents).as("cell"), col("v"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val centroidRows =
+              try {
+                assign
+                  .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+                  .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+                  .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+              } finally { assign.unpersist(); () }
+            // cells that captured no vectors this round keep their centroid
+            val refined = centroidRows.groupBy(_._1).map { case (cell, rs) =>
+              cell -> rs.sortBy(_._2).map(_._3).toSeq
+            }
+            cents = cents.indices.map(i => refined.getOrElse(i + 1, cents(i)))
+          }
+        } finally { sample.unpersist(); () }
         val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf/" +
           OpCache.pathKey(dir)
         e.withColumn("cell", nearestCell(col("v"), cents))

@@ -117,7 +117,7 @@ class NorthStarSpec extends SparkSpec {
     dir
   }
 
-  test("sim_topk_ivf recall vs brute force >= 0.9 on clustered corpus") {
+  test("sim_topk_ivf recall vs brute force >= 0.95 on clustered corpus") {
     def pairs(name: String): Set[(Long, Long)] =
       SparkEntry.queries(name)(spark, clustered)
         .select("q_id", "vec_id").collect()
@@ -125,7 +125,7 @@ class NorthStarSpec extends SparkSpec {
     val exact = pairs("sim_topk")
     val approx = pairs("sim_topk_ivf")
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (nprobe=2 of 16 cells)")
+    assert(recall >= 0.95, s"IVF recall $recall < 0.95 (nprobe=2 of 16 cells, 5 Lloyd iters)")
   }
 
   test("lshBucket puts identical vectors in the same bucket") {
