@@ -77,6 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.ThetaEstimate(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("uniq_up_to"),
+      new ExpressionInfo("graft.functions.UniqUpTo", "uniq_up_to"),
+      (children: Seq[Expression]) => graft.functions.UniqUpTo(children.head,
+        children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("zorder_value"),
       new ExpressionInfo("graft.functions.ZOrderValue", "zorder_value"),
       (children: Seq[Expression]) =>

@@ -70,6 +70,14 @@ object api {
   def thetaEstimate(sketch: Column): Column =
     graftBridge.column(ThetaEstimate(graftBridge.expression(sketch)))
 
+  /** Bounded-state distinct count saturating at n+1 — the ClickHouse
+    * `uniqUpTo(N)` analog (see [[UniqUpTo]]): exact while distinct ≤ n,
+    * O(n) state per group regardless of true cardinality.
+    */
+  def uniqUpTo(item: Column, n: Int = 100): Column =
+    graftBridge.column(UniqUpTo(graftBridge.expression(item), n)
+      .toAggregateExpression())
+
   /** Codegen'd word-k-gram repetition stats `(n, n_distinct)` of a text
     * column — single fused pass (see [[NgramDupStats]]).
     */

@@ -138,6 +138,23 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // sequenceNextNode analog: after a consecutive click→purchase pair in
+    // a user's journey, what happens NEXT? The "where do users go after
+    // converting" distribution — two lags over the per-user order (the
+    // same single user_id exchange every sequence query pays), then a
+    // tiny aggregate over the 5-value event-type space.
+    "event_sequence_next_node" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 2).over(w).as("p2"),
+          lag(col("event_type"), 1).over(w).as("p1"))
+        .filter(col("p2") === "click" && col("p1") === "purchase")
+        .groupBy(col("event_type").as("next_node"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("next_node")
+    }),
+
     // TIME-CONSTRAINED sequence match — the ClickHouse
     // `sequenceMatch('(?1)(?t<=21600)(?2)(?t<=86400)(?3)')` semantics the
     // journey-string regex can't express: signup, then a click within 6 h
@@ -978,6 +995,16 @@ object EventOps {
         |             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
         |      FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+    "event_sequence_next_node" ->
+      """SELECT next_node, count(*) AS n FROM (
+        |  SELECT event_type AS next_node,
+        |         lag(event_type, 2) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS p2,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS p1
+        |  FROM events)
+        |WHERE p2 = 'click' AND p1 = 'purchase'
+        |GROUP BY next_node ORDER BY next_node""".stripMargin,
     "event_sequence_match_time" ->
       """WITH s1 AS (
         |  SELECT user_id, ts, event_id, event_type,

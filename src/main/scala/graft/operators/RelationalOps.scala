@@ -148,6 +148,35 @@ object RelationalOps {
     // purchase is inside the click's frame), ascending event_id makes the
     // earliest purchase the min-event_id tie-winner — matching the oracle's
     // (ts ASC, event_id ASC) pick. Still ONE keyed exchange, linear.
+    // E7b: as-of with a STALENESS TOLERANCE (pandas merge_asof
+    // tolerance / kdb wj) — the match is the latest prior click only if
+    // it is at most 2 h stale, else null: "price as of trade time, but
+    // never a quote older than X". Same single keyed exchange as
+    // `join_asof` (the latest prior row IS the nearest, so if it misses
+    // the tolerance nothing matches); the bound is one null-out
+    // projection after the window.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast(TimestampType).as("click_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("asof", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"),
+          when(col("asof").isNotNull &&
+            col("ts") <= col("asof") + expr("INTERVAL 2 HOURS"), col("asof"))
+            .as("tol_click_ts"))
+        .orderBy("p_id")
+    }),
+
     "join_asof_forward" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val clicks = e.filter(col("event_type") === "click")
@@ -468,6 +497,20 @@ object RelationalOps {
     }),
 
     // E11: approximate distinct (HLL++) — no oracle (approximate by design).
+    // E10b: bounded-state distinct guard — ClickHouse `uniqUpTo(N)`:
+    // exact distinct while ≤ N, saturates at N+1 ("more than N") with
+    // O(N) state per group however large the group (functions/UniqUpTo).
+    // The low-cardinality column exercises the exact regime, user_id the
+    // saturated one (at sf0.01+); oracle = LEAST(count(DISTINCT x), N+1).
+    "agg_uniq_up_to" -> ((s, dir) => {
+      import graft.functions.api.uniqUpTo
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(uniqUpTo(pmod(col("event_id"), lit(37L)), 50).as("u_small"),
+          uniqUpTo(col("user_id"), 50).as("u_users"))
+        .orderBy("event_type")
+    }),
+
     "agg_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -917,6 +960,20 @@ object RelationalOps {
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT p_id, p_user, p_ts,
+        |       CASE WHEN asof_click_ts IS NOT NULL
+        |              AND p_ts <= asof_click_ts + INTERVAL 2 HOUR
+        |            THEN asof_click_ts END AS tol_click_ts
+        |FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+        |         c.ts AS asof_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "join_asof_nearest" ->
       """SELECT p_id, p_user, p_ts, nearest_click_ts,
         |       CASE WHEN nearest_click_ts IS NULL THEN NULL
@@ -1000,6 +1057,11 @@ object RelationalOps {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |       count(DISTINCT l_partkey) AS n_part, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_uniq_up_to" ->
+      """SELECT event_type,
+        |       LEAST(count(DISTINCT event_id % 37), 51) AS u_small,
+        |       LEAST(count(DISTINCT user_id), 51) AS u_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |       COALESCE(l_linestatus, 'ALL') AS status,

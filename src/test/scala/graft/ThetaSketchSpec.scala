@@ -84,6 +84,23 @@ class ThetaSketchSpec extends SparkSpec {
     assert(math.abs(uni - 45000.0) / 45000.0 < 0.20, s"union got $uni")
   }
 
+  test("uniqUpTo: exact under n, saturates at n+1, layout-independent") {
+    val vals = (1L to 300L).toDF("v")
+    def u(df: org.apache.spark.sql.DataFrame, n: Int): Long =
+      df.agg(uniqUpTo(col("v"), n)).collect().head.getLong(0)
+    assert(u(vals.filter(col("v") <= 40), 50) == 40L, "exact while under n")
+    assert(u(vals, 50) == 51L, "must saturate at n+1")
+    assert(u(vals.repartition(32), 50) == 51L &&
+      u(vals.filter(col("v") <= 40).repartition(32), 50) == 40L,
+      "capped-union merge must not change the answer")
+    // duplicates never inflate the count
+    assert(u(vals.union(vals).filter(col("v") <= 40), 50) == 40L)
+    // SQL registration
+    vals.createOrReplaceTempView("uut_v")
+    assert(spark.sql("SELECT uniq_up_to(v, 50) FROM uut_v")
+      .collect().head.getLong(0) == 51L)
+  }
+
   test("SQL surface: theta functions registered by GraftExtensions") {
     Tables.events(spark, sf).createOrReplaceTempView("theta_ev")
     val est = spark.sql(
