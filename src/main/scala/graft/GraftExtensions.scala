@@ -77,6 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.ThetaEstimate(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("co_moment"),
+      new ExpressionInfo("graft.functions.CoMoment", "co_moment"),
+      (children: Seq[Expression]) => graft.functions.CoMoment(children.head,
+        children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("uniq_up_to"),
       new ExpressionInfo("graft.functions.UniqUpTo", "uniq_up_to"),
       (children: Seq[Expression]) => graft.functions.UniqUpTo(children.head,

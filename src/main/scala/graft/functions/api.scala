@@ -70,6 +70,16 @@ object api {
   def thetaEstimate(sketch: Column): Column =
     graftBridge.column(ThetaEstimate(graftBridge.expression(sketch)))
 
+  /** One-pass mergeable co-moment accumulator over a d-dim double-array
+    * column: [n, Σx_i…, Σx_i·x_j (i≤j)…] — O(d²) state per group
+    * regardless of row count (see [[CoMoment]]).
+    */
+  def coMoment(v: Column, d: Int): Column = {
+    val dd = ArrayType(DoubleType)
+    graftBridge.column(CoMoment(graftBridge.expression(v.cast(dd)), d)
+      .toAggregateExpression())
+  }
+
   /** Bounded-state distinct count saturating at n+1 — the ClickHouse
     * `uniqUpTo(N)` analog (see [[UniqUpTo]]): exact while distinct ≤ n,
     * O(n) state per group regardless of true cardinality.

@@ -259,6 +259,36 @@ object SimOps {
         .orderBy("vec_id")
     }),
 
+    // Covariance matrix of the embedding corpus — the PCA / whitening /
+    // decorrelation input — via the one-pass mergeable CoMoment aggregate
+    // (functions/CoMoment.scala): O(d²) state per partition however many
+    // vectors, partials merge element-wise, and the d(d+1)/2 result is a
+    // single metadata-sized row. The compositional alternative (explode
+    // each vector to (i, j, x·y) rows) shuffles N·d² rows — 4096× the
+    // input at d=64, impossible at 100 TB. Pair covariances derive from
+    // the flat moment buffer with a 2080-row literal index table
+    // broadcast-joined to the one aggregate row.
+    "embed_covariance" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.api.coMoment
+      val d = 64
+      val m = vecs(s, dir).agg(coMoment(col("v"), d).as("m"))
+      // 1-based element_at index of Σx_i·x_j in the flat buffer
+      // [n, Σx_0…Σx_{d-1}, upper-triangular Σx_i·x_j]
+      val pairs = (for { i <- 0 until d; j <- i until d } yield
+        (i.toLong, j.toLong,
+          (1 + d + i * (2 * d - i + 1) / 2 + (j - i) + 1).toLong))
+        .toDF("i", "j", "idx")
+      val n = element_at(col("m"), 1)
+      pairs.crossJoin(broadcast(m))
+        .select(col("i"), col("j"),
+          round(element_at(col("m"), col("idx").cast(IntegerType)) / n
+            - (element_at(col("m"), col("i").cast(IntegerType) + 2) / n)
+            * (element_at(col("m"), col("j").cast(IntegerType) + 2) / n), 6)
+            .as("cov"))
+        .orderBy("i", "j")
+    }),
+
     // Multimodal record: text + embedding + metadata bundled in one struct
     // column (documents joined to embeddings on doc_id = vec_id, dimension
     // broadcast), fields projected back out as scalars.
@@ -340,6 +370,19 @@ object SimOps {
         |                                                 list_transform(qv, x -> x::DOUBLE)))
         |             / 64.0, 6) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+    // identical raw-sum algebra (Σxy/n − (Σx/n)(Σy/n)), not covar_pop, so
+    // the only cross-engine noise is summation-order ulps « round(6)
+    "embed_covariance" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.range AS i, b.range AS j
+        |      FROM range(64) a, range(64) b WHERE a.range <= b.range)
+        |SELECT i, j,
+        |       round(sum(v[i+1] * v[j+1]) / count(*)
+        |             - (sum(v[i+1]) / count(*)) * (sum(v[j+1]) / count(*)),
+        |             6) AS cov
+        |FROM p CROSS JOIN e
+        |GROUP BY i, j ORDER BY i, j""".stripMargin,
     "multimodal_struct" ->
       """SELECT doc_id, lang, label,
         |       CAST(len(embedding) AS BIGINT) AS dim,

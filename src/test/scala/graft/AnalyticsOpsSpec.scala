@@ -265,6 +265,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("embed_covariance: co-moments equal covar_pop and survive re-layout") {
+    val cov = SparkEntry.queries("embed_covariance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov.size == 64 * 65 / 2)
+    (0 until 64).foreach(i =>
+      assert(cov((i.toLong, i.toLong)) >= 0.0, s"var($i) must be >= 0"))
+    // independent formulation: Spark's own covar_pop on two dimensions
+    val e = Tables.embeddings(spark, sf).select(
+      element_at(col("embedding"), 1).cast("double").as("x0"),
+      element_at(col("embedding"), 2).cast("double").as("x1"))
+    val r = e.agg(covar_pop(col("x0"), col("x0")),
+      covar_pop(col("x0"), col("x1"))).head
+    assert(math.abs(cov((0L, 0L)) - r.getDouble(0)) < 2e-6)
+    assert(math.abs(cov((0L, 1L)) - r.getDouble(1)) < 2e-6)
+    // partial-merge layout independence at the rounded contract
+    import graft.functions.api.coMoment
+    val v = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    def m(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(coMoment(col("v"), 64)).collect().head.getSeq[Double](0)
+        .map(x => math.rint(x * 1e6) / 1e6)
+    assert(m(v.coalesce(1)) == m(v.repartition(32)))
+  }
+
   test("event_sequence_match_time equals the brute-force existential check") {
     // independent semantics pin: for every user, literally enumerate
     // (signup, click, purchase) triples and test the chain bounds —
