@@ -101,6 +101,51 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // ClickHouse `maxIntersections` analog: peak number of simultaneously
+    // open intervals per user, each event held open for `value` seconds.
+    // The classic +1/−1 sweep — starts and ends union into one point
+    // stream, a running sum walks it, the max is the answer. At ties a
+    // start sorts before an end (closed intervals: back-to-back counts as
+    // overlap), pinned identically in the oracle. One keyed window
+    // exchange on user_id; per-row state is a single running counter.
+    "event_max_concurrent" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"),
+          (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, CAST(value AS INT))"))
+            .as("te"))
+      val pts = e.select(col("user_id"), col("ts").as("t"), lit(1).as("d"))
+        .unionAll(e.select(col("user_id"), col("te").as("t"), lit(-1).as("d")))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts
+        .withColumn("open", sum("d").over(w))
+        .groupBy("user_id")
+        .agg(max("open").cast(LongType).as("max_concurrent"))
+        .orderBy("user_id")
+    }),
+
+    // ClickHouse windowFunnel(strict_order) analog: the funnel level only
+    // advances while signup → click → purchase appear CONSECUTIVELY in
+    // the user's journey — any intervening event breaks the chain (the
+    // plain `event_funnel` key is the permissive mode). Rides the same
+    // journey-string build (and the same user_id exchange) as
+    // `event_sequence_match`; the level test is a contiguous-substring
+    // probe, one per user, not per event.
+    "event_funnel_strict" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr(
+          "listagg(substring(event_type, 1, 1), '') WITHIN GROUP (ORDER BY ts, event_id)")
+          .as("j"))
+        .select(
+          when(instr(col("j"), "scp") > 0, 3)
+            .when(instr(col("j"), "sc") > 0, 2)
+            .when(instr(col("j"), "s") > 0, 1)
+            .otherwise(0).cast(LongType).as("funnel_level"))
+        .groupBy("funnel_level").agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_level")
+    }),
+
     // PageRank over the repo-transition graph — the second iterative graph
     // algorithm next to `dedup_cluster_cc`'s connected components: which
     // repos do user journeys flow INTO? Edges are distinct (prev repo →
@@ -995,6 +1040,36 @@ object EventOps {
         |             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
         |      FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+    // start sorts before end at equal t (d DESC) — closed-interval
+    // semantics pinned identically to the Spark side
+    "event_max_concurrent" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts, ts + to_seconds(CAST(value AS INT)) AS te
+        |  FROM events),
+        |pts AS (
+        |  SELECT user_id, ts AS t, 1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT user_id, te AS t, -1 AS d FROM iv),
+        |r AS (
+        |  SELECT user_id,
+        |         sum(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+        |                      ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM pts)
+        |SELECT user_id, CAST(max(open) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "event_funnel_strict" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
+        |  FROM events GROUP BY user_id),
+        |lvl AS (
+        |  SELECT CASE WHEN position('scp' IN j) > 0 THEN 3
+        |              WHEN position('sc' IN j) > 0 THEN 2
+        |              WHEN position('s' IN j) > 0 THEN 1
+        |              ELSE 0 END AS funnel_level
+        |  FROM j)
+        |SELECT funnel_level, count(*) AS n_users
+        |FROM lvl GROUP BY funnel_level ORDER BY funnel_level""".stripMargin,
     "event_sequence_next_node" ->
       """SELECT next_node, count(*) AS n FROM (
         |  SELECT event_type AS next_node,

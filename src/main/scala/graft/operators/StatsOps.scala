@@ -171,6 +171,120 @@ object StatsOps {
         .orderBy("column_name")
     }),
 
+    // Welch's two-sample t-test per day (ClickHouse `welchTTest` analog):
+    // does purchase value differ from click value? ONE conditional-agg
+    // scan yields both groups' raw sums (n, Σx, Σx²); mean/variance/t/df
+    // derive by identical IEEE algebra on both engines (never the
+    // engines' own var_samp, whose summation strategy differs). All
+    // per-day state is six mergeable sums — map-side combine collapses
+    // each partition before the single keyed exchange.
+    "stat_welch_ttest" -> ((s, dir) => {
+      val v = col("value")
+      def g(t: String, e: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === t, e))
+      val base = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("n1"),
+          g("purchase", v).as("s1"), g("purchase", v * v).as("q1"),
+          count(when(col("event_type") === "click", 1)).as("n2"),
+          g("click", v).as("s2"), g("click", v * v).as("q2"))
+        .filter(col("n1") > 1 && col("n2") > 1)
+        .withColumn("m1", col("s1") / col("n1"))
+        .withColumn("m2", col("s2") / col("n2"))
+        .withColumn("se1",
+          (col("q1") - col("s1") * col("s1") / col("n1"))
+            / (col("n1") - 1) / col("n1"))
+        .withColumn("se2",
+          (col("q2") - col("s2") * col("s2") / col("n2"))
+            / (col("n2") - 1) / col("n2"))
+      base.select(col("day"), col("n1"), col("n2"),
+        round(col("m1") - col("m2"), 6).as("mean_diff"),
+        round((col("m1") - col("m2")) / sqrt(col("se1") + col("se2")), 6)
+          .as("t_stat"),
+        round(
+          (col("se1") + col("se2")) * (col("se1") + col("se2"))
+            / (col("se1") * col("se1") / (col("n1") - 1)
+              + col("se2") * col("se2") / (col("n2") - 1)), 6)
+          .as("df_welch"))
+        .orderBy("day")
+    }),
+
+    // Cramér's V association between event type and ISO weekday
+    // (ClickHouse `cramersV` analog). The only full-data pass is the
+    // contingency aggregate; everything after runs on the k×m cell table
+    // (≤ 35 rows here — metadata-sized at ANY corpus scale, so the
+    // unpartitioned window sums over it are driver-cheap by construction).
+    "stat_cramers_v" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"), (weekday(to_date(col("ts"))) + 1).as("dow"))
+        .agg(count(lit(1)).cast(DoubleType).as("o"))
+      val t = cells.agg(sum("o").as("tot"),
+        countDistinct("event_type").as("r"), countDistinct("dow").as("c"))
+      cells
+        .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", sum("o").over(Window.partitionBy("dow")))
+        .crossJoin(broadcast(t))
+        .withColumn("e", col("rt") * col("ct") / col("tot"))
+        .withColumn("cell",
+          (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .groupBy()
+        .agg(
+          max(col("tot")).cast(LongType).as("n_events"),
+          max(col("r")).as("n_types"),
+          max(col("c")).as("n_days"),
+          round(sum("cell"), 6).as("chi2"),
+          round(sqrt(sum("cell") / max(col("tot"))
+            / (least(max(col("r")), max(col("c"))) - lit(1))), 6)
+            .as("cramers_v"))
+    }),
+
+    // Per-day ROC AUC of `value` as a purchase-vs-click classifier score
+    // (ClickHouse `arrayAUC` analog) via the tie-aware rank identity
+    // AUC = Σ_s np(s)·(NN_below(s) + nn(s)/2) / (NP·NN). The formulation
+    // is deliberately NOT a global sort of raw rows: the corpus collapses
+    // to DISTINCT (day, score) cells first (one keyed exchange with
+    // map-side combine), and the running sum walks that far smaller cell
+    // table — per-day window state is |distinct scores|, not |rows|.
+    "agg_auc" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(to_date(col("ts")).as("day"), col("value"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("np"),
+          count(when(col("event_type") === "click", 1)).as("nn"))
+      val w = Window.partitionBy("day").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("below", sum("nn").over(w) - col("nn"))
+        .groupBy("day")
+        .agg(
+          sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(col("np") * (col("below") + col("nn") / lit(2.0))).as("s"))
+        .filter(col("n_pos") > 0 && col("n_neg") > 0)
+        .select(col("day"), col("n_pos"), col("n_neg"),
+          round(col("s") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+        .orderBy("day")
+    }),
+
+    // Counter-reset-aware delta sum per user (ClickHouse `deltaSum`
+    // analog): total of POSITIVE steps in the ts-ordered value series —
+    // the monotonic-counter rate extraction where a drop means the counter
+    // reset, not negative work. One keyed window exchange; per-row state
+    // is a single lag.
+    "agg_delta_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("delta", col("value") - lag("value", 1).over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(coalesce(sum(when(col("delta") > 0, col("delta"))), lit(0.0)), 6)
+            .as("delta_sum"),
+          count(when(col("delta") < 0, 1)).as("n_resets"))
+        .orderBy("user_id")
+    }),
+
     // Per-order compounded discount factor — a product aggregate. Spark has
     // no product(); `exp(sum(ln))` is the mergeable formulation (DuckDB's
     // native product() is the oracle twin). Safe here: 1 + discount > 0.
@@ -269,5 +383,83 @@ object StatsOps {
     "agg_product" ->
       """SELECT l_orderkey, count(*) AS n_items,
         |       round(product(1 + l_discount), 6) AS disc_factor
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    // identical raw-sum algebra on both engines (never the engine's own
+    // var_samp) — cross-engine noise is summation-order ulps « round(6)
+    "stat_welch_ttest" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         count(*) FILTER (event_type = 'purchase') AS n1,
+        |         sum(value) FILTER (event_type = 'purchase') AS s1,
+        |         sum(value * value) FILTER (event_type = 'purchase') AS q1,
+        |         count(*) FILTER (event_type = 'click') AS n2,
+        |         sum(value) FILTER (event_type = 'click') AS s2,
+        |         sum(value * value) FILTER (event_type = 'click') AS q2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+        |         (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS se1,
+        |         (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+        |  FROM s WHERE n1 > 1 AND n2 > 1)
+        |SELECT day, n1, n2,
+        |       round(m1 - m2, 6) AS mean_diff,
+        |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+        |       round((se1 + se2) * (se1 + se2)
+        |             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
+        |         AS df_welch
+        |FROM m ORDER BY day""".stripMargin,
+    "stat_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts) AS dow,
+        |         CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT sum(o) AS tot, count(DISTINCT event_type) AS r,
+        |         count(DISTINCT dow) AS c
+        |  FROM cells),
+        |x AS (
+        |  SELECT o,
+        |         sum(o) OVER (PARTITION BY event_type) AS rt,
+        |         sum(o) OVER (PARTITION BY dow) AS ct
+        |  FROM cells)
+        |SELECT CAST(max(tot) AS BIGINT) AS n_events,
+        |       CAST(max(r) AS BIGINT) AS n_types,
+        |       CAST(max(c) AS BIGINT) AS n_days,
+        |       round(sum((o - rt * ct / tot) * (o - rt * ct / tot)
+        |                 / (rt * ct / tot)), 6) AS chi2,
+        |       round(sqrt(sum((o - rt * ct / tot) * (o - rt * ct / tot)
+        |                      / (rt * ct / tot))
+        |                  / max(tot) / (least(max(r), max(c)) - 1)), 6)
+        |         AS cramers_v
+        |FROM x CROSS JOIN t""".stripMargin,
+    "agg_auc" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, value,
+        |         count(*) FILTER (event_type = 'purchase') AS np,
+        |         count(*) FILTER (event_type = 'click') AS nn
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day, np, nn,
+        |         sum(nn) OVER (PARTITION BY day ORDER BY value
+        |                       ROWS UNBOUNDED PRECEDING) - nn AS below
+        |  FROM cells)
+        |SELECT day, CAST(sum(np) AS BIGINT) AS n_pos,
+        |       CAST(sum(nn) AS BIGINT) AS n_neg,
+        |       round(sum(np * (below + nn / 2.0))
+        |             / (sum(np) * sum(nn)), 6) AS auc
+        |FROM w GROUP BY day
+        |HAVING sum(np) > 0 AND sum(nn) > 0
+        |ORDER BY day""".stripMargin,
+    "agg_delta_sum" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         value - lag(value) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS delta
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       round(coalesce(sum(delta) FILTER (delta > 0), 0), 6)
+        |         AS delta_sum,
+        |       count(*) FILTER (delta < 0) AS n_resets
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -350,6 +350,82 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("event_max_concurrent equals a brute-force interval overlap count") {
+    // independent semantics pin: for each user literally test every event
+    // timestamp against every interval [ts, ts+value] (closed ends) — the
+    // sweep's max running count must equal the max pointwise overlap,
+    // which for closed intervals is always attained at some start point.
+    val got = SparkEntry.queries("event_max_concurrent")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iv = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("double").as("a"),
+        (col("ts").cast("double") + col("value").cast("int")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .groupBy(_._1)
+    iv.foreach { case (u, xs) =>
+      val brute = xs.map { case (_, a, _) =>
+        xs.count { case (_, a2, b2) => a2 <= a && a <= b2 }
+      }.max
+      assert(got(u) == brute.toLong, s"user $u: sweep=${got(u)} brute=$brute")
+    }
+    assert(got.nonEmpty && got.values.max >= 2,
+      "fixture must exercise a genuine overlap")
+  }
+
+  test("agg_auc: bounded, tie-aware, and 1.0 under perfect separation") {
+    val rows = SparkEntry.queries("agg_auc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val auc = r.getDouble(3)
+      assert(auc >= 0.0 && auc <= 1.0, s"AUC out of range: $auc")
+    }
+    // degenerate pins on a constructed frame via the same rank identity:
+    // perfect separation → 1.0; identical scores → 0.5 exactly
+    import spark.implicits._
+    val perfect = Seq(("p", 2.0), ("p", 3.0), ("n", 0.5), ("n", 1.0))
+    val tied = Seq(("p", 1.0), ("p", 1.0), ("n", 1.0), ("n", 1.0))
+    def auc(xs: Seq[(String, Double)]): Double = {
+      val cells = xs.toDF("cls", "value")
+        .groupBy("value")
+        .agg(count(when(col("cls") === "p", 1)).as("np"),
+          count(when(col("cls") === "n", 1)).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      cells.withColumn("below", sum("nn").over(w) - col("nn"))
+        .agg((sum(col("np") * (col("below") + col("nn") / lit(2.0)))
+          / (sum("np") * sum("nn"))).as("auc"))
+        .head.getDouble(0)
+    }
+    assert(auc(perfect) == 1.0)
+    assert(auc(tied) == 0.5)
+  }
+
+  test("stat_welch_ttest matches commons-free reference on collected data") {
+    val got = SparkEntry.queries("stat_welch_ttest")(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.nonEmpty)
+    // recompute one day sequentially from raw rows (Welch textbook form)
+    val day = got.keys.min
+    val raw = Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === lit(day))
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    def stats(t: String) = {
+      val xs = raw.filter(_._1 == t).map(_._2)
+      val m = xs.sum / xs.length
+      (xs.length, m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (n1, m1, v1) = stats("purchase"); val (n2, m2, v2) = stats("click")
+    val se = v1 / n1 + v2 / n2
+    val t = (m1 - m2) / math.sqrt(se)
+    val df = se * se /
+      (v1 * v1 / n1.toDouble / n1 / (n1 - 1) + v2 * v2 / n2.toDouble / n2 / (n2 - 1))
+    assert(math.abs(got(day)._2 - t) < 1e-4, s"t: ${got(day)._2} vs $t")
+    assert(math.abs(got(day)._3 - df) < 1e-3, s"df: ${got(day)._3} vs $df")
+  }
+
   test("join_null_safe: the NULL bucket survives and totals cover all orders") {
     val rows = SparkEntry.queries("join_null_safe")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
