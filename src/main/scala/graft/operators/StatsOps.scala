@@ -263,7 +263,70 @@ object StatsOps {
           sum(col("np") * (col("below") + col("nn") / lit(2.0))).as("s"))
         .filter(col("n_pos") > 0 && col("n_neg") > 0)
         .select(col("day"), col("n_pos"), col("n_neg"),
-          round(col("s") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+          // DOUBLE denominator: n_pos·n_neg overflows Long at ~3e9 rows/day
+          round(col("s") / (col("n_pos").cast(DoubleType) * col("n_neg")), 6)
+            .as("auc"))
+        .orderBy("day")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov statistic per day (ClickHouse
+    // `kolmogorovSmirnovTest` analog): D = max_x |ECDF₁(x) − ECDF₂(x)|,
+    // purchase-value vs click-value distributions. Same scale shape as
+    // `agg_auc`: collapse to DISTINCT (day, value) cells first, then the
+    // running ECDFs walk the cell table — the max-gap scan costs
+    // |distinct scores| per day, never |rows|.
+    "stat_ks_test" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(to_date(col("ts")).as("day"), col("value"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("np"),
+          count(when(col("event_type") === "click", 1)).as("nn"))
+      val w = Window.partitionBy("day").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("day")
+      cells
+        .withColumn("cp", sum("np").over(w))
+        .withColumn("cn", sum("nn").over(w))
+        .withColumn("n1", sum("np").over(tot))
+        .withColumn("n2", sum("nn").over(tot))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .groupBy("day")
+        .agg(
+          max("n1").as("n_pos"), max("n2").as("n_neg"),
+          round(max(abs(col("cp") / col("n1") - col("cn") / col("n2"))), 6)
+            .as("ks_d"))
+        .orderBy("day")
+    }),
+
+    // Mann–Whitney U with normal approximation per day (ClickHouse
+    // `mannWhitneyUTest` analog). U falls out of the SAME tie-aware rank
+    // sum as `agg_auc` (U = Σ np·(NN_below + nn/2)); z uses the
+    // no-tie-correction variance n1·n2·(n1+n2+1)/12 — pinned identically
+    // in the oracle, so the comparison is of algebra, not of engines'
+    // library implementations.
+    "stat_mann_whitney" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(to_date(col("ts")).as("day"), col("value"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("np"),
+          count(when(col("event_type") === "click", 1)).as("nn"))
+      val w = Window.partitionBy("day").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("below", sum("nn").over(w) - col("nn"))
+        .groupBy("day")
+        .agg(
+          sum("np").as("n1"), sum("nn").as("n2"),
+          sum(col("np") * (col("below") + col("nn") / lit(2.0))).as("u"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        // n1·n2 in DOUBLE: the product overflows Long at ~3e9 rows/day
+        .select(col("day"), col("n1"), col("n2"),
+          round(col("u"), 6).as("u_stat"),
+          round((col("u") - col("n1").cast(DoubleType) * col("n2") / lit(2.0))
+            / sqrt(col("n1").cast(DoubleType) * col("n2")
+              * (col("n1") + col("n2") + 1) / lit(12.0)), 6).as("z_score"))
         .orderBy("day")
     }),
 
@@ -448,6 +511,50 @@ object StatsOps {
         |       CAST(sum(nn) AS BIGINT) AS n_neg,
         |       round(sum(np * (below + nn / 2.0))
         |             / (sum(np) * sum(nn)), 6) AS auc
+        |FROM w GROUP BY day
+        |HAVING sum(np) > 0 AND sum(nn) > 0
+        |ORDER BY day""".stripMargin,
+    "stat_ks_test" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, value,
+        |         count(*) FILTER (event_type = 'purchase') AS np,
+        |         count(*) FILTER (event_type = 'click') AS nn
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day,
+        |         sum(np) OVER (PARTITION BY day ORDER BY value
+        |                       ROWS UNBOUNDED PRECEDING) AS cp,
+        |         sum(nn) OVER (PARTITION BY day ORDER BY value
+        |                       ROWS UNBOUNDED PRECEDING) AS cn,
+        |         sum(np) OVER (PARTITION BY day) AS n1,
+        |         sum(nn) OVER (PARTITION BY day) AS n2
+        |  FROM cells)
+        |SELECT day, CAST(max(n1) AS BIGINT) AS n_pos,
+        |       CAST(max(n2) AS BIGINT) AS n_neg,
+        |       round(max(abs(CAST(cp AS DOUBLE) / n1
+        |                     - CAST(cn AS DOUBLE) / n2)), 6) AS ks_d
+        |FROM w WHERE n1 > 0 AND n2 > 0
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "stat_mann_whitney" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, value,
+        |         count(*) FILTER (event_type = 'purchase') AS np,
+        |         count(*) FILTER (event_type = 'click') AS nn
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day, np, nn,
+        |         sum(nn) OVER (PARTITION BY day ORDER BY value
+        |                       ROWS UNBOUNDED PRECEDING) - nn AS below
+        |  FROM cells)
+        |SELECT day, CAST(sum(np) AS BIGINT) AS n1,
+        |       CAST(sum(nn) AS BIGINT) AS n2,
+        |       round(sum(np * (below + nn / 2.0)), 6) AS u_stat,
+        |       round((sum(np * (below + nn / 2.0))
+        |              - sum(np) * sum(nn) / 2.0)
+        |             / sqrt(sum(np) * sum(nn)
+        |                    * (sum(np) + sum(nn) + 1) / 12.0), 6) AS z_score
         |FROM w GROUP BY day
         |HAVING sum(np) > 0 AND sum(nn) > 0
         |ORDER BY day""".stripMargin,
