@@ -146,6 +146,48 @@ object EventOps {
         .orderBy("funnel_level")
     }),
 
+    // Time-series downsampling per user (ClickHouse
+    // `largestTriangleThreeBuckets` analog): keep the most visually
+    // salient point per uniform bucket — the one maximizing the triangle
+    // area against the neighbor buckets' centroids. Deliberately the
+    // PARALLEL three-bucket-AVERAGE variant (classic LTTB anchors on the
+    // previously SELECTED point — a sequential chain across buckets that
+    // cannot fan out); every stage here is a keyed window or equi-join.
+    // Bit-exactness discipline: x = the in-series index, y = value in
+    // cents — both exact integers, so bucket centroids are identical
+    // doubles on both engines and the argmax (on round(area,6), rn
+    // tiebreak) cannot flip on summation-order ulps.
+    "event_downsample_lttb" -> ((s, dir) => {
+      val m = 12
+      val wRn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rows = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value"), round(col("value") * 100, 0).cast(LongType).as("y"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("b",
+          least(floor((col("rn") - 1) * m / col("n")), lit(m - 1).cast(LongType)))
+      val wB = Window.partitionBy("user_id").orderBy("b")
+      val bk = rows.groupBy("user_id", "b")
+        .agg((sum("rn") / count(lit(1))).as("ax"),
+          (sum("y") / count(lit(1))).as("ay"))
+        .withColumn("pax", coalesce(lag("ax", 1).over(wB), col("ax")))
+        .withColumn("pay", coalesce(lag("ay", 1).over(wB), col("ay")))
+        .withColumn("nax", coalesce(lead("ax", 1).over(wB), col("ax")))
+        .withColumn("nay", coalesce(lead("ay", 1).over(wB), col("ay")))
+      val wPick = Window.partitionBy("user_id", "b")
+        .orderBy(col("area").desc, col("rn"))
+      rows.join(bk, Seq("user_id", "b"))
+        .withColumn("area", round(abs(
+          (col("pax") - col("nax")) * (col("y") - col("pay"))
+            - (col("pax") - col("rn")) * (col("nay") - col("pay"))), 6))
+        .withColumn("pick", row_number().over(wPick))
+        .filter(col("pick") === 1)
+        .select(col("user_id"), col("b").cast(LongType).as("bucket"),
+          col("ts"), col("value"))
+        .orderBy("user_id", "bucket")
+    }),
+
     // PageRank over the repo-transition graph — the second iterative graph
     // algorithm next to `dedup_cluster_cc`'s connected components: which
     // repos do user journeys flow INTO? Edges are distinct (prev repo →
@@ -1040,6 +1082,39 @@ object EventOps {
         |             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
         |      FROM events GROUP BY user_id)
         |ORDER BY user_id""".stripMargin,
+    "event_downsample_lttb" ->
+      """WITH rows_ AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS y,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |br AS (
+        |  SELECT *, least(floor((rn - 1) * 12 / n), 11) AS b FROM rows_),
+        |bk AS (
+        |  SELECT user_id, b,
+        |         CAST(sum(rn) AS DOUBLE) / count(*) AS ax,
+        |         CAST(sum(y) AS DOUBLE) / count(*) AS ay
+        |  FROM br GROUP BY user_id, b),
+        |bk2 AS (
+        |  SELECT user_id, b,
+        |         coalesce(lag(ax) OVER w, ax) AS pax,
+        |         coalesce(lag(ay) OVER w, ay) AS pay,
+        |         coalesce(lead(ax) OVER w, ax) AS nax,
+        |         coalesce(lead(ay) OVER w, ay) AS nay
+        |  FROM bk WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+        |sc AS (
+        |  SELECT br.user_id, br.b, br.ts, br.value, br.rn,
+        |         round(abs((pax - nax) * (br.y - pay)
+        |                   - (pax - br.rn) * (nay - pay)), 6) AS area
+        |  FROM br JOIN bk2 ON br.user_id = bk2.user_id AND br.b = bk2.b),
+        |pk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, b
+        |                               ORDER BY area DESC, rn) AS pick
+        |  FROM sc)
+        |SELECT user_id, CAST(b AS BIGINT) AS bucket, ts, value
+        |FROM pk WHERE pick = 1 ORDER BY user_id, bucket""".stripMargin,
     // start sorts before end at equal t (d DESC) — closed-interval
     // semantics pinned identically to the Spark side
     "event_max_concurrent" ->

@@ -269,6 +269,56 @@ object StatsOps {
         .orderBy("day")
     }),
 
+    // Closed-form multivariate OLS per group: extendedprice on
+    // (quantity, discount) via the 3×3 normal equations solved by
+    // Cramer's rule. Cross-engine bit-exactness discipline: the nine
+    // power sums are computed over EXACT integers (quantity, discount in
+    // pct, price in cents — all integer-valued in this schema), so both
+    // engines hold identical longs; the determinant algebra then runs in
+    // DOUBLE on identical inputs (long³ products overflow int64) —
+    // identical IEEE ops, bit-identical coefficients. One hash-aggregate
+    // exchange; at uncapped scale the sums would switch to DECIMAL
+    // accumulators, same shape.
+    "ml_linreg_multi" -> ((s, dir) => {
+      val x1 = floor(col("l_quantity")).cast(LongType)
+      val x2 = round(col("l_discount") * 100, 0).cast(LongType)
+      val y = round(col("l_extendedprice") * 100, 0).cast(LongType)
+      def d(c: String) = col(c).cast(DoubleType)
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), x1.as("x1"), x2.as("x2"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"))
+        .withColumn("det",
+          d("n") * (d("s11") * d("s22") - d("s12") * d("s12"))
+            - d("s1") * (d("s1") * d("s22") - d("s12") * d("s2"))
+            + d("s2") * (d("s1") * d("s12") - d("s11") * d("s2")))
+        .withColumn("det0",
+          d("sy") * (d("s11") * d("s22") - d("s12") * d("s12"))
+            - d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y"))
+            + d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y")))
+        .withColumn("det1",
+          d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y"))
+            - d("sy") * (d("s1") * d("s22") - d("s12") * d("s2"))
+            + d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2")))
+        .withColumn("det2",
+          d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12"))
+            - d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+            + d("sy") * (d("s1") * d("s12") - d("s11") * d("s2")))
+        .select(col("l_returnflag"), col("n"),
+          // back to dollars (the cents scaling divides out of b1/b2's
+          // x-units, leaving the /100 y-rescale only)
+          round(col("det0") / col("det") / 100.0, 6).as("intercept"),
+          round(col("det1") / col("det") / 100.0, 6).as("b_quantity"),
+          round(col("det2") / col("det") / 100.0, 6).as("b_discount_pct"))
+        .orderBy("l_returnflag")
+    }),
+
     // Two-sample Kolmogorov–Smirnov statistic per day (ClickHouse
     // `kolmogorovSmirnovTest` analog): D = max_x |ECDF₁(x) − ECDF₂(x)|,
     // purchase-value vs click-value distributions. Same scale shape as
@@ -514,6 +564,45 @@ object StatsOps {
         |FROM w GROUP BY day
         |HAVING sum(np) > 0 AND sum(nn) > 0
         |ORDER BY day""".stripMargin,
+    // identical exact-integer sums then identical DOUBLE Cramer algebra —
+    // bit-identical coefficients, round(6) is belt-and-braces
+    "ml_linreg_multi" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_quantity) AS BIGINT) AS x1,
+        |         CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |         CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |         CAST(sum(x2 * y) AS DOUBLE) AS s2y
+        |  FROM r GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+        |           - s1 * (s1 * s22 - s12 * s2)
+        |           + s2 * (s1 * s12 - s11 * s2) AS det,
+        |         sy * (s11 * s22 - s12 * s12)
+        |           - s1 * (s1y * s22 - s12 * s2y)
+        |           + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |         CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+        |           - sy * (s1 * s22 - s12 * s2)
+        |           + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |         CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+        |           - s1 * (s1 * s2y - s1y * s2)
+        |           + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |       round(det0 / det / 100.0, 6) AS intercept,
+        |       round(det1 / det / 100.0, 6) AS b_quantity,
+        |       round(det2 / det / 100.0, 6) AS b_discount_pct
+        |FROM d ORDER BY l_returnflag""".stripMargin,
     "stat_ks_test" ->
       """WITH cells AS (
         |  SELECT CAST(ts AS DATE) AS day, value,

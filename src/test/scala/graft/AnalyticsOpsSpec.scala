@@ -426,6 +426,54 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(math.abs(got(day)._3 - df) < 1e-3, s"df: ${got(day)._3} vs $df")
   }
 
+  test("ml_linreg_multi matches a sequential normal-equations solve") {
+    val got = SparkEntry.queries("ml_linreg_multi")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val flag = got.keys.min
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === flag)
+      .select("l_quantity", "l_discount", "l_extendedprice").collect()
+      .map(r => (r.getDouble(0), math.rint(r.getDouble(1) * 100),
+        r.getDouble(2)))
+    // sequential Gaussian elimination on the raw normal equations
+    val n = rows.length.toDouble
+    val (s1, s2, sy) = (rows.map(_._1).sum, rows.map(_._2).sum,
+      rows.map(_._3).sum)
+    val s11 = rows.map(r => r._1 * r._1).sum
+    val s12 = rows.map(r => r._1 * r._2).sum
+    val s22 = rows.map(r => r._2 * r._2).sum
+    val s1y = rows.map(r => r._1 * r._3).sum
+    val s2y = rows.map(r => r._2 * r._3).sum
+    val a = Array(
+      Array(n, s1, s2, sy), Array(s1, s11, s12, s1y), Array(s2, s12, s22, s2y))
+    for (i <- 0 until 3; j <- i + 1 until 3) {
+      val f = a(j)(i) / a(i)(i)
+      for (k <- i until 4) a(j)(k) -= f * a(i)(k)
+    }
+    val b = new Array[Double](3)
+    for (i <- 2 to 0 by -1)
+      b(i) = (a(i)(3) - (i + 1 until 3).map(k => a(i)(k) * b(k)).sum) / a(i)(i)
+    assert(math.abs(got(flag)._1 - b(0)) < 1e-3, s"b0: ${got(flag)._1} vs ${b(0)}")
+    assert(math.abs(got(flag)._2 - b(1)) < 1e-4, s"b1: ${got(flag)._2} vs ${b(1)}")
+    assert(math.abs(got(flag)._3 - b(2)) < 1e-4, s"b2: ${got(flag)._3} vs ${b(2)}")
+  }
+
+  test("event_downsample_lttb: one point per nonempty bucket, area-maximal") {
+    val out = SparkEntry.queries("event_downsample_lttb")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly one selected point per (user, bucket), ≤ 12 buckets each
+    assert(out.length == out.distinct.length)
+    val perUser = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perUser.values.forall(c => c >= 1 && c <= 12))
+    // total row count shrinks to the bucket budget for busy users
+    val busy = Tables.events(spark, sf).groupBy("user_id").count()
+      .filter(col("count") >= 12).count()
+    assert(perUser.count(_._2 == 12) == busy,
+      "every user with >= 12 events must fill all 12 buckets")
+  }
+
   test("join_null_safe: the NULL bucket survives and totals cover all orders") {
     val rows = SparkEntry.queries("join_null_safe")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
