@@ -109,9 +109,10 @@ object EventOps {
     // overlap), pinned identically in the oracle. One keyed window
     // exchange on user_id; per-row state is a single running counter.
     "event_max_concurrent" -> ((s, dir) => {
+      // explicit floor: DuckDB's double→INT cast ROUNDS, Spark's truncates
       val e = Tables.events(s, dir)
         .select(col("user_id"), col("ts"),
-          (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, CAST(value AS INT))"))
+          (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, CAST(floor(value) AS INT))"))
             .as("te"))
       val pts = e.select(col("user_id"), col("ts").as("t"), lit(1).as("d"))
         .unionAll(e.select(col("user_id"), col("te").as("t"), lit(-1).as("d")))
@@ -1119,7 +1120,7 @@ object EventOps {
     // semantics pinned identically to the Spark side
     "event_max_concurrent" ->
       """WITH iv AS (
-        |  SELECT user_id, ts, ts + to_seconds(CAST(value AS INT)) AS te
+        |  SELECT user_id, ts, ts + to_seconds(CAST(floor(value) AS INT)) AS te
         |  FROM events),
         |pts AS (
         |  SELECT user_id, ts AS t, 1 AS d FROM iv
@@ -1138,10 +1139,10 @@ object EventOps {
         |         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
         |  FROM events GROUP BY user_id),
         |lvl AS (
-        |  SELECT CASE WHEN position('scp' IN j) > 0 THEN 3
-        |              WHEN position('sc' IN j) > 0 THEN 2
-        |              WHEN position('s' IN j) > 0 THEN 1
-        |              ELSE 0 END AS funnel_level
+        |  SELECT CAST(CASE WHEN position('scp' IN j) > 0 THEN 3
+        |                   WHEN position('sc' IN j) > 0 THEN 2
+        |                   WHEN position('s' IN j) > 0 THEN 1
+        |                   ELSE 0 END AS BIGINT) AS funnel_level
         |  FROM j)
         |SELECT funnel_level, count(*) AS n_users
         |FROM lvl GROUP BY funnel_level ORDER BY funnel_level""".stripMargin,

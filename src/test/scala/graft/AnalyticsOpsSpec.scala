@@ -474,6 +474,38 @@ class AnalyticsOpsSpec extends SparkSpec {
       "every user with >= 12 events must fill all 12 buckets")
   }
 
+  test("embed_pca_project: projections are centered and capture the top eigenvalue") {
+    val proj = SparkEntry.queries("embed_pca_project")(spark, sf).collect()
+      .map(_.getDouble(1))
+    assert(proj.nonEmpty)
+    val mean = proj.sum / proj.length
+    assert(math.abs(mean) < 1e-4, s"projections must be centered, mean=$mean")
+    // sequential reference: converge the dominant eigenvalue with 200
+    // power iterations on a brute-force covariance of the collected corpus
+    val xs = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = xs.head.length; val n = xs.length.toDouble
+    val mu = Array.tabulate(d)(i => xs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      xs.map(x => (x(i) - mu(i)) * (x(j) - mu(j))).sum / n)
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to 200) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val lambda = (0 until d).map(i =>
+      v(i) * (0 until d).map(j => cov(i)(j) * v(j)).sum).sum
+    val varProj = proj.map(p => (p - mean) * (p - mean)).sum / proj.length
+    assert(varProj <= lambda * 1.0001,
+      s"projection variance $varProj cannot exceed top eigenvalue $lambda")
+    assert(varProj >= lambda * 0.98,
+      s"40-iteration component must capture ~all of lambda: $varProj vs $lambda")
+    assert(lambda >= cov.indices.map(i => cov(i)(i)).max - 1e-12,
+      "top eigenvalue dominates every axis variance")
+  }
+
   test("join_null_safe: the NULL bucket survives and totals cover all orders") {
     val rows = SparkEntry.queries("join_null_safe")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
