@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.NormalizeText", "normalize_text"),
       (children: Seq[Expression]) => graft.functions.NormalizeText(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo("graft.functions.JaroWinkler", "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        graft.functions.JaroWinkler(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("theta_sketch"),
       new ExpressionInfo("graft.functions.ThetaSketchAgg", "theta_sketch"),
       (children: Seq[Expression]) => graft.functions.ThetaSketchAgg(children.head,

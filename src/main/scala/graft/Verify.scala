@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [key1,key2,...] — the optional third arg restricts
+    // the dump to a comma-separated key subset (dev loop; the driver always
+    // calls with two args and gets the full surface).
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(cpus)
       // µs parquet timestamps (not INT96) so the driver's DuckDB/pyarrow
@@ -16,7 +21,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // Write timestamps as TIMESTAMP_NTZ: the session TZ is UTC, so the
       // wall-clock values equal the instants, and DuckDB reads the same
       // naive TIMESTAMP type its oracle SQL computes (SURVEY.md §7.4.2).

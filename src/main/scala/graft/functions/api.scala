@@ -114,6 +114,13 @@ object api {
   def normalizeText(text: Column): Column =
     graftBridge.column(NormalizeText(graftBridge.expression(text)))
 
+  /** Codegen'd Jaro-Winkler similarity of two string columns — the
+    * record-linkage score Spark lacks (see [[JaroWinkler]]).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    graftBridge.column(JaroWinkler(
+      graftBridge.expression(a), graftBridge.expression(b)))
+
   /** Codegen'd Z-order (Morton) value of two bigint key columns — the
     * multi-dimensional clustering key (see [[ZOrderValue]]).
     */

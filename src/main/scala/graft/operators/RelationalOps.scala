@@ -793,6 +793,26 @@ object RelationalOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // E16d: EXACT rolling median over a 5-row trailing frame — the
+    // robust-smoothing twin of `window_running`'s moving mean (medians
+    // shrug off the value spikes `event_anomaly` hunts). Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the SQL-standard
+    // continuous-quantile definition (rank = p·(n−1), linear
+    // interpolation), so interior 5-row frames take the exact middle
+    // element and the ≤4-row frames at partition heads interpolate the
+    // same midpoint on both engines; round(6) absorbs the one
+    // interpolation ulp. Same scale shape as every running frame: ONE
+    // user_id exchange, O(frame) state per row.
+    "window_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5)")
+            .over(w), 6).as("med5"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // E17: multi-key sort with explicit null placement.
     "sort_multi" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -1158,6 +1178,12 @@ object RelationalOps {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "window_rolling_median" ->
+      """SELECT user_id, event_id,
+        |       round(quantile_cont(value, 0.5) OVER (
+        |             PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "window_fill_forward" ->
       """SELECT user_id, event_id, event_type,
         |       CASE WHEN event_type = 'purchase' THEN value END AS reading,

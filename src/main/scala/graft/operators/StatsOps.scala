@@ -87,6 +87,28 @@ object StatsOps {
         .orderBy("event_id")
     }),
 
+    // Bottom-k-by-hash uniform sample per group — the MERGEABLE fixed-size
+    // sample (a KMV-style bottom-k sketch over a deterministic
+    // multiplicative hash): union two samples, keep the k smallest hashes,
+    // and you have exactly the sample of the union. That merge algebra is
+    // what a reservoir built on rand() can't give and what makes this the
+    // 100-TB per-class exemplar draw: map-side partial top-k per
+    // partition, one narrow (group, hash) exchange, never a global sort.
+    // The hash is the repo's split_holdout/sample_stratified discipline
+    // (Knuth multiplicative on event_id — stable across runs, cluster
+    // sizes, and row order; event_id ≤ ~1e7 keeps the product < 2^63 on
+    // both engines). Here: the 8 exemplar events of each event_type.
+    "sample_bottomk" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(pmod(col("event_id") * 2654435761L, lit(1000000007L)),
+          col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("user_id"),
+          row_number().over(w).cast(LongType).as("rk"))
+        .filter(col("rk") <= 8)
+        .orderBy("event_type", "rk")
+    }),
+
     // Higher moments (ClickHouse `skewPop`/`kurtPop` analogs) from raw
     // power sums. Built-in skewness()/kurtosis() differ between engines
     // (population vs bias-corrected sample), so both sides compute the
@@ -437,6 +459,15 @@ object StatsOps {
         |       round(CAST(100 AS DOUBLE) / rate, 6) AS weight
         |FROM r WHERE (event_id * 2654435761) % 100 < rate
         |ORDER BY event_id""".stripMargin,
+    "sample_bottomk" ->
+      """SELECT event_type, event_id, user_id, rk FROM (
+        |  SELECT event_type, event_id, user_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY event_type
+        |           ORDER BY (event_id * 2654435761) % 1000000007, event_id)
+        |           AS BIGINT) AS rk
+        |  FROM events)
+        |WHERE rk <= 8 ORDER BY event_type, rk""".stripMargin,
     "agg_moments" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

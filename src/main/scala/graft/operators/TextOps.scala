@@ -260,6 +260,24 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Jaro-Winkler similarity — the record-linkage companion to
+    // `text_fuzzy_match`'s edit distance (transposition-tolerant, prefix
+    // boosted; what name/title resolution ranks by). Scored by the
+    // codegen'd [[graft.functions.JaroWinkler]] expression over adjacent
+    // part names — a narrow equi-join on p_partkey+1, map-only scoring, the
+    // same shape a blocked fuzzy-join takes after its candidate filter.
+    // Cross-implementation check: DuckDB's independent rapidfuzz-lineage
+    // `jaro_winkler_similarity` must agree to round(6).
+    "text_jaro_winkler" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+      p.join(p.select(col("p_partkey").as("nk"), col("p_name").as("n_name")),
+          col("nk") === col("p_partkey") + 1)
+        .select(col("p_partkey"), col("p_name"), col("n_name"),
+          round(graft.functions.api.jaroWinkler(col("p_name"), col("n_name")), 6)
+            .as("jw"))
+        .orderBy("p_partkey")
+    }),
+
     // Language-ID heuristic: argmax of marker-word hit ratio.
     "text_langid" -> ((s, dir) => {
       val scored = profiles.foldLeft(Tables.documents(s, dir)) {
@@ -509,6 +527,11 @@ object TextOps {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 30""".stripMargin,
+    "text_jaro_winkler" ->
+      """SELECT p.p_partkey, p.p_name, n.p_name AS n_name,
+        |       round(jaro_winkler_similarity(p.p_name, n.p_name), 6) AS jw
+        |FROM part p JOIN part n ON n.p_partkey = p.p_partkey + 1
+        |ORDER BY p.p_partkey""".stripMargin,
     "text_fuzzy_match" ->
       """WITH f AS (SELECT doc_id, string_split(text, ' ')[1] AS fw FROM documents),
         |d AS (SELECT doc_id, fw, w, levenshtein(fw, w) AS dist

@@ -22,6 +22,59 @@ class AnalyticsOpsSpec extends SparkSpec {
       byLevel.getOrElse(1L, 0L) + byLevel.getOrElse(2L, 0L) + byLevel.getOrElse(3L, 0L))
   }
 
+  test("sample_bottomk: merge of shard samples equals the global sample") {
+    // the KMV/bottom-k algebra the key's 100-TB story rests on: take the
+    // per-type bottom-8 on two disjoint shards, union, re-take bottom-8 —
+    // identical to the bottom-8 of the whole table
+    import org.apache.spark.sql.DataFrame
+    def bottomK(df: DataFrame): Seq[(String, Long)] = {
+      val h = pmod(col("event_id") * 2654435761L, lit(1000000007L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(h, col("event_id"))
+      df.select(col("event_type"), col("event_id"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 8).drop("rk")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    }
+    val e = Tables.events(spark, sf).select("event_type", "event_id")
+    val global = bottomK(e)
+    val shardA = e.filter(col("event_id") % 2 === 0)
+    val shardB = e.filter(col("event_id") % 2 =!= 0)
+    val merged = bottomK(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (bottomK(shardA) ++ bottomK(shardB)).map(p => Row(p._1, p._2))),
+        e.schema))
+    assert(merged == global, "bottom-k must be mergeable across shards")
+    // and the query key returns exactly the global sample
+    val viaKey = SparkEntry.queries("sample_bottomk")(spark, sf)
+      .select("event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(viaKey == global)
+  }
+
+  test("window_rolling_median: interior frames equal the sorted middle element") {
+    val rows = SparkEntry.queries("window_rolling_median")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vals = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> rs.sortBy(r => (r._3.getTime, r._2)).map(r => (r._2, r._4)).toSeq
+      }
+    var interior = 0
+    rows.foreach { case (u, eid, med) =>
+      val seq = vals(u)
+      val i = seq.indexWhere(_._1 == eid)
+      if (i >= 4) {
+        val frame = seq.slice(i - 4, i + 1).map(_._2).sorted
+        assert(math.abs(frame(2) - med) < 1e-6,
+          s"user $u event $eid: expected middle ${frame(2)}, got $med")
+        interior += 1
+      }
+    }
+    assert(interior > 100, "expected many full 5-row frames")
+  }
+
   test("event_retention: retained counts never exceed the cohort") {
     val Row(cohort: Long, w1: Long, w2: Long, w3: Long) =
       SparkEntry.queries("event_retention")(spark, sf).collect().head

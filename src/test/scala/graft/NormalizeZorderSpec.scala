@@ -85,4 +85,39 @@ class NormalizeZorderSpec extends SparkSpec {
     // x=3 (bits 0,1 -> even pos 0,2), y=5 (bits 0,2 -> odd pos 1,5): 0b100111
     assert(r.getLong(1) == 39L)
   }
+
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinkler.computeRaw(a, b)
+
+  test("jaro_winkler: literature values, edges, and the floor-t convention") {
+    // Winkler's canonical pairs
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    // identity / disjoint / empty
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("a", "b") == 0.0)
+    assert(jw("abc", "") == 0.0)
+    assert(jw("", "") == 1.0)
+    // no Winkler boost at or below the 0.7 gate despite a common prefix
+    assert(math.abs(jw("ax", "abcdefgh") - 0.5416666666666666) < 1e-12)
+    // prefix capped at 4 even with a 14-char common prefix
+    assert(math.abs(
+      jw("prefix_common_xyz", "prefix_common_abc") - 0.9294117647058824) < 1e-12)
+    // odd transposition count floors (rapidfuzz/DuckDB convention):
+    // 'small gizmo'/'hot gear' has m=3 with 3 out-of-order positions
+    assert(math.abs(jw("small gizmo", "hot gear") - 0.43813131313131315) < 1e-12)
+  }
+
+  test("jaro_winkler codegen path matches the helper and is SQL-registered") {
+    val p = Tables.part(spark, sf).select(col("p_partkey"), col("p_name")).limit(50)
+    val pairs = p.crossJoin(p.select(col("p_name").as("q_name")))
+    val viaExpr = pairs
+      .select(graft.functions.api.jaroWinkler(col("p_name"), col("q_name")))
+      .collect().map(_.getDouble(0))
+    val viaHelper = pairs.collect().map(r => jw(r.getString(1), r.getString(2)))
+    viaExpr.zip(viaHelper).foreach { case (e, h) => assert(e == h) }
+    val r = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS s").head()
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+  }
 }

@@ -31,13 +31,15 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir, skip=()):
+def main(sf_dir, out_dir, skip=(), only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         if name in skip:
             print(f"SKIP {name}")
             continue
@@ -79,10 +81,16 @@ def main(sf_dir, out_dir, skip=()):
 
 if __name__ == "__main__":
     # optional: --skip q1,q2 (e.g. quadratic dedup oracles at sf0.1)
+    #           --only q1,q2 (dev loop: compare just these keys)
     skip = ()
+    only = None
     args = sys.argv[1:]
     if "--skip" in args:
         i = args.index("--skip")
         skip = tuple(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
-    sys.exit(main(args[0], args[1], skip))
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], skip, only))
