@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -31,6 +32,17 @@ object TextOps {
   private def hitRatio(markers: Seq[String]): Column =
     size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
       .cast(DoubleType) / size(toks).cast(DoubleType)
+
+  /** Positional token postings (doc_id, pos, tok) — the inverted-index
+    * core shared by phrase search and the bigram LM, built once per
+    * (JVM, scale dir). posexplode is 0-based; only position DELTAS cross
+    * the oracle boundary, so the base never matters.
+    */
+  private def posPostings(s: SparkSession, dir: String): DataFrame =
+    OpCache.cached(dir + "#tok_pos", {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reproducible train/holdout split — the training-pipeline primitive a
@@ -257,6 +269,67 @@ object TextOps {
         .select(col("doc_id"), first.as("first_word"),
           col("nearest.w").as("best"),
           col("nearest.d").cast(LongType).as("dist"))
+        .orderBy("doc_id")
+    }),
+
+    // Positional-index phrase search — the search-engine primitive over a
+    // document corpus: exact "w1 w2" phrase hits located by intersecting
+    // per-term posting lists on (doc, position+1) adjacency. The postings
+    // carry positions (posexplode — built once per scale dir, the inverted
+    // index a corpus pipeline materializes anyway); each phrase term
+    // selects its postings via a BROADCAST join against the tiny phrase
+    // table, so the only exchange is the (doc_id)-keyed adjacency join of
+    // two already-term-filtered (i.e. tiny) posting sets. At 100 TB the
+    // postings are the bucketed table and a phrase probe touches only its
+    // terms' rows — never a corpus scan.
+    "text_phrase_search" -> ((s, dir) => {
+      val toks = posPostings(s, dir)
+      val ph = Seq(
+        ("table hash", "table", "hash"),
+        ("merge group", "merge", "group"),
+        ("customer join", "customer", "join"))
+      val phDf = s.createDataFrame(ph).toDF("phrase", "w1", "w2")
+      val p1 = toks.join(broadcast(phDf), col("tok") === col("w1"))
+        .select(col("phrase"), col("doc_id"), col("pos"))
+      val p2 = toks.join(
+          broadcast(phDf.select(col("phrase").as("phrase2"), col("w2"))),
+          col("tok") === col("w2"))
+        .select(col("phrase2"), col("doc_id").as("doc2"), col("pos").as("pos2"))
+      p1.join(p2, col("phrase2") === col("phrase") &&
+          col("doc2") === col("doc_id") && col("pos2") === col("pos") + 1)
+        .groupBy("phrase", "doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy("phrase", "doc_id")
+    }),
+
+    // Bigram language model with add-k smoothing — the fluency-scoring
+    // step up from `text_unigram_logprob` (a real LM perplexity filter
+    // conditions on context): P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V),
+    // k = 0.5, scored as each document's mean bigram log-probability.
+    // Bigrams come from ONE lead() over the positional postings (a single
+    // doc_id-keyed window exchange); the count tables are
+    // vocabulary-sized aggregates joined back on (w1,w2) and (w1) — the
+    // standard LM-scoring join shape, and V rides in as a broadcast
+    // scalar. round(6) absorbs cross-engine ln() ulps (discipline of the
+    // unigram twin).
+    "text_bigram_logprob" -> ((s, dir) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = OpCache.cached(dir + "#bigrams",
+        posPostings(s, dir)
+          .select(col("doc_id"), col("tok").as("w1"),
+            lead(col("tok"), 1).over(w).as("w2"))
+          .filter(col("w2").isNotNull))
+      val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = posPostings(s, dir)
+        .agg(countDistinct(col("tok")).cast(DoubleType).as("v"))
+      bigrams
+        .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log((col("c12") + lit(0.5)) /
+            (col("c1") + lit(0.5) * col("v")))), 6).as("avg_logp"))
         .orderBy("doc_id")
     }),
 
@@ -532,6 +605,40 @@ object TextOps {
         |       round(jaro_winkler_similarity(p.p_name, n.p_name), 6) AS jw
         |FROM part p JOIN part n ON n.p_partkey = p.p_partkey + 1
         |ORDER BY p.p_partkey""".stripMargin,
+    "text_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |ph(phrase, w1, w2) AS (VALUES
+        |  ('table hash', 'table', 'hash'),
+        |  ('merge group', 'merge', 'group'),
+        |  ('customer join', 'customer', 'join'))
+        |SELECT ph.phrase, a.doc_id, count(*) AS n_hits
+        |FROM ph
+        |JOIN t a ON a.tok = ph.w1
+        |JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |        AND b.tok = ph.w2
+        |GROUP BY ph.phrase, a.doc_id
+        |ORDER BY phrase, a.doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, tok AS w1,
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM t),
+        |bg AS (SELECT * FROM b WHERE w2 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM t)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 6)
+        |         AS avg_logp
+        |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
     "text_fuzzy_match" ->
       """WITH f AS (SELECT doc_id, string_split(text, ' ')[1] AS fw FROM documents),
         |d AS (SELECT doc_id, fw, w, levenshtein(fw, w) AS dist

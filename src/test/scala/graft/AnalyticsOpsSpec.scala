@@ -75,6 +75,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(interior > 100, "expected many full 5-row frames")
   }
 
+  test("text_phrase_search: posting adjacency equals substring occurrence counts") {
+    // independent formulation: tokenized (doc,pos+1) adjacency must equal
+    // counting ' w1 w2 ' occurrences in the space-padded text
+    val hits = SparkEntry.queries("text_phrase_search")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (" " + r.getString(1) + " "))
+    val phrases = Seq("table hash", "merge group", "customer join")
+    var checked = 0
+    for ((docId, padded) <- docs; p <- phrases) {
+      val needle = " " + p + " "
+      // overlap-free count is fine: a needle can't overlap itself here
+      val n = needle.r.findAllMatchIn(padded).length
+      // count via sliding to also catch adjacent repeats sharing a space
+      val n2 = Iterator.range(0, padded.length - needle.length + 1)
+        .count(i => padded.regionMatches(i, needle, 0, needle.length))
+      assert(hits.getOrElse((p, docId), 0L) == n2.toLong,
+        s"doc $docId phrase '$p': expected $n2, key said ${hits.getOrElse((p, docId), 0L)} (regex $n)")
+      if (n2 > 0) checked += 1
+    }
+    assert(checked > 20, "expected real phrase hits to check")
+  }
+
   test("event_retention: retained counts never exceed the cohort") {
     val Row(cohort: Long, w1: Long, w2: Long, w3: Long) =
       SparkEntry.queries("event_retention")(spark, sf).collect().head
