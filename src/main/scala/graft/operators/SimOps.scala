@@ -159,6 +159,28 @@ object SimOps {
         .orderBy("q_id", "rk")
     }),
 
+    // Hard-negative mining — for each anchor, the most-similar vectors
+    // bearing a DIFFERENT label: the contrastive-training pair generator
+    // (the negatives that actually move a metric-learning loss are the
+    // near-misses, not random draws). Same plan shape as `sim_topk`
+    // (broadcast anchors, map-only scoring, bounded per-anchor window);
+    // the label inequality rides in the broadcast join condition so
+    // same-label rows never reach the ranker. Ordering on the ROUNDED
+    // score + vec_id keeps the top-3 cut deterministic cross-engine.
+    "sim_hard_negatives" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .orderBy("q_id", "rk")
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 4-bit
     // sign-random-projection bucket; approximate by construction -> no
     // SQL oracle (driver records rows-only).
@@ -388,6 +410,21 @@ object SimOps {
         |SELECT q_id, vec_id, cos,
         |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
         |FROM scored QUALIFY rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+        |      FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id, e.label,
+        |         round(list_dot_product(e.v, q.qv)
+        |               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        |               6) AS cos
+        |  FROM e CROSS JOIN q WHERE e.label <> q.q_label)
+        |SELECT q_id, vec_id, label, cos,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin,
     "sim_centroid" ->
       """WITH e AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> x::DOUBLE) AS v

@@ -341,6 +341,65 @@ object StatsOps {
         .orderBy("l_returnflag")
     }),
 
+    // Distributed logistic-regression TRAINING — 8 rounds of full-batch
+    // gradient descent predicting return status from standardized
+    // (quantity, discount, tax). Each round is ONE mergeable aggregate
+    // (four map-side-combined gradient means); the 4 weights are driver
+    // metadata between rounds (the PageRank/PCA BSP discipline — never a
+    // per-row weight join). Standardization moments accumulate as EXACT
+    // integer power sums (cents discipline), so both engines standardize
+    // from identical numbers; the oracle unrolls the identical 8 rounds
+    // as chained MATERIALIZED CTEs. exp()/avg summation-order ulps
+    // (~1e-16/round) are damped by the descent and vanish under round(6).
+    // At 100 TB: T scans with map-side-combined 4-double partials — the
+    // textbook distributed-GD shape, no state beyond the broadcast
+    // weights.
+    "ml_logreg_train" -> ((s, dir) => {
+      val raw = Tables.lineitem(s, dir).select(
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+        floor(col("l_quantity")).cast(LongType).as("q"),
+        round(col("l_discount") * 100, 0).cast(LongType).as("dd"),
+        round(col("l_tax") * 100, 0).cast(LongType).as("tt"))
+      val m = raw.agg(count(lit(1)).as("n"),
+        sum("q").as("sq"), sum(col("q") * col("q")).as("sqq"),
+        sum("dd").as("sd"), sum(col("dd") * col("dd")).as("sdd"),
+        sum("tt").as("st"), sum(col("tt") * col("tt")).as("stt")).head
+      val n = m.getLong(0).toDouble
+      def muSd(s1: Long, s2: Long): (Double, Double) = {
+        val mu = s1 / n; (mu, math.sqrt(s2 / n - mu * mu))
+      }
+      val (muQ, sdQ) = muSd(m.getLong(1), m.getLong(2))
+      val (muD, sdD) = muSd(m.getLong(3), m.getLong(4))
+      val (muT, sdT) = muSd(m.getLong(5), m.getLong(6))
+      val z = OpCache.cached(dir + "#logreg_z",
+        raw.select(col("y"),
+          ((col("q") - lit(muQ)) / lit(sdQ)).as("z1"),
+          ((col("dd") - lit(muD)) / lit(sdD)).as("z2"),
+          ((col("tt") - lit(muT)) / lit(sdT)).as("z3")))
+      val lr = 0.5
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      def prob(ws: Array[Double]) = {
+        val zc = lit(ws(0)) + lit(ws(1)) * col("z1") +
+          lit(ws(2)) * col("z2") + lit(ws(3)) * col("z3")
+        lit(1.0) / (lit(1.0) + exp(-zc))
+      }
+      for (_ <- 1 to 8) {
+        val r = prob(w) - col("y")
+        val g = z.agg(avg(r), avg(r * col("z1")),
+          avg(r * col("z2")), avg(r * col("z3"))).head
+        w = Array.tabulate(4)(i => w(i) - lr * g.getDouble(i))
+      }
+      val p = prob(w)
+      z.agg(count(lit(1)).as("n"),
+          round(avg(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))), 6)
+            .as("log_loss"))
+        .select(col("n"), round(lit(w(0)), 6).as("bias"),
+          round(lit(w(1)), 6).as("w_quantity"),
+          round(lit(w(2)), 6).as("w_discount"),
+          round(lit(w(3)), 6).as("w_tax"),
+          col("log_loss"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov statistic per day (ClickHouse
     // `kolmogorovSmirnovTest` analog): D = max_x |ECDF₁(x) − ECDF₂(x)|,
     // purchase-value vs click-value distributions. Same scale shape as
@@ -634,6 +693,54 @@ object StatsOps {
         |       round(det1 / det / 100.0, 6) AS b_quantity,
         |       round(det2 / det / 100.0, 6) AS b_discount_pct
         |FROM d ORDER BY l_returnflag""".stripMargin,
+    // the IDENTICAL 8 gradient-descent rounds the Spark side drives with
+    // driver-held weights, unrolled as chained MATERIALIZED CTEs (the
+    // graph_pagerank / embed_pca_project oracle pattern — z is scanned by
+    // every round, so inlining would re-evaluate it 8×); descent damps
+    // exp()/summation-order ulps « round(6)
+    "ml_logreg_train" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""g$k AS MATERIALIZED (
+           |  SELECT avg(p - y) AS gb, avg((p - y) * z1) AS g1,
+           |         avg((p - y) * z2) AS g2, avg((p - y) * z3) AS g3
+           |  FROM (SELECT y, z1, z2, z3,
+           |               1.0 / (1.0 + exp(-(b + w1 * z1 + w2 * z2 + w3 * z3))) AS p
+           |        FROM z CROSS JOIN wi${k - 1})),
+           |wi$k AS (
+           |  SELECT b - 0.5 * gb AS b, w1 - 0.5 * g1 AS w1,
+           |         w2 - 0.5 * g2 AS w2, w3 - 0.5 * g3 AS w3
+           |  FROM wi${k - 1} CROSS JOIN g$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS MATERIALIZED (
+         |  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         |         CAST(floor(l_quantity) AS BIGINT) AS q,
+         |         CAST(round(l_discount * 100, 0) AS BIGINT) AS dd,
+         |         CAST(round(l_tax * 100, 0) AS BIGINT) AS tt
+         |  FROM lineitem),
+         |m AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         sum(q) AS sq, sum(q * q) AS sqq,
+         |         sum(dd) AS sd, sum(dd * dd) AS sdd,
+         |         sum(tt) AS st, sum(tt * tt) AS stt
+         |  FROM raw),
+         |z AS MATERIALIZED (
+         |  SELECT y,
+         |         (q - sq / n) / sqrt(sqq / n - (sq / n) * (sq / n)) AS z1,
+         |         (dd - sd / n) / sqrt(sdd / n - (sd / n) * (sd / n)) AS z2,
+         |         (tt - st / n) / sqrt(stt / n - (st / n) * (st / n)) AS z3
+         |  FROM raw CROSS JOIN m),
+         |wi0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |$rounds
+         |SELECT (SELECT count(*) FROM z) AS n,
+         |       round(b, 6) AS bias, round(w1, 6) AS w_quantity,
+         |       round(w2, 6) AS w_discount, round(w3, 6) AS w_tax,
+         |       (SELECT round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6)
+         |        FROM (SELECT y,
+         |                     1.0 / (1.0 + exp(-(wi8.b + wi8.w1 * z1
+         |                                        + wi8.w2 * z2 + wi8.w3 * z3))) AS p
+         |              FROM z CROSS JOIN wi8)) AS log_loss
+         |FROM wi8""".stripMargin
+    },
     "stat_ks_test" ->
       """WITH cells AS (
         |  SELECT CAST(ts AS DATE) AS day, value,

@@ -98,6 +98,60 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(checked > 20, "expected real phrase hits to check")
   }
 
+  test("ml_logreg_train: distributed GD matches a sequential reference and learns") {
+    val Row(n: Long, bias: Double, wq: Double, wd: Double, wt: Double, loss: Double) =
+      SparkEntry.queries("ml_logreg_train")(spark, sf).collect().head
+    assert(n > 0)
+    // learned: below the w=0 baseline loss ln(2) (p=0.5 for every row)
+    assert(loss < math.log(2.0), s"training must beat the 0.5-prob baseline, got $loss")
+    // sequential reference: same standardization + same 8 GD rounds on the
+    // collected rows — the distributed map-side-combined gradient means
+    // must land on the same weights (order-independence of the algebra)
+    val rows = Tables.lineitem(spark, sf)
+      .select(when(col("l_returnflag") === "R", 1.0).otherwise(0.0),
+        floor(col("l_quantity")).cast("long"),
+        round(col("l_discount") * 100, 0).cast("long"),
+        round(col("l_tax") * 100, 0).cast("long"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nn = rows.length.toDouble
+    def muSd(xs: Array[Long]) = {
+      val mu = xs.sum / nn
+      (mu, math.sqrt(xs.map(x => x.toDouble * x).sum / nn - mu * mu))
+    }
+    val (muQ, sdQ) = muSd(rows.map(_._2)); val (muD, sdD) = muSd(rows.map(_._3))
+    val (muT, sdT) = muSd(rows.map(_._4))
+    val z = rows.map { case (y, q, d, t) =>
+      (y, (q - muQ) / sdQ, (d - muD) / sdD, (t - muT) / sdT)
+    }
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 8) {
+      val g = Array(0.0, 0.0, 0.0, 0.0)
+      z.foreach { case (y, z1, z2, z3) =>
+        val p = 1.0 / (1.0 + math.exp(-(w(0) + w(1) * z1 + w(2) * z2 + w(3) * z3)))
+        val r = p - y
+        g(0) += r; g(1) += r * z1; g(2) += r * z2; g(3) += r * z3
+      }
+      w = Array.tabulate(4)(i => w(i) - 0.5 * g(i) / nn)
+    }
+    assert(math.abs(bias - w(0)) < 1e-6, s"bias $bias vs sequential ${w(0)}")
+    assert(math.abs(wq - w(1)) < 1e-6); assert(math.abs(wd - w(2)) < 1e-6)
+    assert(math.abs(wt - w(3)) < 1e-6)
+  }
+
+  test("sim_hard_negatives: every mined negative carries a different label") {
+    val anchors = Tables.embeddings(spark, sf).filter(col("vec_id") < 5)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qId, label, rk) = (r.getLong(0), r.getInt(2), r.getLong(4))
+      assert(label != anchors(qId), s"anchor $qId mined a same-label negative")
+      assert(rk >= 1 && rk <= 3)
+    }
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
+
   test("event_retention: retained counts never exceed the cohort") {
     val Row(cohort: Long, w1: Long, w2: Long, w3: Long) =
       SparkEntry.queries("event_retention")(spark, sf).collect().head
