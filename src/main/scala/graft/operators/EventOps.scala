@@ -297,6 +297,77 @@ object EventOps {
         .orderBy("prev", "next")
     }),
 
+    // First-order Markov transition matrix — `event_paths`' bigram counts
+    // normalized into P(next | cur): the journey model behind "where do
+    // users go from here" dashboards and sequence simulators. The
+    // row-normalizer is a window sum over the (small) transition matrix
+    // itself, not another pass over events — one user_id exchange for the
+    // lag, one |types|² aggregate, done. Probabilities are exact-count
+    // ratios, identical divisions both engines; round(6) on the output.
+    "event_markov_transition" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("cur"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      trans
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy("cur")).cast(DoubleType), 6))
+        .orderBy("cur", "next")
+    }),
+
+    // RFM segmentation — the classic customer-value triage (Recency of
+    // last purchase, purchase Frequency, Monetary total) quintile-scored
+    // with ntile(5). One conditional aggregate per user (purchases only),
+    // recency anchored to the corpus max day (data-derived, like
+    // event_retention's cohort week); the three ntile windows run over
+    // the per-user aggregate (one row per user — cheap), each ordered
+    // with a user_id tiebreak so quintile boundaries are deterministic
+    // cross-engine. Monetary sums in DECIMAL (money discipline). The
+    // global ntile is one sort of the ALREADY-AGGREGATED user table; at
+    // billions of users swap it for percentile_approx cutpoints + a
+    // broadcast bucket join (same scores, no global sort).
+    "event_rfm" -> ((s, dir) => {
+      val maxDay = Tables.events(s, dir).agg(max(to_date(col("ts")))).head.getDate(0)
+      val perUser = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(datediff(lit(maxDay), max(to_date(col("ts")))).cast(LongType)
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(Tables.dec(col("value"))).cast(DoubleType).as("monetary"))
+      def score(c: String, asc: Boolean) = ntile(5).over(
+        Window.orderBy(if (asc) col(c).asc else col(c).desc, col("user_id")))
+        .cast(LongType)
+      perUser
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          score("recency_days", asc = true).as("r_score"),
+          score("frequency", asc = false).as("f_score"),
+          score("monetary", asc = false).as("m_score"))
+        .orderBy("user_id")
+    }),
+
+    // Maximum drawdown — the running-peak shortfall (largest drop from a
+    // prior high) per user's value series: the risk/health metric shape
+    // (same algebra finance runs on equity curves, ops on counters). TWO
+    // window passes on ONE user_id exchange: running max, then max of
+    // (peak − value). Subtractions of raw doubles and max() are
+    // order-independent — bit-exact cross-engine with NO rounding.
+    "window_drawdown" -> ((s, dir) => {
+      val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("value"),
+          max(col("value")).over(run).as("peak"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("peak") - col("value")).as("max_drawdown"))
+        .orderBy("user_id")
+    }),
+
     // DAU / WAU / stickiness. WAU is NOT a per-day distinct over a range
     // window (quadratic re-scan per day at scale): each user-day
     // contributes to exactly the 7 windows it can appear in (explode 0..6,
@@ -1193,6 +1264,47 @@ object EventOps {
         |  FROM events)
         |WHERE prev IS NOT NULL
         |GROUP BY prev, next ORDER BY prev, next""".stripMargin,
+    "event_markov_transition" ->
+      """WITH t AS (
+        |  SELECT prev AS cur, event_type AS next, count(*) AS n
+        |  FROM (
+        |    SELECT event_type,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS prev
+        |    FROM events)
+        |  WHERE prev IS NOT NULL
+        |  GROUP BY cur, next)
+        |SELECT cur, next, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        |FROM t ORDER BY cur, next""".stripMargin,
+    "event_rfm" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', max(CAST(ts AS DATE)), (SELECT d FROM mx))
+        |              AS BIGINT) AS recency_days,
+        |         count(*) AS frequency,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |       CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+        |         AS r_score,
+        |       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+        |         AS f_score,
+        |       CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+        |         AS m_score
+        |FROM u ORDER BY user_id""".stripMargin,
+    "window_drawdown" ->
+      """WITH p AS (
+        |  SELECT user_id, value,
+        |         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS peak
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       max(peak - value) AS max_drawdown
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "event_dau_wau" ->
       """WITH ud AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
