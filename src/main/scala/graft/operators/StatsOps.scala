@@ -232,6 +232,68 @@ object StatsOps {
         .orderBy("day")
     }),
 
+    // One-way ANOVA F-test: does mean `value` differ across event types,
+    // per day? Completes the test family (Welch = 2 groups, this = k
+    // groups). Two-level mergeable aggregate: per-(day, type) raw sums
+    // (n, Σv, Σv²) collapse map-side, then one day-level reduce combines
+    // the k group rows — SSB/SSW come from sums only, never from
+    // materialized group means. Same raw-sum algebra in the DuckDB twin
+    // (discipline of stat_welch_ttest); round(6) absorbs ulps.
+    "stat_anova" -> ((s, dir) => {
+      val v = col("value")
+      val g = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(v).as("s"), sum(v * v).as("q"))
+      g.groupBy("day")
+        .agg(count(lit(1)).as("k_groups"),
+          sum("n").as("nd"), sum("s").as("sd"),
+          sum(col("s") * col("s") / col("n")).as("bsum"),
+          sum("q").as("qd"))
+        .filter(col("k_groups") > 1 && col("nd") > col("k_groups"))
+        .withColumn("ssb", col("bsum") - col("sd") * col("sd") / col("nd"))
+        .withColumn("ssw", col("qd") - col("bsum"))
+        .select(col("day"), col("k_groups"),
+          col("nd").cast(LongType).as("n_obs"),
+          round(col("ssb"), 6).as("ss_between"),
+          round(col("ssw"), 6).as("ss_within"),
+          round((col("ssb") / (col("k_groups") - 1))
+            / (col("ssw") / (col("nd") - col("k_groups"))), 6).as("f_stat"),
+          round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+        .orderBy("day")
+    }),
+
+    // Spearman rank correlation (ClickHouse `rankCorr` analog) between
+    // per-user purchase frequency and monetary total. Ranks use the
+    // average-rank tie convention (min-rank + (ties−1)/2 — frequency is
+    // integer-valued, so ties are the common case), then Pearson on the
+    // ranks from raw sums only. The two global rank windows run over the
+    // ALREADY-AGGREGATED per-user table (one row per user — the event_rfm
+    // precedent); at billions of users swap exact ranks for
+    // approx-quantile bucket ranks, same ordering semantics.
+    "stat_spearman" -> ((s, dir) => {
+      def avgRank(c: String) =
+        rank().over(Window.orderBy(col(c))).cast(DoubleType) +
+          (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / lit(2.0)
+      val u = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast(DoubleType).as("freq"),
+          sum(col("value")).as("monetary"))
+        .select(col("user_id"), avgRank("freq").as("rx"),
+          avgRank("monetary").as("ry"))
+      u.agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("qx"),
+        sum(col("ry") * col("ry")).as("qy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+        .select(col("n").cast(LongType).as("n_users"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / sqrt((col("n") * col("qx") - col("sx") * col("sx"))
+              * (col("n") * col("qy") - col("sy") * col("sy"))), 6)
+            .as("rho_spearman"))
+    }),
+
     // Cramér's V association between event type and ISO weekday
     // (ClickHouse `cramersV` analog). The only full-data pass is the
     // contingency aggregate; everything after runs on the k×m cell table
@@ -611,6 +673,45 @@ object StatsOps {
         |             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
         |         AS df_welch
         |FROM m ORDER BY day""".stripMargin,
+    "stat_anova" ->
+      """WITH g AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         sum(value) AS s, sum(value * value) AS q
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT day, count(*) AS k_groups, sum(n) AS nd, sum(s) AS sd,
+        |         sum(s * s / n) AS bsum, sum(q) AS qd
+        |  FROM g GROUP BY day
+        |  HAVING count(*) > 1 AND sum(n) > count(*)),
+        |e AS (
+        |  SELECT day, k_groups, nd,
+        |         bsum - sd * sd / nd AS ssb, qd - bsum AS ssw
+        |  FROM d)
+        |SELECT day, k_groups, CAST(nd AS BIGINT) AS n_obs,
+        |       round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+        |       round((ssb / (k_groups - 1)) / (ssw / (nd - k_groups)), 6)
+        |         AS f_stat,
+        |       round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM e ORDER BY day""".stripMargin,
+    "stat_spearman" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS freq,
+        |         sum(value) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id,
+        |         CAST(rank() OVER (ORDER BY freq) AS DOUBLE)
+        |           + (count(*) OVER (PARTITION BY freq) - 1) / 2.0 AS rx,
+        |         CAST(rank() OVER (ORDER BY monetary) AS DOUBLE)
+        |           + (count(*) OVER (PARTITION BY monetary) - 1) / 2.0 AS ry
+        |  FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       round((count(*) * sum(rx * ry) - sum(rx) * sum(ry))
+        |             / sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx))
+        |                    * (count(*) * sum(ry * ry) - sum(ry) * sum(ry))),
+        |             6) AS rho_spearman
+        |FROM r""".stripMargin,
     "stat_cramers_v" ->
       """WITH cells AS (
         |  SELECT event_type, isodow(ts) AS dow,
