@@ -368,6 +368,106 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // Kaplan-Meier survival estimator over user lifetimes — the
+    // churn-analysis curve. Lifetime = days between a user's first and
+    // last event; a user is an observed churn if their last event is ≥ 7
+    // days before the corpus end, else right-censored (still active).
+    // Full pass = ONE per-user aggregate; everything after runs on the
+    // distinct-lifetime table (≤ day-range rows — metadata-sized at any
+    // corpus scale, the stat_cramers_v cell-table precedent). At-risk
+    // counts are a reversed cumulative sum; the survival product is the
+    // mergeable exp(Σ ln) form (agg_product discipline), with an explicit
+    // zero flag once d ≥ n so neither engine takes ln(0). round(6).
+    "event_kaplan_meier" -> ((s, dir) => {
+      val maxDay = Tables.events(s, dir).agg(max(to_date(col("ts")))).head.getDate(0)
+      val life = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+            .cast(LongType).as("lifetime_days"),
+          (datediff(lit(maxDay), max(to_date(col("ts")))) >= 7).as("observed"))
+        .groupBy("lifetime_days")
+        .agg(count(when(col("observed"), 1)).as("n_deaths"),
+          count(when(!col("observed"), 1)).as("n_censored"))
+      val wAll = Window.orderBy("lifetime_days")
+      val atRisk = Window.orderBy("lifetime_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val cum = wAll.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      life
+        .withColumn("n_at_risk",
+          sum(col("n_deaths") + col("n_censored")).over(atRisk))
+        .withColumn("lterm",
+          when(col("n_deaths") > 0 && col("n_deaths") < col("n_at_risk"),
+            log(lit(1.0) - col("n_deaths").cast(DoubleType) / col("n_at_risk"))))
+        .withColumn("dead_end", max(
+          when(col("n_deaths") >= col("n_at_risk"), 1).otherwise(0)).over(cum))
+        .select(col("lifetime_days"), col("n_at_risk"), col("n_deaths"),
+          col("n_censored"),
+          when(col("dead_end") === 1, lit(0.0))
+            .otherwise(round(coalesce(exp(sum(col("lterm")).over(cum)), lit(1.0)), 6))
+            .as("survival"))
+        .orderBy("lifetime_days")
+    }),
+
+    // Interval-union coverage — total time each user was "active" with
+    // overlapping activity intervals merged (the intervalLengthSum shape;
+    // intervals are [ts, ts + value seconds], as event_max_concurrent).
+    // Classic island sweep on ONE user_id exchange: a new island starts
+    // where the start exceeds the running max of prior ends; islands then
+    // collapse in the same keyed aggregate. Durations are exact epoch
+    // MICROSECOND differences (unix_micros / epoch_us) — integer algebra,
+    // no float, no tz: bit-exact cross-engine with no rounding.
+    "event_interval_union" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("te"), col("event_id"))
+      val e2 = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("ts") + expr("make_interval(0, 0, 0, 0, 0, 0, CAST(floor(value) AS INT))"))
+            .as("te"))
+        .withColumn("pmax",
+          max(col("te")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isl", sum(
+          when(col("pmax").isNull || col("ts") > col("pmax"), 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e2.groupBy("user_id", "isl")
+        .agg(min(col("ts")).as("is_s"), max(col("te")).as("is_e"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(unix_micros(col("is_e")) - unix_micros(col("is_s")))
+            .as("covered_us"))
+        .orderBy("user_id")
+    }),
+
+    // One-sided CUSUM changepoint detection per user's value series. The
+    // textbook recursion s_i = max(0, s_{i-1} + (v_i − μ)) is not a
+    // window function, but it IS expressible as two windows: with
+    // cum_i = Σ_{j≤i}(v_j − μ), s_i = cum_i − min_{j≤i} cum_j — a
+    // cumulative sum minus a running min, both on the SAME ordered
+    // user_id window (one exchange, no recursion, no UDF). μ and the
+    // alarm threshold h = 3σ come from whole-partition window aggregates
+    // with raw-sum algebra (Welch discipline). Alarms compare at
+    // round(6) so the cut is deterministic cross-engine.
+    "event_cusum" -> ((s, dir) => {
+      val p = Window.partitionBy("user_id")
+      val o = p.orderBy(col("ts"), col("event_id"))
+      val cumW = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = Tables.events(s, dir)
+        .withColumn("n", count(lit(1)).over(p))
+        .filter(col("n") > 1)
+        .withColumn("mu", sum(col("value")).over(p) / col("n"))
+        .withColumn("sd", sqrt(
+          (sum(col("value") * col("value")).over(p)
+            - sum(col("value")).over(p) * sum(col("value")).over(p) / col("n"))
+            / (col("n") - 1)))
+        .withColumn("cum", sum(col("value") - col("mu")).over(cumW))
+        .withColumn("cusum", col("cum") - min(col("cum")).over(cumW))
+      base.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(max(col("cusum")), 6).as("max_cusum"),
+          count(when(round(col("cusum"), 6) > round(lit(3.0) * col("sd"), 6), 1))
+            .as("n_alarms"))
+        .orderBy("user_id")
+    }),
+
     // DAU / WAU / stickiness. WAU is NOT a per-day distinct over a range
     // window (quadratic re-scan per day at scale): each user-day
     // contributes to exactly the 7 windows it can appear in (explode 0..6,
@@ -1305,6 +1405,86 @@ object EventOps {
         |SELECT user_id, count(*) AS n_events,
         |       max(peak - value) AS max_drawdown
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "event_kaplan_meier" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+        |              AS BIGINT) AS lifetime_days,
+        |         datediff('day', max(CAST(ts AS DATE)), (SELECT d FROM mx)) >= 7
+        |           AS observed
+        |  FROM events GROUP BY user_id),
+        |l AS (
+        |  SELECT lifetime_days,
+        |         count(*) FILTER (observed) AS n_deaths,
+        |         count(*) FILTER (NOT observed) AS n_censored
+        |  FROM u GROUP BY lifetime_days),
+        |r AS (
+        |  SELECT *, CAST(sum(n_deaths + n_censored) OVER (ORDER BY lifetime_days
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |            AS BIGINT) AS n_at_risk
+        |  FROM l),
+        |c AS (
+        |  SELECT *,
+        |         CASE WHEN n_deaths > 0 AND n_deaths < n_at_risk
+        |              THEN ln(1.0 - CAST(n_deaths AS DOUBLE) / n_at_risk) END
+        |           AS lterm,
+        |         max(CASE WHEN n_deaths >= n_at_risk THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY lifetime_days ROWS UNBOUNDED PRECEDING)
+        |           AS dead_end
+        |  FROM r)
+        |SELECT lifetime_days, n_at_risk, n_deaths, n_censored,
+        |       CASE WHEN dead_end = 1 THEN 0.0
+        |            ELSE round(coalesce(exp(sum(lterm) OVER (
+        |                   ORDER BY lifetime_days ROWS UNBOUNDED PRECEDING)),
+        |                 1.0), 6) END AS survival
+        |FROM c ORDER BY lifetime_days""".stripMargin,
+    "event_interval_union" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         ts + to_seconds(CAST(floor(value) AS INT)) AS te
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(te) OVER (PARTITION BY user_id ORDER BY ts, te, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM e),
+        |i AS (
+        |  SELECT *, sum(CASE WHEN pmax IS NULL OR ts > pmax THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY ts, te, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, isl, min(ts) AS is_s, max(te) AS is_e
+        |  FROM i GROUP BY user_id, isl)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |       CAST(sum(epoch_us(is_e) - epoch_us(is_s)) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "event_cusum" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         count(*) OVER (PARTITION BY user_id) AS n,
+        |         sum(value) OVER (PARTITION BY user_id) AS s,
+        |         sum(value * value) OVER (PARTITION BY user_id) AS q
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, ts, event_id, value, n, s / n AS mu,
+        |         sqrt((q - s * s / n) / (n - 1)) AS sd
+        |  FROM b WHERE n > 1),
+        |d AS (
+        |  SELECT user_id, ts, event_id, sd,
+        |         sum(value - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c),
+        |e AS (
+        |  SELECT user_id, sd,
+        |         cum - min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cusum
+        |  FROM d)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(max(cusum), 6) AS max_cusum,
+        |       CAST(count(*) FILTER (round(cusum, 6) > round(3.0 * sd, 6))
+        |            AS BIGINT) AS n_alarms
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "event_dau_wau" ->
       """WITH ud AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
