@@ -207,6 +207,51 @@ object EventOps {
     // AnalyticsOpsSpec (rank mass conserved at 1.0).
     "graph_pagerank" -> ((s, dir) => pageRank(s, dir, redistributeDangling = false)),
 
+    // Per-node triangle participation on the repo-transition graph (same
+    // derived graph as graph_pagerank) — the clustering/community primitive.
+    // Degree-ordered orientation, the scale-correct algorithm: rank nodes
+    // by (degree, id), orient every undirected edge low→high rank, then a
+    // triangle is exactly one wedge u→v, u→w (v<w) closed by v→w — each
+    // counted ONCE, and out-degrees under this orientation are O(√m) on
+    // any graph, so the wedge self-join is bounded even with power-law
+    // hubs (a hub's edges point INTO it and generate no wedges). The node
+    // rank table is |V| rows — index metadata, broadcast both ways; the
+    // only shuffles are equality joins on edge endpoints. Exact integer
+    // counts, no floats.
+    "graph_triangles" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val und = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          pmod(col("event_id"), lit(97L)).as("repo"))
+        .withColumn("src", lag(col("repo"), 1).over(w))
+        .filter(col("src").isNotNull && col("src") =!= col("repo"))
+        .select(least(col("src"), col("repo")).as("a"),
+          greatest(col("src"), col("repo")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val rk = deg.select(col("node"),
+        row_number().over(Window.orderBy(col("deg"), col("node")))
+          .cast(LongType).as("rk"))
+      val oe = und
+        .join(broadcast(rk.select(col("node").as("a"), col("rk").as("ra"))), "a")
+        .join(broadcast(rk.select(col("node").as("b"), col("rk").as("rb"))), "b")
+        .select(least(col("ra"), col("rb")).as("u"),
+          greatest(col("ra"), col("rb")).as("v"))
+      val tri = oe.as("e1")
+        .join(oe.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+        .join(oe.select(col("u").as("y"), col("v").as("z")),
+          Seq("y", "z"), "left_semi")
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("r"))
+        .groupBy("r").agg(count(lit(1)).as("n_triangles"))
+        .join(broadcast(rk.select(col("rk").as("r"), col("node"))), "r")
+        .select(col("node"), col("n_triangles"))
+        .orderBy("node")
+    }),
+
     // sequenceCount analog: NON-OVERLAPPING occurrence counts of patterns
     // in the per-user journey string (how many click→purchase cycles, how
     // many error bursts — not just "did it happen"). Regex engines count
@@ -1405,6 +1450,37 @@ object EventOps {
         |SELECT user_id, count(*) AS n_events,
         |       max(peak - value) AS max_drawdown
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "graph_triangles" ->
+      """WITH tr AS (
+        |  SELECT lag(event_id % 97) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS src,
+        |         event_id % 97 AS dst
+        |  FROM events),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM tr WHERE src IS NOT NULL AND src <> dst),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        |  GROUP BY node),
+        |rk AS (
+        |  SELECT node, CAST(row_number() OVER (ORDER BY deg, node) AS BIGINT)
+        |           AS rk
+        |  FROM deg),
+        |oe AS (
+        |  SELECT least(ra.rk, rb.rk) AS u, greatest(ra.rk, rb.rk) AS v
+        |  FROM und
+        |  JOIN rk ra ON und.a = ra.node
+        |  JOIN rk rb ON und.b = rb.node),
+        |t AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM oe e1 JOIN oe e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  WHERE EXISTS (SELECT 1 FROM oe e3 WHERE e3.u = e1.v AND e3.v = e2.v)),
+        |pn AS (
+        |  SELECT unnest([x, y, z]) AS r FROM t)
+        |SELECT rk.node AS node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM pn JOIN rk ON pn.r = rk.rk
+        |GROUP BY rk.node ORDER BY node""".stripMargin,
     "event_kaplan_meier" ->
       """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
         |u AS (
