@@ -181,6 +181,57 @@ object SimOps {
         .orderBy("q_id", "rk")
     }),
 
+    // Binary-quantized ANN: sign-bit pack each 64-dim vector into two
+    // 32-bit halves (BIGINT-safe on every engine — no 2^63 overflow),
+    // coarse-rank candidates by Hamming distance (popcount of XOR — the
+    // 1-bit quantization every production vector store ships), then
+    // exact-cosine rerank the top-20 candidates to a top-10. The packed
+    // signature is 8 bytes/vector — the corpus scan that matters at
+    // 100 TB reads signatures, not floats; rerank touches only 20
+    // candidates per query. Both stages are deterministic (sign bits,
+    // integer Hamming, rounded-cosine + vec_id tiebreaks), so the DuckDB
+    // twin replicates the full two-stage pipeline — an EXACT oracle for
+    // an "approximate" index.
+    "sim_binary_hamming" -> ((s, dir) => {
+      def half(lo: Int) = expr(
+        s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+          s"(acc, i) -> acc + IF(element_at(v, i) > 0D, shiftleft(1L, i - $lo), 0L))")
+      val sig = vecs(s, dir)
+        .select(col("vec_id"), col("v"), half(1).as("h1"), half(33).as("h2"))
+      val q = sig.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("h1").as("qh1"), col("h2").as("qh2"))
+      val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+      val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      sig.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("v"), col("qv"),
+          (bit_count(expr("h1 ^ qh1")) + bit_count(expr("h2 ^ qh2")))
+            .cast(LongType).as("hamming"))
+        .withColumn("hrk", row_number().over(wH))
+        .filter(col("hrk") <= 20)
+        .select(col("q_id"), col("vec_id"), col("hamming"),
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(wC).cast(LongType))
+        .filter(col("rk") <= 10)
+        .orderBy("q_id", "rk")
+    }),
+
+    // Matryoshka truncation: slice each embedding to its 16-dim prefix
+    // and score against the query in BOTH spaces — the MRL serving
+    // pattern (coarse search in the prefix, exact score in full dim).
+    // Map-only over the corpus with the broadcast query row; the cosine
+    // renormalizes per-space, so no separate renorm pass is needed.
+    "embed_mrl_truncate" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(api.cosineSim(slice(col("v"), 1, 16), slice(col("qv"), 1, 16)), 6)
+            .as("cos_mrl16"),
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos_full"))
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed ANN: candidates share the query's 4-bit
     // sign-random-projection bucket; approximate by construction -> no
     // SQL oracle (driver records rows-only).
@@ -425,6 +476,53 @@ object SimOps {
         |SELECT q_id, vec_id, label, cos,
         |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
         |FROM scored QUALIFY rk <= 3 ORDER BY q_id, rk""".stripMargin,
+    "sim_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |         CAST(list_sum(list_transform(range(1, 33),
+        |           i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT)
+        |                ELSE 0 END)) AS BIGINT) AS h1,
+        |         CAST(list_sum(list_transform(range(33, 65),
+        |           i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 33) AS BIGINT)
+        |                ELSE 0 END)) AS BIGINT) AS h2
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, h1 AS qh1, h2 AS qh2
+        |      FROM sig WHERE vec_id < 5),
+        |ham AS (
+        |  SELECT q.q_id, s.vec_id, s.v, q.qv,
+        |         CAST(bit_count(xor(s.h1, q.qh1)) + bit_count(xor(s.h2, q.qh2))
+        |              AS BIGINT) AS hamming
+        |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY hamming, vec_id) AS hrk
+        |  FROM ham QUALIFY hrk <= 20),
+        |scored AS (
+        |  SELECT q_id, vec_id, hamming,
+        |         round(list_dot_product(v, qv)
+        |               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+        |               6) AS cos
+        |  FROM cand)
+        |SELECT q_id, vec_id, hamming, cos,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |FROM scored QUALIFY rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    "embed_mrl_truncate" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       round(list_dot_product(e.v[1:16], q.qv[1:16])
+        |             / (sqrt(list_dot_product(e.v[1:16], e.v[1:16]))
+        |                * sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))), 6)
+        |         AS cos_mrl16,
+        |       round(list_dot_product(e.v, q.qv)
+        |             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        |             6) AS cos_full
+        |FROM e CROSS JOIN q ORDER BY e.vec_id""".stripMargin,
     "sim_centroid" ->
       """WITH e AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> x::DOUBLE) AS v
