@@ -389,6 +389,93 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Zipf rank-frequency fit — OLS of ln(freq) on ln(rank) over the
+    // corpus vocabulary: the standard corpus-health diagnostic (natural
+    // text slopes ≈ −1; synthetic/templated corpora flatten). ONE
+    // full-data pass (the term count aggregate); the ranking window and
+    // the raw-sum OLS run on the vocabulary table, which is
+    // metadata-sized at any corpus scale (Heaps' law: |V| ~ N^0.5).
+    "text_zipf_fit" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(explode(toks).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      val xy = tf.select(
+        log(row_number().over(Window.orderBy(col("n").desc, col("term")))
+          .cast(DoubleType)).as("x"),
+        log(col("n").cast(DoubleType)).as("y"))
+      xy.agg(count(lit(1)).cast(DoubleType).as("k"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("qx"),
+        sum(col("y") * col("y")).as("qy"),
+        sum(col("x") * col("y")).as("sxy"))
+        .select(col("k").cast(LongType).as("n_terms"),
+          round((col("k") * col("sxy") - col("sx") * col("sy"))
+            / (col("k") * col("qx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") * col("qx") - col("sx") * col("sxy"))
+            / (col("k") * col("qx") - col("sx") * col("sx")), 6).as("intercept"),
+          round((col("k") * col("sxy") - col("sx") * col("sy"))
+            * (col("k") * col("sxy") - col("sx") * col("sy"))
+            / ((col("k") * col("qx") - col("sx") * col("sx"))
+              * (col("k") * col("qy") - col("sy") * col("sy"))), 6).as("r2"))
+    }),
+
+    // Heaps vocabulary-growth curve — cumulative distinct types vs
+    // cumulative tokens in doc_id order. "First sighting" is an aggregate
+    // fact (min doc_id per term), NOT a running re-scan: per-doc new-type
+    // counts collapse from the term table, then one cumulative window
+    // over the per-doc aggregate (|docs| rows; bucket the curve at
+    // extreme scale, same ordering semantics).
+    "text_vocab_growth" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val perDoc = d.select(col("doc_id"), size(toks).cast(LongType).as("n_toks"))
+      val firstSeen = d.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("term").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDoc.join(firstSeen, Seq("doc_id"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .select(col("doc_id"),
+          sum("n_toks").over(w).as("cum_tokens"),
+          sum("new_types").over(w).as("cum_types"))
+        .withColumn("heaps_beta",
+          round(log(col("cum_types").cast(DoubleType))
+            / log(col("cum_tokens").cast(DoubleType)), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Pre-training filter funnel — the composed keep/drop decision table
+    // (C4/Gopher-style): length bounds, type-token ratio, stopword-ratio
+    // band, exact-dup canonicalization, each as an auditable flag with a
+    // first-failure reason code. All features are map-side; the only
+    // exchange is the dup-canonical window on the hashed text key (the
+    // dedup_text_exact discipline). This is the artifact a data curator
+    // actually ships: WHY each document was dropped, not just the
+    // surviving corpus.
+    "pipeline_filter_funnel" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      val nTok = size(toks).cast(DoubleType)
+      val f = Tables.documents(s, dir)
+        .withColumn("n_toks", size(toks).cast(LongType))
+        .withColumn("ttr", size(array_distinct(toks)).cast(DoubleType) / nTok)
+        .withColumn("stop_ratio",
+          size(filter(toks, t => stop.map(m => t === m).reduce(_ || _))) / nTok)
+        .withColumn("canon",
+          min(col("doc_id")).over(Window.partitionBy(xxhash64(col("text")))))
+        .select(col("doc_id"),
+          col("n_toks").between(20L, 1000L).as("pass_len"),
+          (col("ttr") > 0.3).as("pass_ttr"),
+          col("stop_ratio").between(0.01, 0.5).as("pass_stop"),
+          (col("canon") === col("doc_id")).as("pass_dup"))
+      f.withColumn("reason",
+        when(!col("pass_len"), "len").when(!col("pass_ttr"), "ttr")
+          .when(!col("pass_stop"), "stop").when(!col("pass_dup"), "dup")
+          .otherwise("ok"))
+        .withColumn("kept",
+          col("pass_len") && col("pass_ttr") && col("pass_stop") && col("pass_dup"))
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace tokens vs regex word tokens vs a BPE-ish
     // "word or leading-space word-piece" segmentation bound.
     "text_tokencount" -> ((s, dir) => {
@@ -600,6 +687,75 @@ object TextOps {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 30""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |xy AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE))
+        |           AS x,
+        |         ln(CAST(n AS DOUBLE)) AS y
+        |  FROM tf)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |       round((count(*) * sum(x * y) - sum(x) * sum(y))
+        |             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS slope,
+        |       round((sum(y) * sum(x * x) - sum(x) * sum(x * y))
+        |             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS intercept,
+        |       round((count(*) * sum(x * y) - sum(x) * sum(y))
+        |             * (count(*) * sum(x * y) - sum(x) * sum(y))
+        |             / ((count(*) * sum(x * x) - sum(x) * sum(x))
+        |                * (count(*) * sum(y * y) - sum(y) * sum(y))), 6) AS r2
+        |FROM xy""".stripMargin,
+    "text_vocab_growth" ->
+      """WITH pd AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |fs AS (
+        |  SELECT doc_id, count(*) AS new_types FROM (
+        |    SELECT term, min(doc_id) AS doc_id FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |    GROUP BY term)
+        |  GROUP BY doc_id),
+        |j AS (
+        |  SELECT pd.doc_id, pd.n_toks, coalesce(fs.new_types, 0) AS new_types
+        |  FROM pd LEFT JOIN fs ON pd.doc_id = fs.doc_id),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(sum(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cum_tokens,
+        |         CAST(sum(new_types) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cum_types
+        |  FROM j)
+        |SELECT doc_id, cum_tokens, cum_types,
+        |       round(ln(CAST(cum_types AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE)),
+        |             6) AS heaps_beta
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "pipeline_filter_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS ttr,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS stop_ratio,
+        |         min(doc_id) OVER (PARTITION BY text) AS canon
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         n_toks BETWEEN 20 AND 1000 AS pass_len,
+        |         ttr > 0.3 AS pass_ttr,
+        |         stop_ratio BETWEEN 0.01 AND 0.5 AS pass_stop,
+        |         canon = doc_id AS pass_dup
+        |  FROM f)
+        |SELECT doc_id, pass_len, pass_ttr, pass_stop, pass_dup,
+        |       CASE WHEN NOT pass_len THEN 'len' WHEN NOT pass_ttr THEN 'ttr'
+        |            WHEN NOT pass_stop THEN 'stop' WHEN NOT pass_dup THEN 'dup'
+        |            ELSE 'ok' END AS reason,
+        |       pass_len AND pass_ttr AND pass_stop AND pass_dup AS kept
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_jaro_winkler" ->
       """SELECT p.p_partkey, p.p_name, n.p_name AS n_name,
         |       round(jaro_winkler_similarity(p.p_name, n.p_name), 6) AS jw
