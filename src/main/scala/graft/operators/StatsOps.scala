@@ -294,6 +294,32 @@ object StatsOps {
             .as("rho_spearman"))
     }),
 
+    // Leave-one-out target encoding — the leakage-safe categorical
+    // feature every tabular-ML pipeline ships: each row's category is
+    // encoded by the target mean of the OTHER rows in its category, plus
+    // an m-estimate blend toward the global mean (m = 10) for rare
+    // categories. Deliberately NOT a per-category window: the category
+    // stats collapse in a tiny aggregate that broadcast-joins back onto
+    // the fact scan (map-only encode), so a skewed category costs nothing
+    // — the per-category-window formulation would funnel every hot
+    // category through one task. round(6) on the encoded features.
+    "ml_target_encode" -> ((s, dir) => {
+      val c = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_c"), sum("value").as("s_c"))
+      val g = Tables.events(s, dir)
+        .agg((sum("value") / count(lit(1))).as("gmean"))
+      Tables.events(s, dir)
+        .join(broadcast(c), "event_type")
+        .crossJoin(broadcast(g))
+        .filter(col("n_c") > 1)
+        .select(col("event_id"), col("event_type"),
+          round((col("s_c") - col("value")) / (col("n_c") - 1), 6).as("te_loo"),
+          round((col("s_c") - col("value") + lit(10) * col("gmean"))
+            / (col("n_c") - 1 + 10), 6).as("te_smooth"))
+        .orderBy("event_id")
+    }),
+
     // Cramér's V association between event type and ISO weekday
     // (ClickHouse `cramersV` analog). The only full-data pass is the
     // contingency aggregate; everything after runs on the k×m cell table
@@ -673,6 +699,18 @@ object StatsOps {
         |             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
         |         AS df_welch
         |FROM m ORDER BY day""".stripMargin,
+    "ml_target_encode" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n_c, sum(value) AS s_c
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT sum(value) / count(*) AS gmean FROM events)
+        |SELECT e.event_id, e.event_type,
+        |       round((c.s_c - e.value) / (c.n_c - 1), 6) AS te_loo,
+        |       round((c.s_c - e.value + 10 * g.gmean) / (c.n_c - 1 + 10), 6)
+        |         AS te_smooth
+        |FROM events e JOIN c USING (event_type) CROSS JOIN g
+        |WHERE c.n_c > 1
+        |ORDER BY e.event_id""".stripMargin,
     "stat_anova" ->
       """WITH g AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,
