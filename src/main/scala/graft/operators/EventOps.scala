@@ -504,7 +504,10 @@ object EventOps {
             - sum(col("value")).over(p) * sum(col("value")).over(p) / col("n"))
             / (col("n") - 1)))
         .withColumn("cum", sum(col("value") - col("mu")).over(cumW))
-        .withColumn("cusum", col("cum") - min(col("cum")).over(cumW))
+        // the running min must include the EMPTY prefix (cum_0 = 0), or an
+        // all-positive drift series never resets to the textbook s_1
+        .withColumn("cusum",
+          col("cum") - least(min(col("cum")).over(cumW), lit(0.0)))
       base.groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           round(max(col("cusum")), 6).as("max_cusum"),
@@ -1553,8 +1556,9 @@ object EventOps {
         |  FROM c),
         |e AS (
         |  SELECT user_id, sd,
-        |         cum - min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS cusum
+        |         cum - least(min(cum) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 0)
+        |           AS cusum
         |  FROM d)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       round(max(cusum), 6) AS max_cusum,

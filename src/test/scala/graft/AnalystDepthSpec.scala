@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-4 analyst-depth additions: CUSUM changepoint,
+  * interval-union coverage, Kaplan-Meier survival, degree-oriented triangle
+  * counting, Spearman rank correlation, the filter funnel. Each distributed
+  * reformulation is checked against an independent SEQUENTIAL reference in
+  * plain Scala on sf0.001 — the DuckDB oracle is the cross-engine gate;
+  * these pin the cross-FORMULATION equivalence the oracle can't see (the
+  * oracle runs the same algebra, the reference runs the textbook one).
+  */
+class AnalystDepthSpec extends SparkSpec {
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (user, ordered values) with the (ts, event_id) sort the keys use. */
+  private lazy val seriesByUser: Map[Long, Seq[Double]] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (u, rows) =>
+        u -> rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+      }
+
+  test("event_cusum equals the textbook max(0, s + (v - mu)) recursion") {
+    val got = SparkEntry.queries("event_cusum")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    var checked = 0
+    for ((u, vs) <- seriesByUser if vs.length > 1) {
+      val n = vs.length
+      val mu = vs.sum / n
+      val sd = math.sqrt(vs.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+      var s = 0.0
+      var maxS = 0.0
+      var alarms = 0L
+      for (v <- vs) {
+        s = math.max(0.0, s + (v - mu))
+        maxS = math.max(maxS, s)
+        if (r6(s) > r6(3.0 * sd)) alarms += 1
+      }
+      val (gn, gmax, galarms) = got(u)
+      assert(gn == n, s"user $u n_events")
+      assert(math.abs(gmax - r6(maxS)) <= 2e-6, s"user $u max_cusum")
+      assert(galarms == alarms, s"user $u n_alarms")
+      checked += 1
+    }
+    assert(checked > 0 && checked == got.size)
+  }
+
+  test("event_interval_union equals sequential interval merging") {
+    val got = SparkEntry.queries("event_interval_union")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val iv = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        (unix_micros(col("ts")) + floor(col("value")).cast("long") * 1000000L)
+          .as("te"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((u, rows) <- iv) {
+      val sorted = rows.sortBy(r => (r._2, r._4, r._3)).map(r => (r._2, r._4))
+      var islands = 0L
+      var covered = 0L
+      var curS = Long.MinValue
+      var curE = Long.MinValue
+      for ((s0, e0) <- sorted) {
+        if (islands == 0L || s0 > curE) {
+          if (islands > 0L) covered += curE - curS
+          islands += 1; curS = s0; curE = math.max(s0, e0)
+        } else curE = math.max(curE, e0)
+      }
+      covered += curE - curS
+      assert(got(u) == ((islands, covered)), s"user $u interval union")
+    }
+    assert(iv.nonEmpty && got.size == iv.size)
+  }
+
+  test("event_kaplan_meier equals the sequential product-limit estimator") {
+    val rows = SparkEntry.queries("event_kaplan_meier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    // independent lifetime/censor table (same date math, textbook KM after)
+    val maxDay = Tables.events(spark, sf)
+      .agg(max(to_date(col("ts")))).head.getDate(0)
+    val life = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("lt"),
+        (datediff(lit(maxDay), max(to_date(col("ts")))) >= 7).as("obs"))
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    val byLt = life.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = life.length.toLong
+    var surv = 1.0
+    val want = byLt.map { case (lt, rs) =>
+      val d = rs.count(_._2).toLong
+      val c = rs.size - d
+      val row = if (d >= atRisk && d > 0) { surv = 0.0; (lt, atRisk, d, c, 0.0) }
+      else {
+        if (d > 0) surv *= 1.0 - d.toDouble / atRisk
+        (lt, atRisk, d, c, r6(surv))
+      }
+      atRisk -= rs.size
+      row
+    }
+    assert(rows.length == want.length)
+    rows.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4,
+        s"KM counts at lifetime ${w._1}")
+      assert(math.abs(g._5 - w._5) <= 2e-6, s"KM survival at lifetime ${w._1}")
+    }
+    // survival is a valid non-increasing curve in [0, 1]
+    rows.map(_._5).foldLeft(1.0) { (prev, s) =>
+      assert(s >= 0.0 && s <= prev + 1e-9); s
+    }
+  }
+
+  test("graph_triangles equals brute-force triangle enumeration") {
+    val got = SparkEntry.queries("graph_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tr = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        pmod(col("event_id"), lit(97L)).as("repo"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val edges = tr.values.flatMap { rows =>
+      val rs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      rs.zip(rs.tail).filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val adj = edges ++ edges.map(e => (e._2, e._1))
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if adj.contains((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if adj.contains((nodes(i), nodes(k))) && adj.contains((nodes(j), nodes(k)))
+    } Seq(nodes(i), nodes(j), nodes(k)).foreach { n =>
+      counts(n) = counts.getOrElse(n, 0L) + 1L
+    }
+    assert(got == counts.toMap, "per-node triangle counts")
+    assert(counts.values.sum % 3 == 0)
+  }
+
+  test("stat_spearman equals the sequential average-rank computation") {
+    val row = SparkEntry.queries("stat_spearman")(spark, sf).head()
+    val u = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("f"), sum("value").as("m"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    def avgRanks(xs: Seq[Double]): Seq[Double] = {
+      val sorted = xs.sorted
+      xs.map { x =>
+        val lo = sorted.indexWhere(_ == x) + 1
+        val hi = sorted.lastIndexWhere(_ == x) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val rx = avgRanks(u.map(_._1).toSeq)
+    val ry = avgRanks(u.map(_._2).toSeq)
+    val n = rx.length.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map(p => p._1 * p._2).sum
+    val (qx, qy) = (rx.map(x => x * x).sum, ry.map(y => y * y).sum)
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * qx - sx * sx) * (n * qy - sy * sy))
+    assert(row.getLong(0) == rx.length)
+    assert(math.abs(row.getDouble(1) - r6(rho)) <= 2e-6)
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+  }
+
+  test("pipeline_filter_funnel: kept and reason are consistent with flags") {
+    val rows = SparkEntry.queries("pipeline_filter_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (len, ttr, stop, dup) =
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))
+      val reason = r.getString(5)
+      val kept = r.getBoolean(6)
+      assert(kept == (len && ttr && stop && dup))
+      val wantReason =
+        if (!len) "len" else if (!ttr) "ttr"
+        else if (!stop) "stop" else if (!dup) "dup" else "ok"
+      assert(reason == wantReason)
+      assert(kept == (reason == "ok"))
+    }
+  }
+
+  test("sim_binary_hamming: hamming distances match sign-bit recomputation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    def sig(v: Seq[Double]): Seq[Boolean] = v.map(_ > 0)
+    val rows = SparkEntry.queries("sim_binary_hamming")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, v, ham) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want = sig(vecs(q)).zip(sig(vecs(v))).count(p => p._1 != p._2)
+      assert(ham == want, s"hamming($q, $v)")
+    }
+  }
+}
