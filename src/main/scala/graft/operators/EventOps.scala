@@ -413,6 +413,31 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // Day-of-week seasonal index per event type — the load-profile
+    // normalizer behind anomaly baselines and capacity planning
+    // (index > 1 = busier-than-typical weekday). One (type, day)
+    // aggregate collapses the corpus; the dow averaging and the index
+    // normalizer run on the ≤ 7·|types| profile table (window over the
+    // per-type 7-row partition — metadata-sized at any scale). Averages
+    // are ratios of exact integer sums; round(6).
+    "event_seasonal_index" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val dow = daily
+        .groupBy(col("event_type"),
+          (weekday(col("day")) + 1).cast(LongType).as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          (sum("n").cast(DoubleType) / count(lit(1))).as("avg_daily"))
+      val w = Window.partitionBy("event_type")
+      dow.select(col("event_type"), col("dow"), col("n_days"),
+          round(col("avg_daily"), 6).as("avg_daily"),
+          round(col("avg_daily")
+            / (sum(col("avg_daily")).over(w) / count(lit(1)).over(w)), 6)
+            .as("seasonal_idx"))
+        .orderBy("event_type", "dow")
+    }),
+
     // Kaplan-Meier survival estimator over user lifetimes — the
     // churn-analysis curve. Lifetime = days between a user's first and
     // last event; a user is an observed churn if their last event is ≥ 7
@@ -1484,6 +1509,22 @@ object EventOps {
         |SELECT rk.node AS node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM pn JOIN rk ON pn.r = rk.rk
         |GROUP BY rk.node ORDER BY node""".stripMargin,
+    "event_seasonal_index" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT event_type, CAST(isodow(day) AS BIGINT) AS dow,
+        |         count(*) AS n_days,
+        |         CAST(sum(n) AS DOUBLE) / count(*) AS avg_daily
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT event_type, dow, n_days,
+        |       round(avg_daily, 6) AS avg_daily,
+        |       round(avg_daily
+        |             / (sum(avg_daily) OVER (PARTITION BY event_type)
+        |                / count(*) OVER (PARTITION BY event_type)), 6)
+        |         AS seasonal_idx
+        |FROM dw ORDER BY event_type, dow""".stripMargin,
     "event_kaplan_meier" ->
       """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
         |u AS (

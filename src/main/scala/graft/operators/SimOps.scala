@@ -216,6 +216,29 @@ object SimOps {
         .orderBy("q_id", "rk")
     }),
 
+    // Late-interaction (ColBERT MaxSim) scoring: treat the 5 query
+    // vectors as one multi-vector query and each label group as one
+    // multi-vector document — score(doc) = Σ over query tokens of the
+    // MAX cosine against any doc vector. Map-only scoring against the
+    // broadcast query block, then two shrinking aggregates (corpus →
+    // (label, qtok) maxes → label scores); the corpus is touched once
+    // and never shuffled on anything wider than the label key. Sums of
+    // 6-dp maxes re-round at 6 so cross-engine addition order can't
+    // surface an ulp.
+    "sim_maxsim_late_interaction" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("label"), col("q_id"),
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
+        .groupBy("label", "q_id").agg(max("cos").as("maxsim"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_qtoks"),
+          round(sum("maxsim"), 6).as("maxsim_score"))
+        .orderBy("label")
+    }),
+
     // Matryoshka truncation: slice each embedding to its 16-dim prefix
     // and score against the query in BOTH spaces — the MRL serving
     // pattern (coarse search in the prefix, exact score in full dim).
@@ -509,6 +532,23 @@ object SimOps {
         |SELECT q_id, vec_id, hamming, cos,
         |       row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
         |FROM scored QUALIFY rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    "sim_maxsim_late_interaction" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT e.label, q.q_id,
+        |         round(list_dot_product(e.v, q.qv)
+        |               / (sqrt(list_dot_product(e.v, e.v))
+        |                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        |  FROM e CROSS JOIN q),
+        |ms AS (
+        |  SELECT label, q_id, max(cos) AS maxsim
+        |  FROM scored GROUP BY label, q_id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_qtoks,
+        |       round(sum(maxsim), 6) AS maxsim_score
+        |FROM ms GROUP BY label ORDER BY label""".stripMargin,
     "embed_mrl_truncate" ->
       """WITH e AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> x::DOUBLE) AS v

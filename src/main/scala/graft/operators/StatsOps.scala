@@ -294,6 +294,43 @@ object StatsOps {
             .as("rho_spearman"))
     }),
 
+    // Join/agg key-skew profiler — the report an engineer actually runs
+    // before choosing a partitioning at 100 TB: per-key cardinality,
+    // top-1/top-10 share, Gini concentration, p50/p99 key sizes, for
+    // each candidate shuffle key. The full-data pass is one count per
+    // key column; the two rank windows and the Gini cumsum run over the
+    // per-key COUNT table (|keys| rows — swap exact ranks for a
+    // bottom-k/approx-quantile sketch at billions of keys, same
+    // decision output). Shares are exact-integer ratios; round(6).
+    "profile_key_skew" -> ((s, dir) => {
+      def skew(keyCol: String): DataFrame = {
+        val counts = Tables.events(s, dir)
+          .groupBy(col(keyCol).cast(StringType).as("k"))
+          .agg(count(lit(1)).as("n"))
+        val asc = Window.orderBy(col("n"), col("k"))
+        val desc = Window.orderBy(col("n").desc, col("k"))
+        counts
+          .withColumn("i", row_number().over(asc).cast(DoubleType))
+          .withColumn("j", row_number().over(desc))
+          .agg(
+            count(lit(1)).as("n_keys"),
+            sum("n").as("total_rows"),
+            round(max("n").cast(DoubleType) / sum("n"), 6).as("top1_share"),
+            round(sum(when(col("j") <= 10, col("n"))).cast(DoubleType)
+              / sum("n"), 6).as("top10_share"),
+            round(lit(2.0) * sum(col("i") * col("n"))
+              / (count(lit(1)).cast(DoubleType) * sum("n").cast(DoubleType))
+              - (count(lit(1)) + 1).cast(DoubleType) / count(lit(1)), 6)
+              .as("gini"),
+            round(expr("percentile(n, 0.5D)"), 6).as("p50"),
+            round(expr("percentile(n, 0.99D)"), 6).as("p99"))
+          .select(lit(keyCol).as("key_name"), col("n_keys"),
+            col("total_rows"), col("top1_share"), col("top10_share"),
+            col("gini"), col("p50"), col("p99"))
+      }
+      skew("user_id").unionAll(skew("event_type")).orderBy("key_name")
+    }),
+
     // Leave-one-out target encoding — the leakage-safe categorical
     // feature every tabular-ML pipeline ships: each row's category is
     // encoded by the target mean of the OTHER rows in its category, plus
@@ -699,6 +736,46 @@ object StatsOps {
         |             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
         |         AS df_welch
         |FROM m ORDER BY day""".stripMargin,
+    "profile_key_skew" ->
+      """WITH cu AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |ru AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n, k) AS DOUBLE) AS i,
+        |         row_number() OVER (ORDER BY n DESC, k) AS j
+        |  FROM cu),
+        |ce AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |re AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n, k) AS DOUBLE) AS i,
+        |         row_number() OVER (ORDER BY n DESC, k) AS j
+        |  FROM ce)
+        |SELECT * FROM (
+        |  SELECT 'user_id' AS key_name, CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(n) AS BIGINT) AS total_rows,
+        |         round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top1_share,
+        |         round(CAST(sum(CASE WHEN j <= 10 THEN n END) AS DOUBLE)
+        |               / sum(n), 6) AS top10_share,
+        |         round(2.0 * sum(i * n)
+        |               / (CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+        |               - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini,
+        |         round(quantile_cont(n, 0.5), 6) AS p50,
+        |         round(quantile_cont(n, 0.99), 6) AS p99
+        |  FROM ru
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |         CAST(sum(n) AS BIGINT),
+        |         round(CAST(max(n) AS DOUBLE) / sum(n), 6),
+        |         round(CAST(sum(CASE WHEN j <= 10 THEN n END) AS DOUBLE)
+        |               / sum(n), 6),
+        |         round(2.0 * sum(i * n)
+        |               / (CAST(count(*) AS DOUBLE) * CAST(sum(n) AS DOUBLE))
+        |               - CAST(count(*) + 1 AS DOUBLE) / count(*), 6),
+        |         round(quantile_cont(n, 0.5), 6),
+        |         round(quantile_cont(n, 0.99), 6)
+        |  FROM re)
+        |ORDER BY key_name""".stripMargin,
     "ml_target_encode" ->
       """WITH c AS (
         |  SELECT event_type, count(*) AS n_c, sum(value) AS s_c

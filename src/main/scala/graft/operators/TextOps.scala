@@ -444,6 +444,86 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer training — learn the first 5 byte-pair merges over
+    // the corpus, the canonical LLM-pipeline operator. The design point
+    // that makes this scale is WHERE the work happens: the only
+    // corpus-sized pass is the word-count aggregate; every merge round
+    // (adjacent-pair counting, best-pair selection, segmentation
+    // rewrite) runs on the word-FREQUENCY table, which is Heaps-small —
+    // exactly how production BPE trainers are built. Each round stays
+    // in-plan: pair counts are a tiny aggregate, the argmax is a
+    // TakeOrdered(1) with a total (n desc, pair) order, and the rewrite
+    // cross-joins the broadcast 1-row best pair. `replace` applies
+    // merges left-to-right non-overlapping — the standard greedy BPE
+    // application, identical in both engines (the DuckDB twin unrolls
+    // the same 5 rounds as CTEs — the PCA-oracle precedent).
+    "pipeline_bpe_merges" -> ((s, dir) => {
+      val SEP = ""
+      var seg = Tables.documents(s, dir)
+        .select(explode(toks).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(
+          rtrim(regexp_replace(col("word"), "(.)", "$1" + SEP), SEP).as("seg"),
+          col("freq"))
+      var out: DataFrame = null
+      for (r <- 1 to 5) {
+        val best = seg
+          .select(col("freq"), split(col("seg"), SEP).as("sy"))
+          .filter(size(col("sy")) > 1)
+          .select(col("freq"), col("sy"),
+            explode(sequence(lit(1), size(col("sy")) - 1)).as("i"))
+          .select(element_at(col("sy"), col("i")).as("x"),
+            element_at(col("sy"), col("i") + 1).as("y"), col("freq"))
+          .groupBy("x", "y").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("x"), col("y")).limit(1)
+          .select(lit(r.toLong).as("merge_no"), col("x"), col("y"), col("n"))
+        out = if (out == null) best else out.unionAll(best)
+        seg = seg
+          .crossJoin(broadcast(
+            best.select(col("x").as("bx"), col("y").as("by"))))
+          .select(expr(s"replace(seg, bx || chr(31) || by, bx || by)")
+            .as("seg"), col("freq"))
+      }
+      out.orderBy("merge_no")
+    }),
+
+    // Corpus-comparison keyness — Dunning log-likelihood G² of each term
+    // in one source vs the rest of the corpus (the AntConc/corpus-
+    // linguistics "what is this subcorpus about" report). ONE full-data
+    // pass (the (source, term) count); term and source totals are
+    // broadcast-sized side tables, and the ranking window runs on the
+    // vocab×sources table — metadata-sized at any corpus scale. The
+    // b = 0 branch (term exclusive to the source) takes the standard
+    // 0·ln(0) = 0 convention explicitly, so neither engine evaluates
+    // ln(0); ranking orders on the ROUNDED statistic + term for a
+    // deterministic cross-engine cut.
+    "text_keyness" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"), explode(toks).as("term"))
+      val ts = tok.groupBy("source", "term").agg(count(lit(1)).as("a"))
+      val tt = tok.groupBy("term").agg(count(lit(1)).as("tt"))
+      val st = tok.groupBy("source").agg(count(lit(1)).as("n1"))
+      val g = tok.agg(count(lit(1)).as("nn"))
+      val j = ts.join(broadcast(tt), "term").join(broadcast(st), "source")
+        .crossJoin(broadcast(g))
+        .withColumn("b", col("tt") - col("a"))
+        .withColumn("e1",
+          col("n1").cast(DoubleType) * col("tt") / col("nn"))
+        .withColumn("e2",
+          (col("nn") - col("n1")).cast(DoubleType) * col("tt") / col("nn"))
+        .withColumn("g2", lit(2.0) *
+          (col("a") * log(col("a") / col("e1")) +
+            when(col("b") > 0, col("b") * log(col("b") / col("e2")))
+              .otherwise(lit(0.0))))
+      val w = Window.partitionBy("source")
+        .orderBy(round(col("g2"), 6).desc, col("term"))
+      j.withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("term"), col("a"), col("b"),
+          round(col("g2"), 6).as("keyness"), col("rk"))
+        .orderBy("source", "rk")
+    }),
+
     // Pre-training filter funnel — the composed keep/drop decision table
     // (C4/Gopher-style): length bounds, type-token ratio, stopword-ratio
     // band, exact-dup canonicalization, each as an auditable flag with a
@@ -732,6 +812,87 @@ object TextOps {
         |       round(ln(CAST(cum_types AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE)),
         |             6) AS heaps_beta
         |FROM c ORDER BY doc_id""".stripMargin,
+    "pipeline_bpe_merges" ->
+      """WITH wc AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |s0 AS (
+        |  SELECT rtrim(regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |               chr(31)) AS seg, freq
+        |  FROM wc),
+        |p1 AS (
+        |  SELECT sy[i] AS x, sy[i+1] AS y, sum(freq) AS n
+        |  FROM (SELECT string_split(seg, chr(31)) AS sy, freq FROM s0),
+        |       range(1, 64) t(i)
+        |  WHERE i < len(sy) GROUP BY 1, 2),
+        |b1 AS (SELECT x, y, n FROM p1 ORDER BY n DESC, x, y LIMIT 1),
+        |s1 AS (SELECT replace(seg, b.x || chr(31) || b.y, b.x || b.y) AS seg,
+        |              freq FROM s0, b1 b),
+        |p2 AS (
+        |  SELECT sy[i] AS x, sy[i+1] AS y, sum(freq) AS n
+        |  FROM (SELECT string_split(seg, chr(31)) AS sy, freq FROM s1),
+        |       range(1, 64) t(i)
+        |  WHERE i < len(sy) GROUP BY 1, 2),
+        |b2 AS (SELECT x, y, n FROM p2 ORDER BY n DESC, x, y LIMIT 1),
+        |s2 AS (SELECT replace(seg, b.x || chr(31) || b.y, b.x || b.y) AS seg,
+        |              freq FROM s1, b2 b),
+        |p3 AS (
+        |  SELECT sy[i] AS x, sy[i+1] AS y, sum(freq) AS n
+        |  FROM (SELECT string_split(seg, chr(31)) AS sy, freq FROM s2),
+        |       range(1, 64) t(i)
+        |  WHERE i < len(sy) GROUP BY 1, 2),
+        |b3 AS (SELECT x, y, n FROM p3 ORDER BY n DESC, x, y LIMIT 1),
+        |s3 AS (SELECT replace(seg, b.x || chr(31) || b.y, b.x || b.y) AS seg,
+        |              freq FROM s2, b3 b),
+        |p4 AS (
+        |  SELECT sy[i] AS x, sy[i+1] AS y, sum(freq) AS n
+        |  FROM (SELECT string_split(seg, chr(31)) AS sy, freq FROM s3),
+        |       range(1, 64) t(i)
+        |  WHERE i < len(sy) GROUP BY 1, 2),
+        |b4 AS (SELECT x, y, n FROM p4 ORDER BY n DESC, x, y LIMIT 1),
+        |s4 AS (SELECT replace(seg, b.x || chr(31) || b.y, b.x || b.y) AS seg,
+        |              freq FROM s3, b4 b),
+        |p5 AS (
+        |  SELECT sy[i] AS x, sy[i+1] AS y, sum(freq) AS n
+        |  FROM (SELECT string_split(seg, chr(31)) AS sy, freq FROM s4),
+        |       range(1, 64) t(i)
+        |  WHERE i < len(sy) GROUP BY 1, 2),
+        |b5 AS (SELECT x, y, n FROM p5 ORDER BY n DESC, x, y LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS merge_no, x, y, CAST(n AS BIGINT) AS n
+        |  FROM b1
+        |  UNION ALL SELECT 2, x, y, CAST(n AS BIGINT) FROM b2
+        |  UNION ALL SELECT 3, x, y, CAST(n AS BIGINT) FROM b3
+        |  UNION ALL SELECT 4, x, y, CAST(n AS BIGINT) FROM b4
+        |  UNION ALL SELECT 5, x, y, CAST(n AS BIGINT) FROM b5)
+        |ORDER BY merge_no""".stripMargin,
+    "text_keyness" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |ts AS (SELECT source, term, count(*) AS a FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT term, count(*) AS tt FROM tok GROUP BY 1),
+        |st AS (SELECT source, count(*) AS n1 FROM tok GROUP BY 1),
+        |g AS (SELECT count(*) AS nn FROM tok),
+        |j AS (
+        |  SELECT ts.source, ts.term, ts.a, tt.tt - ts.a AS b,
+        |         CAST(st.n1 AS DOUBLE) * tt.tt / g.nn AS e1,
+        |         CAST(g.nn - st.n1 AS DOUBLE) * tt.tt / g.nn AS e2
+        |  FROM ts JOIN tt USING (term) JOIN st USING (source) CROSS JOIN g),
+        |k AS (
+        |  SELECT source, term, a, b,
+        |         2.0 * (a * ln(a / e1)
+        |                + CASE WHEN b > 0 THEN b * ln(b / e2) ELSE 0.0 END)
+        |           AS g2
+        |  FROM j),
+        |r AS (
+        |  SELECT source, term, a, b, round(g2, 6) AS keyness,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                ORDER BY round(g2, 6) DESC, term) AS BIGINT) AS rk
+        |  FROM k)
+        |SELECT source, term, a, b, keyness, rk
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "pipeline_filter_funnel" ->
       """WITH f AS (
         |  SELECT doc_id,
