@@ -413,6 +413,54 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // Growth accounting — the new/retained/resurrected/churned weekly
+    // ledger (the standard growth-team decomposition: this-week actives
+    // split by last-week state, plus a churn row one week after each
+    // activity gap). NO user×week grid is materialized: everything
+    // derives from the distinct (user, week) table with one lag/lead
+    // window per user — churn at week w+1 is an emitted row from the
+    // active week w, not a scan of inactive weeks. Integer week
+    // arithmetic on Monday-truncated dates, identical both engines.
+    "event_growth_accounting" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast(DateType).as("wk"))
+        .distinct()
+      val maxWk = uw.agg(max("wk")).head.getDate(0)
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      val st = uw
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+        .withColumn("status",
+          when(col("prev").isNull, "new")
+            .when(datediff(col("wk"), col("prev")) === 7, "retained")
+            .otherwise("resurrected"))
+      val active = st.select(col("wk"), col("status"))
+      val churned = st
+        .filter((col("nxt").isNull || datediff(col("nxt"), col("wk")) > 7) &&
+          date_add(col("wk"), 7) <= lit(maxWk))
+        .select(date_add(col("wk"), 7).as("wk"), lit("churned").as("status"))
+      active.unionAll(churned)
+        .groupBy("wk")
+        .agg(count(when(col("status") === "new", 1)).as("n_new"),
+          count(when(col("status") === "retained", 1)).as("n_retained"),
+          count(when(col("status") === "resurrected", 1)).as("n_resurrected"),
+          count(when(col("status") === "churned", 1)).as("n_churned"))
+        .orderBy("wk")
+    }),
+
+    // Power-user curve (the "L30"-style engagement histogram): how many
+    // users were active on exactly k distinct days — the shape chart
+    // that separates habit products from drive-by traffic. Two shrinking
+    // aggregates (user-day distinct → per-user day count → histogram).
+    "event_power_user_curve" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("active_days"))
+        .groupBy("active_days").agg(count(lit(1)).as("n_users"))
+        .orderBy("active_days")
+    }),
+
     // Day-of-week seasonal index per event type — the load-profile
     // normalizer behind anomaly baselines and capacity planning
     // (index > 1 = busier-than-typical weekday). One (type, day)
@@ -889,6 +937,41 @@ object EventOps {
         .orderBy("d")
     }),
 
+    // EXACT mergeable set algebra via Spark's native bitmap aggregates
+    // (`bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`) — the
+    // ClickHouse `groupBitmap` analog, completing the set-sketch ladder:
+    // HLL (union-only estimate) → theta (union+intersect estimate) →
+    // bitmap (union+intersect EXACT, mergeable, persistable as an MV).
+    // Day indexes are densified against the corpus min day so positions
+    // stay in the first bitmap buckets; intersection falls out of
+    // inclusion-exclusion on the two per-type counts and the OR-merged
+    // union — no pairwise join, and every aggregate is mergeable
+    // bitmap bytes (ANDless engines ship exactly this identity).
+    "agg_bitmap_overlap" -> ((s, dir) => {
+      val minDay = Tables.events(s, dir).agg(min(to_date(col("ts")))).head.getDate(0)
+      val d = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          (datediff(to_date(col("ts")), lit(minDay)) + 1).as("idx"))
+        .distinct()
+      val bm = d
+        .groupBy(col("event_type"), expr("bitmap_bucket_number(idx)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(idx))").as("bm"))
+      val perType = bm.groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("days"))
+      val un = bm.groupBy("bucket")
+        .agg(expr("bitmap_or_agg(bm)").as("u"))
+        .agg(sum(expr("bitmap_count(u)")).as("days_union"))
+      perType.filter(col("event_type") === "purchase")
+        .select(col("days").as("days_purchase"))
+        .crossJoin(perType.filter(col("event_type") === "click")
+          .select(col("days").as("days_click")))
+        .crossJoin(un)
+        .select(col("days_purchase"), col("days_click"), col("days_union"),
+          (col("days_purchase") + col("days_click") - col("days_union"))
+            .as("days_intersect"))
+    }),
+
     // The SKETCH form of day-over-day overlap — mergeable theta/KMV
     // sketches per day, intersected pairwise: the ClickHouse
     // `uniqTheta`/`groupBitmapAnd` analog and the 100-TB path where
@@ -1141,6 +1224,18 @@ object EventOps {
         |LEFT JOIN inter i ON s1.d = i.d
         |ORDER BY d""".stripMargin,
     // exact twin of the sketch estimates — valid while day audiences ≤ k
+    "agg_bitmap_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+        |  WHERE event_type IN ('purchase', 'click'))
+        |SELECT
+        |  (SELECT count(*) FROM d WHERE event_type = 'purchase')
+        |    AS days_purchase,
+        |  (SELECT count(*) FROM d WHERE event_type = 'click') AS days_click,
+        |  (SELECT count(DISTINCT day) FROM d) AS days_union,
+        |  (SELECT count(*) FROM d WHERE event_type = 'purchase')
+        |    + (SELECT count(*) FROM d WHERE event_type = 'click')
+        |    - (SELECT count(DISTINCT day) FROM d) AS days_intersect""".stripMargin,
     // (see the agg_theta_intersect key comment)
     "agg_theta_intersect" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
@@ -1509,6 +1604,41 @@ object EventOps {
         |SELECT rk.node AS node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM pn JOIN rk ON pn.r = rk.rk
         |GROUP BY rk.node ORDER BY node""".stripMargin,
+    "event_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |mx AS (SELECT max(wk) AS m FROM uw),
+        |st AS (
+        |  SELECT user_id, wk,
+        |         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+        |  FROM uw),
+        |act AS (
+        |  SELECT wk,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN datediff('day', prev, wk) = 7 THEN 'retained'
+        |              ELSE 'resurrected' END AS status
+        |  FROM st),
+        |ch AS (
+        |  SELECT wk + 7 AS wk, 'churned' AS status
+        |  FROM st
+        |  WHERE (nxt IS NULL OR datediff('day', wk, nxt) > 7)
+        |    AND wk + 7 <= (SELECT m FROM mx)),
+        |u AS (SELECT * FROM act UNION ALL SELECT * FROM ch)
+        |SELECT wk,
+        |       count(*) FILTER (status = 'new') AS n_new,
+        |       count(*) FILTER (status = 'retained') AS n_retained,
+        |       count(*) FILTER (status = 'resurrected') AS n_resurrected,
+        |       count(*) FILTER (status = 'churned') AS n_churned
+        |FROM u GROUP BY wk ORDER BY wk""".stripMargin,
+    "event_power_user_curve" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |pu AS (
+        |  SELECT user_id, count(*) AS active_days FROM ud GROUP BY user_id)
+        |SELECT active_days, count(*) AS n_users
+        |FROM pu GROUP BY active_days ORDER BY active_days""".stripMargin,
     "event_seasonal_index" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
