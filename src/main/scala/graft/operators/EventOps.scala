@@ -461,6 +461,89 @@ object EventOps {
         .orderBy("active_days")
     }),
 
+    // Longest activity streak per user — the classic gaps-and-islands
+    // identity: on the distinct user-day table, (day − row_number) is
+    // constant exactly within a run of consecutive days, so streaks fall
+    // out of ONE ordered window plus a count — no self-join, no
+    // recursion. The island anchor is integer day arithmetic (days since
+    // epoch minus rank), bit-exact on both engines.
+    "event_streaks" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      ud
+        .withColumn("anchor",
+          datediff(col("day"), to_date(lit("1970-01-01")))
+            - row_number().over(w))
+        .groupBy("user_id", "anchor")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max("len").as("max_streak"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort LTV curve — cumulative purchase revenue per user by cohort
+    // age (the payback chart under every acquisition-spend decision).
+    // No dense cohort×age grid: revenue collapses to (cohort, week)
+    // cells map-side, the running total is one window over that tiny
+    // cell table, and cohort sizes join from the per-cohort aggregate.
+    // Money stays DECIMAL through every sum (the repo-wide discipline);
+    // the per-user division happens once at the end, round(6).
+    "event_cohort_ltv" -> ((s, dir) => {
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast(DateType).as("wk"),
+          col("event_type"), Tables.dec(col("value")).as("v"))
+      val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort"))
+      val sizes = cohort.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+      val rev = uw.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy("cohort", "wk")
+        .agg(sum("v").as("rev"))
+      val w = Window.partitionBy("cohort").orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("age_weeks", (datediff(col("wk"), col("cohort")) / 7)
+          .cast(LongType))
+        .withColumn("cum_rev", sum("rev").over(w))
+        .join(broadcast(sizes), "cohort")
+        .select(col("cohort"), col("age_weeks"), col("n_users"),
+          round(col("cum_rev").cast(DoubleType) / col("n_users"), 6)
+            .as("cum_rev_per_user"))
+        .orderBy("cohort", "age_weeks")
+    }),
+
+    // Seasonally-adjusted anomaly flags — each (type, day) count scored
+    // against ITS weekday's distribution (the event_seasonal_index
+    // baseline turned into a z-test): Monday spikes aren't judged
+    // against Sunday lulls. One (type, day) aggregate; means/sds come
+    // from raw sums over the ≤ 7·|types| profile cells (Welch
+    // discipline); comparison happens on round(6) z-scores so the flag
+    // cut is deterministic cross-engine.
+    "event_anomaly_seasonal" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"))
+        .withColumn("dow", (weekday(col("day")) + 1).cast(LongType))
+      val prof = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("k"), sum("n").as("s"),
+          sum(col("n") * col("n")).as("q"))
+        .filter(col("k") > 1)
+        .withColumn("mu", col("s") / col("k"))
+        .withColumn("sd", sqrt(
+          (col("q") - col("s") * col("s") / col("k")) / (col("k") - 1)))
+      daily.join(broadcast(prof.filter(col("sd") > 0)
+          .select("event_type", "dow", "mu", "sd")),
+          Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("n").cast(LongType).as("n"),
+          round(col("mu"), 6).as("expected"),
+          round((col("n") - col("mu")) / col("sd"), 6).as("z"),
+          (abs(round((col("n") - col("mu")) / col("sd"), 6)) > 2.0)
+            .as("is_anomaly"))
+        .orderBy("event_type", "day")
+    }),
+
     // Day-of-week seasonal index per event type — the load-profile
     // normalizer behind anomaly baselines and capacity planning
     // (index > 1 = busier-than-typical weekday). One (type, day)
@@ -1604,6 +1687,59 @@ object EventOps {
         |SELECT rk.node AS node, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM pn JOIN rk ON pn.r = rk.rk
         |GROUP BY rk.node ORDER BY node""".stripMargin,
+    "event_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |         datediff('day', DATE '1970-01-01', day)
+        |           - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |           AS anchor
+        |  FROM ud),
+        |st AS (SELECT user_id, anchor, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "event_cohort_ltv" ->
+      """WITH uw AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |         event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+        |sz AS (SELECT cohort, count(*) AS n_users FROM c GROUP BY cohort),
+        |rev AS (
+        |  SELECT c.cohort, uw.wk, sum(uw.v) AS rev
+        |  FROM uw JOIN c USING (user_id)
+        |  WHERE uw.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT cohort, wk,
+        |         CAST(datediff('day', cohort, wk) / 7 AS BIGINT) AS age_weeks,
+        |         sum(rev) OVER (PARTITION BY cohort ORDER BY wk
+        |           ROWS UNBOUNDED PRECEDING) AS cum_rev
+        |  FROM rev)
+        |SELECT r.cohort, r.age_weeks, sz.n_users,
+        |       round(CAST(cum_rev AS DOUBLE) / n_users, 6) AS cum_rev_per_user
+        |FROM r JOIN sz USING (cohort)
+        |ORDER BY cohort, age_weeks""".stripMargin,
+    "event_anomaly_seasonal" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, CAST(isodow(day) AS BIGINT) AS dow FROM daily),
+        |prof AS (
+        |  SELECT event_type, dow, count(*) AS k, sum(n) AS s, sum(n * n) AS q
+        |  FROM d2 GROUP BY 1, 2 HAVING count(*) > 1),
+        |p2 AS (
+        |  SELECT event_type, dow, s / k AS mu,
+        |         sqrt((q - s * s / k) / (k - 1)) AS sd
+        |  FROM prof WHERE sqrt((q - s * s / k) / (k - 1)) > 0)
+        |SELECT d2.event_type, d2.day, CAST(d2.n AS BIGINT) AS n,
+        |       round(mu, 6) AS expected,
+        |       round((d2.n - mu) / sd, 6) AS z,
+        |       abs(round((d2.n - mu) / sd, 6)) > 2.0 AS is_anomaly
+        |FROM d2 JOIN p2 USING (event_type, dow)
+        |ORDER BY event_type, day""".stripMargin,
     "event_growth_accounting" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

@@ -210,4 +210,102 @@ class AnalystDepthSpec extends SparkSpec {
       assert(ham == want, s"hamming($q, $v)")
     }
   }
+
+  /** (user, distinct active days as epoch-day longs), shared by the
+    * streak and LTV references.
+    */
+  private lazy val daysByUser: Map[Long, Seq[Long]] =
+    Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("d"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+      .groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).sorted.toSeq }
+
+  test("event_streaks equals sequential run-length scanning") {
+    val got = SparkEntry.queries("event_streaks")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var checked = 0
+    for ((u, ds) <- daysByUser) {
+      var runs = List.empty[Long]
+      var run = 0L
+      var prev = Long.MinValue
+      for (d <- ds) {
+        if (prev != Long.MinValue && d == prev + 1) run += 1
+        else { if (run > 0) runs ::= run; run = 1 }
+        prev = d
+      }
+      runs ::= run
+      val (gn, gmax) = got(u)
+      assert(gn == runs.length, s"user $u n_streaks")
+      assert(gmax == runs.max, s"user $u max_streak")
+      checked += 1
+    }
+    assert(checked > 0 && checked == got.size)
+  }
+
+  test("event_cohort_ltv equals a sequential cohort-ledger walk") {
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(date_trunc("week", col("ts")).cast("date"),
+          to_date(lit("1970-01-01"))).as("wk"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val cohort = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
+    val sizes = cohort.groupBy(_._2).map { case (c, us) => c -> us.size }
+    val rev = rows.filter(_._3 == "purchase")
+      .groupBy(r => (cohort(r._1), r._2))
+      .map { case (k, rs) => k -> rs.map(_._4).sum }
+    val want = rev.groupBy(_._1._1).flatMap { case (c, cells) =>
+      var cum = BigDecimal(0)
+      cells.toSeq.sortBy(_._1._2).map { case ((_, wk), v) =>
+        cum += v
+        (c, (wk - c) / 7) ->
+          r6((cum / sizes(c)).toDouble)
+      }
+    }
+    val got = SparkEntry.queries("event_cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty && got.size == want.size)
+    for (((c, age), v) <- want) {
+      val (gn, gv) = got((c, age))
+      assert(gn == sizes(c), s"cohort $c n_users")
+      assert(math.abs(gv - v) <= 2e-6, s"cohort $c age $age cum_rev_per_user")
+    }
+  }
+
+  test("event_anomaly_seasonal: z-scores match per-weekday recomputation") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2).toDouble))
+    val prof = daily.groupBy(r => (r._1, r._2.getDayOfWeek.getValue))
+      .collect { case (k, cells) if cells.length > 1 =>
+        val ns = cells.map(_._3)
+        val mu = ns.sum / ns.length
+        val sd = math.sqrt(ns.map(v => (v - mu) * (v - mu)).sum / (ns.length - 1))
+        k -> ((mu, sd))
+      }
+      .filter(_._2._2 > 0)
+    val got = SparkEntry.queries("event_anomaly_seasonal")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    var checked = 0
+    for ((typ, day, n) <- daily; (mu, sd) <- prof.get((typ, day.getDayOfWeek.getValue))) {
+      val (gn, gmu, gz, gflag) = got((typ, day))
+      assert(gn == n.toLong, s"($typ, $day) n")
+      assert(math.abs(gmu - r6(mu)) <= 2e-6, s"($typ, $day) expected")
+      val z = r6((n - mu) / sd)
+      assert(math.abs(gz - z) <= 2e-6, s"($typ, $day) z")
+      assert(gflag == (math.abs(gz) > 2.0), s"($typ, $day) flag")
+      checked += 1
+    }
+    assert(checked > 0 && checked == got.size)
+  }
 }
