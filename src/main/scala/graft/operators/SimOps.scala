@@ -239,6 +239,47 @@ object SimOps {
         .orderBy("label")
     }),
 
+    // Reciprocal-rank fusion of two retrievers — the standard
+    // hybrid-search merge (Cormack et al.'s k=60): the exact-cosine
+    // ranker and the sign-bit Hamming ranker each keep their own
+    // bounded top-20, and a candidate's fused score is the sum of
+    // 1/(60+rank) over the lists it appears on (the truncated-list RRF
+    // convention — absent from a list contributes zero). ONE corpus
+    // pass against the broadcast query block, then two rank windows
+    // over the SAME q_id exchange (different sort, same partitioning —
+    // no second shuffle); ranks are integers and 1/(60+r) is exact
+    // division, so the fusion cannot drift cross-engine — round(6)
+    // only at the final score.
+    "sim_rrf_fusion" -> ((s, dir) => {
+      def half(lo: Int) = expr(
+        s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+          s"(acc, i) -> acc + IF(element_at(v, i) > 0D, shiftleft(1L, i - $lo), 0L))")
+      val sig = vecs(s, dir)
+        .select(col("vec_id"), col("v"), half(1).as("h1"), half(33).as("h2"))
+      val q = sig.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("h1").as("qh1"), col("h2").as("qh2"))
+      val wC = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      val wH = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+      val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("vec_id"))
+      sig.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"),
+          (bit_count(expr("h1 ^ qh1")) + bit_count(expr("h2 ^ qh2")))
+            .cast(LongType).as("hamming"))
+        .withColumn("rc", row_number().over(wC))
+        .withColumn("rh", row_number().over(wH))
+        .filter(col("rc") <= 20 || col("rh") <= 20)
+        .select(col("q_id"), col("vec_id"),
+          round(when(col("rc") <= 20, lit(1.0) / (lit(60) + col("rc")))
+              .otherwise(lit(0.0))
+            + when(col("rh") <= 20, lit(1.0) / (lit(60) + col("rh")))
+              .otherwise(lit(0.0)), 6).as("rrf"))
+        .withColumn("rk", row_number().over(wF).cast(LongType))
+        .filter(col("rk") <= 10)
+        .orderBy("q_id", "rk")
+    }),
+
     // Matryoshka truncation: slice each embedding to its 16-dim prefix
     // and score against the query in BOTH spaces — the MRL serving
     // pattern (coarse search in the prefix, exact score in full dim).
@@ -549,6 +590,46 @@ object SimOps {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_qtoks,
         |       round(sum(maxsim), 6) AS maxsim_score
         |FROM ms GROUP BY label ORDER BY label""".stripMargin,
+    "sim_rrf_fusion" ->
+      """WITH e AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |         CAST(list_sum(list_transform(range(1, 33),
+        |           i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 1) AS BIGINT)
+        |                ELSE 0 END)) AS BIGINT) AS h1,
+        |         CAST(list_sum(list_transform(range(33, 65),
+        |           i -> CASE WHEN v[i] > 0 THEN CAST(2 ** (i - 33) AS BIGINT)
+        |                ELSE 0 END)) AS BIGINT) AS h2
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, h1 AS qh1, h2 AS qh2
+        |      FROM sig WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, s.vec_id,
+        |         round(list_dot_product(s.v, q.qv)
+        |               / (sqrt(list_dot_product(s.v, s.v))
+        |                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos,
+        |         CAST(bit_count(xor(s.h1, q.qh1)) + bit_count(xor(s.h2, q.qh2))
+        |              AS BIGINT) AS hamming
+        |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+        |rnk AS (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos DESC, vec_id) AS rc,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY hamming, vec_id) AS rh
+        |  FROM scored),
+        |f AS (
+        |  SELECT q_id, vec_id,
+        |         round(CASE WHEN rc <= 20 THEN 1e0 / (60 + rc) ELSE 0e0 END
+        |             + CASE WHEN rh <= 20 THEN 1e0 / (60 + rh) ELSE 0e0 END,
+        |           6) AS rrf
+        |  FROM rnk WHERE rc <= 20 OR rh <= 20)
+        |SELECT q_id, vec_id, rrf,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |              ORDER BY rrf DESC, vec_id) AS BIGINT) AS rk
+        |FROM f QUALIFY rk <= 10 ORDER BY q_id, rk""".stripMargin,
     "embed_mrl_truncate" ->
       """WITH e AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> x::DOUBLE) AS v

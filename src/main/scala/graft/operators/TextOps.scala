@@ -524,6 +524,87 @@ object TextOps {
         .orderBy("source", "rk")
     }),
 
+    // BM25 ranked retrieval for a fixed 3-term query — the lexical
+    // baseline every hybrid-search stack still runs (Robertson k1=1.2,
+    // b=0.75; Lucene's ln(1 + (N−df+.5)/(df+.5)) idf). ONE token pass
+    // produces the (doc, term) tf table for just the query terms
+    // (filter BEFORE the aggregate — the explode never reaches the
+    // shuffle for non-query tokens); df and the corpus scalars
+    // (N, avgdl) are broadcast side tables. Per-term contributions are
+    // rounded at 6 before the ≤3-term sum, so cross-engine addition
+    // order cannot surface an ulp; the top-20 cut is a
+    // TakeOrderedAndProject on (rounded score, doc_id).
+    "text_bm25" -> ((s, dir) => {
+      val terms = Seq("spark", "join", "window")
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("dl", size(col("tk")).cast(DoubleType))
+      val stats = d.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+        avg("dl").as("avgdl"))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).cast(DoubleType).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).cast(DoubleType).as("df"))
+      tf.join(broadcast(dfq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("c", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          6))
+        .groupBy("doc_id")
+        .agg(round(sum("c"), 6).as("bm25"), count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Multinomial naive-Bayes source classifier, trained and applied
+    // in-plan — the oracle-able analog of the fastText-style quality
+    // classifiers pretraining pipelines gate on. The class-conditional
+    // model lives on the vocab×classes grid (Heaps-small at any corpus
+    // scale → broadcast): add-1-smoothed ln p(t|c) rounded at 6 so both
+    // engines score with IDENTICAL per-term weights. Scoring is the
+    // (doc, term) tf table joined to the broadcast model, one (doc,
+    // class) aggregate, and a 20-row argmax window per doc keyed on the
+    // same doc_id exchange. Ties (and they exist — synthetic docs can
+    // score equally under two sources) break on class name.
+    "ml_naive_bayes" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tok = d.select(col("doc_id"), col("source"), explode(toks).as("term"))
+      val ct = tok.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val classTot = tok.groupBy("source").agg(count(lit(1)).as("tok_c"))
+      val vocab = tok.select("term").distinct()
+      val vSize = tok.agg(countDistinct("term").cast(DoubleType).as("v"))
+      val model = vocab.crossJoin(broadcast(classTot))
+        .join(broadcast(ct), Seq("source", "term"), "left")
+        .crossJoin(broadcast(vSize))
+        .select(col("source"), col("term"),
+          round(log((coalesce(col("cnt"), lit(0L)) + lit(1.0))
+            / (col("tok_c") + col("v"))), 6).as("lp"))
+      val nDocs = d.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val prior = d.groupBy("source").agg(count(lit(1)).as("dc"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("source"),
+          round(log(col("dc") / col("n_docs")), 6).as("lprior"))
+      val dt = tok.groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast(DoubleType).as("tf"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("source"))
+      dt.join(broadcast(model), "term")
+        .groupBy("doc_id", "source")
+        .agg(sum(col("tf") * col("lp")).as("ll"))
+        .join(broadcast(prior), "source")
+        .select(col("doc_id"), col("source"),
+          round(col("lprior") + col("ll"), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(d.select(col("doc_id"), col("source").as("actual")), "doc_id")
+        .select(col("doc_id"), col("actual"), col("source").as("predicted"),
+          col("score"), (col("source") === col("actual")).as("correct"))
+        .orderBy("doc_id")
+    }),
+
     // Pre-training filter funnel — the composed keep/drop decision table
     // (C4/Gopher-style): length bounds, type-token ratio, stopword-ratio
     // band, exact-dup canonicalization, each as an auditable flag with a
@@ -893,6 +974,64 @@ object TextOps {
         |  FROM k)
         |SELECT source, term, a, b, keyness, rk
         |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |d2 AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, tk FROM d),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |       FROM d2),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d2)
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |        FROM tf GROUP BY term),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |         round(ln(1e0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |               * tf.tf * 2.2
+        |               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)),
+        |           6) AS c
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+        |SELECT doc_id, round(sum(c), 6) AS bm25,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |FROM c GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "ml_naive_bayes" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |ct AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |ctot AS (SELECT source, count(*) AS tok_c FROM tok GROUP BY 1),
+        |vocab AS (SELECT DISTINCT term FROM tok),
+        |vs AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok),
+        |model AS (
+        |  SELECT ctot.source, vocab.term,
+        |         round(ln((COALESCE(ct.cnt, 0) + 1e0) / (ctot.tok_c + vs.v)),
+        |           6) AS lp
+        |  FROM vocab CROSS JOIN ctot
+        |  LEFT JOIN ct ON ct.source = ctot.source AND ct.term = vocab.term
+        |  CROSS JOIN vs),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |prior AS (
+        |  SELECT source, round(ln(count(*) / nd.n_docs), 6) AS lprior
+        |  FROM documents CROSS JOIN nd GROUP BY source, nd.n_docs),
+        |dt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dt.doc_id, model.source,
+        |         round(prior.lprior + sum(dt.tf * model.lp), 6) AS score
+        |  FROM dt JOIN model USING (term)
+        |  JOIN prior ON prior.source = model.source
+        |  GROUP BY 1, 2, prior.lprior),
+        |best AS (
+        |  SELECT doc_id, source AS predicted, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, source) AS rn
+        |  FROM sc)
+        |SELECT b.doc_id, d.source AS actual, b.predicted, b.score,
+        |       b.predicted = d.source AS correct
+        |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin,
     "pipeline_filter_funnel" ->
       """WITH f AS (
         |  SELECT doc_id,

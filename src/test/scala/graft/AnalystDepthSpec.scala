@@ -308,4 +308,105 @@ class AnalystDepthSpec extends SparkSpec {
     }
     assert(checked > 0 && checked == got.size)
   }
+
+  /** (vec_id, doubles) for the sequential retrieval references. */
+  private lazy val vecById: Map[Long, Seq[Double]] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toMap
+
+  test("sim_rrf_fusion equals sequential truncated-list rank fusion") {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      r6(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    def ham(a: Seq[Double], b: Seq[Double]): Long =
+      a.zip(b).count(p => (p._1 > 0) != (p._2 > 0)).toLong
+    val want = (0L until 5L).flatMap { qid =>
+      val qv = vecById(qid)
+      val cands = vecById.keys.filter(_ != qid).toSeq
+      val rc = cands.sortBy(v => (-cos(vecById(v), qv), v)).zipWithIndex
+        .map { case (v, i) => v -> (i + 1) }.toMap
+      val rh = cands.sortBy(v => (ham(vecById(v), qv), v)).zipWithIndex
+        .map { case (v, i) => v -> (i + 1) }.toMap
+      cands.map { v =>
+        val s = (if (rc(v) <= 20) 1.0 / (60 + rc(v)) else 0.0) +
+          (if (rh(v) <= 20) 1.0 / (60 + rh(v)) else 0.0)
+        (v, r6(s))
+      }.filter(_._2 > 0)
+        .sortBy { case (v, s) => (-s, v) }.take(10).zipWithIndex
+        .map { case ((v, s), i) => (qid, i + 1L) -> ((v, s)) }
+    }.toMap
+    val got = SparkEntry.queries("sim_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.nonEmpty && got.size == want.size)
+    for (((qid, rk), (v, s)) <- want) {
+      val (gv, gs) = got((qid, rk))
+      assert(gv == v, s"query $qid rank $rk vec")
+      assert(math.abs(gs - s) <= 2e-6, s"query $qid rank $rk rrf")
+    }
+  }
+
+  test("text_bm25 equals the sequential Robertson/Lucene formula") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val terms = Seq("spark", "join", "window")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val want = docs.flatMap { case (id, tk) =>
+      val cs = terms.flatMap { t =>
+        val tf = tk.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(r6(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * tk.length / avgdl))))
+      }
+      if (cs.isEmpty) None else Some((id, r6(cs.sum), cs.length.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = SparkEntry.queries("text_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case ((gi, gs, gn), (wi, ws, wn)) =>
+      assert(gi == wi && gn == wn, s"doc $wi")
+      assert(math.abs(gs - ws) <= 2e-6, s"doc $wi bm25")
+    }
+  }
+
+  test("ml_naive_bayes predictions equal the sequential NB argmax") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq))
+    val classes = docs.map(_._2).distinct.sorted
+    val vocab = docs.flatMap(_._3).distinct
+    val v = vocab.length.toDouble
+    val tokC = classes.map(c => c -> docs.filter(_._2 == c).map(_._3.length).sum.toDouble).toMap
+    val cnt = docs.groupBy(_._2).map { case (c, ds) =>
+      c -> ds.flatMap(_._3).groupBy(identity).map { case (t, xs) => t -> xs.length }
+    }
+    val lp = (for (c <- classes; t <- vocab) yield (c, t) ->
+      r6(math.log((cnt(c).getOrElse(t, 0) + 1.0) / (tokC(c) + v)))).toMap
+    val lprior = classes.map(c =>
+      c -> r6(math.log(docs.count(_._2 == c) / docs.length.toDouble))).toMap
+    val got = SparkEntry.queries("ml_naive_bayes")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.size == docs.length)
+    docs.foreach { case (id, src, tk) =>
+      val scored = classes.map { c =>
+        c -> r6(lprior(c) + tk.groupBy(identity).map {
+          case (t, xs) => xs.length * lp((c, t))
+        }.sum)
+      }
+      val (bestC, bestS) = scored.minBy { case (c, s) => (-s, c) }
+      val (ga, gp, gs, gc) = got(id)
+      assert(ga == src, s"doc $id actual")
+      assert(gp == bestC, s"doc $id predicted")
+      assert(math.abs(gs - bestS) <= 2e-6, s"doc $id score")
+      assert(gc == (gp == ga), s"doc $id correct")
+    }
+  }
 }
