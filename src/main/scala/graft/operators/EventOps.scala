@@ -413,6 +413,63 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // Bollinger bands over each user's value series — rolling 20-row
+    // mean ± 2σ with breakout flags (the volatility-band monitor every
+    // metrics console ships). Raw-sum formulation inside the frame
+    // (Σv, Σv² → sample sd), never a windowed stddev built-in, because
+    // the two engines' frame accumulators differ (segment tree vs
+    // recompute) — round(6) on the bands absorbs the ulp-level
+    // difference and the breakout compares against the ROUNDED bands on
+    // both sides. One user_id exchange; partial leading frames are
+    // dropped (rn ≥ 20) so every band is a full-window statistic.
+    "window_bollinger" -> ((s, dir) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val w20 = ord.rowsBetween(-19, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("s", sum("value").over(w20))
+        .withColumn("q", sum(col("value") * col("value")).over(w20))
+        .filter(col("rn") >= 20)
+        .withColumn("mean", col("s") / 20)
+        .withColumn("sd", sqrt((col("q") - col("s") * col("s") / 20) / 19))
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(col("mean"), 6).as("mid"),
+          round(col("mean") + lit(2.0) * col("sd"), 6).as("upper"),
+          round(col("mean") - lit(2.0) * col("sd"), 6).as("lower"))
+        .withColumn("breakout_up", col("value") > col("upper"))
+        .withColumn("breakout_down", col("value") < col("lower"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Inter-arrival time profile per event type — the latency-of-usage
+    // distribution behind session-timeout and capacity decisions. Gaps
+    // are EXACT integer µs (lag over the (user, type) ordered exchange,
+    // epoch-µs subtraction — no float until the final stats); the
+    // per-type reduce emits mean + exact p50/p90/p99 (`percentile` ≡
+    // DuckDB `quantile_cont` — at extreme gap counts swap for
+    // approx_percentile, same decision output). Stats are reported in
+    // SECONDS: the two engines' interpolation formulas differ by an ulp,
+    // which at 1e11-µs magnitudes is ~5e-5 (bigger than round(6)) but at
+    // 1e5-s magnitudes is far below it — the µs→s division happens
+    // AFTER the exact-integer percentile on both sides.
+    "event_inter_arrival" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("t"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+        .withColumn("gap_us", col("t") - lag("t", 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg("gap_us") / 1e6, 6).as("mean_s"),
+          round(expr("percentile(gap_us, 0.5D)") / 1e6, 6).as("p50_s"),
+          round(expr("percentile(gap_us, 0.9D)") / 1e6, 6).as("p90_s"),
+          round(expr("percentile(gap_us, 0.99D)") / 1e6, 6).as("p99_s"))
+        .orderBy("event_type")
+    }),
+
     // Growth accounting — the new/retained/resurrected/churned weekly
     // ledger (the standard growth-team decomposition: this-week actives
     // split by last-week state, plus a churn row one week after each
@@ -1740,6 +1797,44 @@ object EventOps {
         |       abs(round((d2.n - mu) / sd, 6)) > 2.0 AS is_anomaly
         |FROM d2 JOIN p2 USING (event_type, dow)
         |ORDER BY event_type, day""".stripMargin,
+    "window_bollinger" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER w AS rn,
+        |         sum(value) OVER w20 AS s,
+        |         sum(value * value) OVER w20 AS q
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |         w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT user_id, event_id, value, s / 20 AS mean,
+        |         sqrt((q - s * s / 20) / 19) AS sd
+        |  FROM b WHERE rn >= 20),
+        |r AS (
+        |  SELECT user_id, event_id, value,
+        |         round(mean, 6) AS mid,
+        |         round(mean + 2e0 * sd, 6) AS upper,
+        |         round(mean - 2e0 * sd, 6) AS lower
+        |  FROM m)
+        |SELECT user_id, event_id, value, mid, upper, lower,
+        |       value > upper AS breakout_up,
+        |       value < lower AS breakout_down
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
+    "event_inter_arrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(avg(gap_us) / 1e6, 6) AS mean_s,
+        |       round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
+        |       round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s,
+        |       round(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "event_growth_accounting" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk

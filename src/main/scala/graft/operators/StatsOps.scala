@@ -263,6 +263,53 @@ object StatsOps {
         .orderBy("day")
     }),
 
+    // Benjamini–Hochberg FDR control over the per-(type, day) seasonal
+    // z-scores — the multiple-testing step every anomaly dashboard needs
+    // once it fires hundreds of tests a day (flagging at fixed |z|>2
+    // inflates false discoveries linearly in m). Two-sided p comes from
+    // the Abramowitz–Stegun 7.1.26 erf polynomial evaluated on the
+    // ROUNDED z — the identical closed form in both engines (max approx
+    // error 1.5e-7, absorbed by round(6)); the step-up runs as ONE rank
+    // window + ONE running max over the tests table, which is
+    // |types|×|days| cells — metadata-sized at any event volume, so the
+    // unpartitioned window is a deliberate non-issue (the full-data pass
+    // is only the daily count aggregate).
+    "stat_fdr_bh" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"))
+        .withColumn("dow", (weekday(col("day")) + 1).cast(LongType))
+      val prof = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("k"), sum("n").as("s"),
+          sum(col("n") * col("n")).as("q"))
+        .filter(col("k") > 1)
+        .withColumn("mu", col("s") / col("k"))
+        .withColumn("sd", sqrt(
+          (col("q") - col("s") * col("s") / col("k")) / (col("k") - 1)))
+        .filter(col("sd") > 0)
+        .select("event_type", "dow", "mu", "sd")
+      val x = abs(col("z")) / sqrt(lit(2.0))
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t
+        + lit(1.421413741)) * t + lit(-0.284496736)) * t
+        + lit(0.254829592)) * t
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRank = Window.orderBy(col("p_value"), col("event_type"), col("day"))
+      daily.join(broadcast(prof), Seq("event_type", "dow"))
+        .withColumn("z", round((col("n") - col("mu")) / col("sd"), 6))
+        .withColumn("p_value", round(poly * exp(-x * x), 6))
+        .withColumn("rank", row_number().over(wRank).cast(LongType))
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("k_max", max(when(
+          col("p_value") <= col("rank") * 0.05 / col("m"),
+          col("rank"))).over(wAll))
+        .select(col("event_type"), col("day"), col("z"), col("p_value"),
+          col("rank"), col("m"),
+          (col("rank") <= coalesce(col("k_max"), lit(0L))).as("significant"))
+        .orderBy("event_type", "day")
+    }),
+
     // Spearman rank correlation (ClickHouse `rankCorr` analog) between
     // per-user purchase frequency and monetary total. Ranks use the
     // average-rank tie convention (min-rank + (ties−1)/2 — frequency is
@@ -809,6 +856,43 @@ object StatsOps {
         |         AS f_stat,
         |       round(ssb / (ssb + ssw), 6) AS eta_sq
         |FROM e ORDER BY day""".stripMargin,
+    "stat_fdr_bh" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, CAST(isodow(day) AS BIGINT) AS dow FROM daily),
+        |prof AS (
+        |  SELECT event_type, dow, count(*) AS k, sum(n) AS s, sum(n * n) AS q
+        |  FROM d2 GROUP BY 1, 2 HAVING count(*) > 1),
+        |p2 AS (
+        |  SELECT event_type, dow, s / k AS mu,
+        |         sqrt((q - s * s / k) / (k - 1)) AS sd
+        |  FROM prof WHERE sqrt((q - s * s / k) / (k - 1)) > 0),
+        |z AS (
+        |  SELECT d2.event_type, d2.day,
+        |         round((d2.n - mu) / sd, 6) AS z
+        |  FROM d2 JOIN p2 USING (event_type, dow)),
+        |pv AS (
+        |  SELECT event_type, day, z,
+        |         round(((((1.061405429 * t + -1.453152027) * t
+        |                  + 1.421413741) * t + -0.284496736) * t
+        |                + 0.254829592) * t * exp(-x * x), 6) AS p_value
+        |  FROM (SELECT *, 1e0 / (1e0 + 0.3275911 * x) AS t
+        |        FROM (SELECT *, abs(z) / sqrt(2e0) AS x FROM z))),
+        |rk AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (ORDER BY p_value, event_type, day)
+        |              AS BIGINT) AS rank,
+        |         CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pv),
+        |km AS (
+        |  SELECT *, max(CASE WHEN p_value <= rank * 0.05e0 / m
+        |                THEN rank END) OVER () AS k_max
+        |  FROM rk)
+        |SELECT event_type, day, z, p_value, rank, m,
+        |       rank <= COALESCE(k_max, 0) AS significant
+        |FROM km ORDER BY event_type, day""".stripMargin,
     "stat_spearman" ->
       """WITH u AS (
         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS freq,

@@ -409,4 +409,93 @@ class AnalystDepthSpec extends SparkSpec {
       assert(gc == (gp == ga), s"doc $id correct")
     }
   }
+
+  test("stat_fdr_bh equals the textbook step-up on A&S p-values") {
+    def pFromZ(z: Double): Double = {
+      val x = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t
+      r6(poly * math.exp(-x * x))
+    }
+    val rows = SparkEntry.queries("stat_fdr_bh")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val m = rows.length
+    rows.foreach { case (_, _, z, p, _, gm, _) =>
+      assert(gm == m)
+      assert(math.abs(p - pFromZ(z)) <= 2e-6)
+    }
+    // textbook BH: sort by p, k* = max{k : p_(k) <= k/m * alpha}
+    val sorted = rows.sortBy(r => (r._4, r._1, r._2))
+    val kStar = sorted.zipWithIndex
+      .filter { case (r, i) => r._4 <= (i + 1) * 0.05 / m }
+      .map(_._2 + 1).lastOption.getOrElse(0)
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      assert(r._5 == i + 1, s"rank of ${r._1} ${r._2}")
+      assert(r._7 == (i + 1 <= kStar), s"significance of ${r._1} ${r._2}")
+    }
+  }
+
+  test("window_bollinger equals the sequential 20-row rolling bands") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = SparkEntry.queries("window_bollinger")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    var checked = 0
+    for ((u, rows) <- events.groupBy(_._1)) {
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      for (i <- 19 until ordered.length) {
+        val frame = ordered.slice(i - 19, i + 1).map(_._4)
+        val s = frame.sum
+        val q = frame.map(v => v * v).sum
+        val mean = s / 20
+        val sd = math.sqrt((q - s * s / 20) / 19)
+        val (gm, gu, gl, bu, bd) = got((u, ordered(i)._3))
+        assert(math.abs(gm - r6(mean)) <= 2e-6, s"user $u mid")
+        assert(math.abs(gu - r6(mean + 2 * sd)) <= 2e-6, s"user $u upper")
+        assert(math.abs(gl - r6(mean - 2 * sd)) <= 2e-6, s"user $u lower")
+        assert(bu == (ordered(i)._4 > gu) && bd == (ordered(i)._4 < gl))
+        checked += 1
+      }
+    }
+    assert(checked > 0 && checked == got.size)
+  }
+
+  test("event_inter_arrival equals sequential gap percentiles") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def pct(xs: Seq[Long], f: Double): Double = {
+      val pos = f * (xs.length - 1)
+      val lo = pos.toInt
+      if (lo == xs.length - 1) xs(lo).toDouble
+      else xs(lo) + (pos - lo) * (xs(lo + 1) - xs(lo))
+    }
+    val gaps = events.groupBy(r => (r._1, r._2)).toSeq.flatMap { case (_, rs) =>
+      val ts = rs.sortBy(r => (r._3, r._4)).map(_._3)
+      ts.zip(ts.tail).map { case (a, b) => (rs.head._2, b - a) }
+    }.groupBy(_._1).map { case (typ, g) => typ -> g.map(_._2).sorted }
+    val got = SparkEntry.queries("event_inter_arrival")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size == gaps.size && got.nonEmpty)
+    for ((typ, g) <- gaps) {
+      val (n, mean, p50, p90, p99) = got(typ)
+      assert(n == g.length, s"$typ n_gaps")
+      assert(math.abs(mean - r6(g.map(BigDecimal(_)).sum.toDouble / g.length / 1e6)) <= 2e-6,
+        s"$typ mean")
+      assert(math.abs(p50 - r6(pct(g, 0.5) / 1e6)) <= 2e-6, s"$typ p50")
+      assert(math.abs(p90 - r6(pct(g, 0.9) / 1e6)) <= 2e-6, s"$typ p90")
+      assert(math.abs(p99 - r6(pct(g, 0.99) / 1e6)) <= 2e-6, s"$typ p99")
+    }
+  }
 }
