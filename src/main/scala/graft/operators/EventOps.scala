@@ -601,6 +601,83 @@ object EventOps {
         .orderBy("event_type", "day")
     }),
 
+    // Autocorrelation function of the daily count series per event type
+    // at lags 1..7 — the "is there weekly structure?" diagnostic that
+    // justifies every seasonal model downstream. The full-data pass is
+    // ONE daily aggregate; the lag pairing is a self-join of the
+    // metadata-sized (type, day-index) table against a 7-row lag
+    // spine (broadcast both — never a corpus shuffle). All pair sums
+    // (Σn₁n₂, Σn₁, Σn₂) are EXACT integer arithmetic; the mean and
+    // denominator come from per-type raw sums, so the final ACF is
+    // identical IEEE ops on identical inputs, round(6).
+    "event_autocorrelation" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("di",
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast(LongType))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("k"),
+          sum("n").cast(DoubleType).as("s"),
+          sum(col("n") * col("n")).cast(DoubleType).as("q"))
+        .withColumn("m", col("s") / col("k"))
+        .withColumn("den", col("q") - col("s") * col("s") / col("k"))
+        .filter(col("den") > 0)
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val d2 = daily.select(col("event_type").as("et2"),
+        col("di").as("di2"), col("n").as("n2"))
+      daily.crossJoin(broadcast(lags))
+        .join(d2, col("event_type") === col("et2")
+          && col("di2") === col("di") + col("lag"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).cast(DoubleType).as("c"),
+          sum(col("n") * col("n2")).cast(DoubleType).as("s12"),
+          sum("n").cast(DoubleType).as("s1"),
+          sum("n2").cast(DoubleType).as("s2"))
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("lag"),
+          col("c").cast(LongType).as("n_pairs"),
+          round((col("s12") - col("m") * col("s1") - col("m") * col("s2")
+            + col("c") * col("m") * col("m")) / col("den"), 6).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Classical seasonal decomposition of the daily count series —
+    // additive STL-lite: trend = centered 7-day moving average (full
+    // frames only), seasonal = the per-weekday mean of the detrended
+    // series re-centered to sum to zero, residual = the rest. Every
+    // stage after the ONE daily aggregate runs on metadata-sized
+    // profile tables; residual subtracts the ROUNDED trend/seasonal so
+    // both engines difference identical 6-dp inputs. Frame sums are
+    // exact integers (counts), so the trend is drift-free by
+    // construction.
+    "event_seasonal_decompose" -> ((s, dir) => {
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val trended = daily
+        .withColumn("wn", count(lit(1)).over(w7))
+        .withColumn("ws", sum("n").over(w7))
+        .filter(col("wn") === 7)
+        .withColumn("trend", round(col("ws") / 7, 6))
+        .withColumn("dt", col("n") - col("trend"))
+        .withColumn("dow", (weekday(col("day")) + 1).cast(LongType))
+      val dowAvg = trended.groupBy("event_type", "dow")
+        .agg(sum("dt").as("sdt"), count(lit(1)).as("cdt"))
+      val center = dowAvg.groupBy("event_type")
+        .agg((sum(col("sdt") / col("cdt")) / count(lit(1))).as("ctr"))
+      val seasonal = dowAvg.join(center, "event_type")
+        .select(col("event_type"), col("dow"),
+          round(col("sdt") / col("cdt") - col("ctr"), 6).as("seasonal"))
+      trended.join(broadcast(seasonal), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("n"), col("trend"),
+          col("seasonal"),
+          round(col("n") - col("trend") - col("seasonal"), 6).as("residual"))
+        .orderBy("event_type", "day")
+    }),
+
     // Day-of-week seasonal index per event type — the load-profile
     // normalizer behind anomaly baselines and capacity planning
     // (index > 1 = busier-than-typical weekday). One (type, day)
@@ -1870,6 +1947,56 @@ object EventOps {
         |  SELECT user_id, count(*) AS active_days FROM ud GROUP BY user_id)
         |SELECT active_days, count(*) AS n_users
         |FROM pu GROUP BY active_days ORDER BY active_days""".stripMargin,
+    "event_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d1 AS (
+        |  SELECT event_type, datediff('day', DATE '1970-01-01', day) AS di, n
+        |  FROM daily),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS k,
+        |         CAST(sum(n) AS DOUBLE) AS s, CAST(sum(n * n) AS DOUBLE) AS q
+        |  FROM d1 GROUP BY 1),
+        |st2 AS (SELECT event_type, s / k AS m, q - s * s / k AS den
+        |        FROM st WHERE q - s * s / k > 0),
+        |pairs AS (
+        |  SELECT a.event_type, l.lag,
+        |         CAST(count(*) AS DOUBLE) AS c,
+        |         CAST(sum(a.n * b.n) AS DOUBLE) AS s12,
+        |         CAST(sum(a.n) AS DOUBLE) AS s1,
+        |         CAST(sum(b.n) AS DOUBLE) AS s2
+        |  FROM d1 a CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN d1 b ON b.event_type = a.event_type AND b.di = a.di + l.lag
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, p.lag, CAST(p.c AS BIGINT) AS n_pairs,
+        |       round((s12 - m * s1 - m * s2 + c * m * m) / den, 6) AS acf
+        |FROM pairs p JOIN st2 USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
+    "event_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, count(*) OVER w7 AS wn, sum(n) OVER w7 AS ws
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT event_type, day, n, round(ws / 7, 6) AS trend,
+        |         n - round(ws / 7, 6) AS dt,
+        |         CAST(isodow(day) AS BIGINT) AS dow
+        |  FROM t WHERE wn = 7),
+        |da AS (SELECT event_type, dow, sum(dt) AS sdt, count(*) AS cdt
+        |       FROM t2 GROUP BY 1, 2),
+        |ctr AS (SELECT event_type, sum(sdt / cdt) / count(*) AS ctr
+        |        FROM da GROUP BY 1),
+        |se AS (SELECT da.event_type, da.dow, round(sdt / cdt - ctr, 6) AS seasonal
+        |       FROM da JOIN ctr USING (event_type))
+        |SELECT t2.event_type, t2.day, t2.n, t2.trend, se.seasonal,
+        |       round(t2.n - t2.trend - se.seasonal, 6) AS residual
+        |FROM t2 JOIN se USING (event_type, dow)
+        |ORDER BY event_type, day""".stripMargin,
     "event_seasonal_index" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

@@ -485,6 +485,28 @@ object RelationalOps {
         .orderBy("user_id")
     }),
 
+    // ClickHouse `sumMap` analog — the keyed-counter aggregate that
+    // merges maps by summing per key (the state shape behind per-entity
+    // breakdown MVs). Algebra = two-level hash aggregate: the
+    // (day, type) partial collapses map-side, then the day-level reduce
+    // assembles the map from SORTED entries (collect order is
+    // partition-arrival order — nondeterministic at any scale — so the
+    // map is built from sort_array like agg_collect). Serialized as
+    // JSON because the driver harness cannot compare raw map columns;
+    // key order in the JSON is the sorted entry order on both engines.
+    "agg_sum_map" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("day")
+        .agg(
+          to_json(map_from_entries(sort_array(
+            collect_list(struct(col("event_type"), col("n"))))))
+            .as("counts_json"),
+          sum("n").as("n_events"))
+        .orderBy("day")
+    }),
+
     // E10: distinct + per-group count distinct.
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1121,6 +1143,16 @@ object RelationalOps {
         |       count(*) AS n
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_sum_map" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day,
+        |       '{' || string_agg('"' || event_type || '":' ||
+        |                CAST(n AS VARCHAR), ',' ORDER BY event_type) || '}'
+        |         AS counts_json,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |       COALESCE(l_linestatus, 'ALL') AS status,

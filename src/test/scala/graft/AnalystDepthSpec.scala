@@ -498,4 +498,98 @@ class AnalystDepthSpec extends SparkSpec {
       assert(math.abs(p99 - r6(pct(g, 0.99) / 1e6)) <= 2e-6, s"$typ p99")
     }
   }
+
+  /** (event_type, ordered daily counts) shared by the time-series specs. */
+  private lazy val dailyByType: Map[String, Seq[(Long, Long)]] =
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        datediff(col("day"), to_date(lit("1970-01-01"))).as("di"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.sortBy(_._2).map(r => (r._2, r._3)).toSeq }
+
+  test("agg_sum_map JSON reconstructs the per-day type counts") {
+    val want = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (d, rows) =>
+        d -> rows.sortBy(_._2).map(r => s""""${r._2}":${r._3}""")
+          .mkString("{", ",", "}")
+      }
+    val got = SparkEntry.queries("agg_sum_map")(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.size == want.size && got.nonEmpty)
+    for ((d, json) <- want) {
+      val (gj, gn) = got(d)
+      assert(gj == json, s"day $d map")
+      val vals = "\\d+".r.findAllIn(gj.replaceAll(""""[^"]*"""", ""))
+        .map(_.toLong).toSeq
+      assert(vals.sum == gn, s"day $d total")
+    }
+  }
+
+  test("event_autocorrelation equals the sequential ACF") {
+    val got = SparkEntry.queries("event_autocorrelation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    var checked = 0
+    for ((typ, series) <- dailyByType) {
+      val ns = series.map(_._2.toDouble)
+      val byDi = series.toMap
+      val m = ns.sum / ns.length
+      val den = ns.map(v => (v - m) * (v - m)).sum
+      if (den > 0) for (lag <- 1L to 7L) {
+        val pairs = series.flatMap { case (di, n) =>
+          byDi.get(di + lag).map(n2 => (n.toDouble - m) * (n2 - m))
+        }
+        if (pairs.nonEmpty) {
+          val (gn, gacf) = got((typ, lag))
+          assert(gn == pairs.length, s"$typ lag $lag n_pairs")
+          assert(math.abs(gacf - r6(pairs.sum / den)) <= 2e-6, s"$typ lag $lag acf")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0 && checked == got.size)
+  }
+
+  test("event_seasonal_decompose: trend is the centered MA and parts re-sum") {
+    val got = SparkEntry.queries("event_seasonal_decompose")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.nonEmpty)
+    var checked = 0
+    for ((typ, series) <- dailyByType) {
+      for (i <- 3 until series.length - 3) {
+        val (di, n) = series(i)
+        // contiguous full frame only (fixture days are contiguous per type)
+        if (series(i + 3)._1 - series(i - 3)._1 == 6) {
+          val frame = series.slice(i - 3, i + 4).map(_._2)
+          val day = java.time.LocalDate.ofEpochDay(di)
+          val (gn, gtrend, gseason, gresid) = got((typ, day))
+          assert(gn == n, s"$typ $day n")
+          assert(math.abs(gtrend - r6(frame.sum / 7.0)) <= 2e-6, s"$typ $day trend")
+          assert(math.abs(gn - gtrend - gseason - gresid) <= 2e-6,
+            s"$typ $day identity")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0 && checked == got.size)
+    // seasonal components re-center to ~zero within each type
+    got.toSeq.groupBy(_._1._1).foreach { case (typ, rows) =>
+      val perDow = rows.map { case ((_, day), (_, _, s, _)) =>
+        (day.getDayOfWeek.getValue, s)
+      }.distinct.map(_._2)
+      assert(math.abs(perDow.sum) <= 1e-4, s"$typ seasonal centering")
+    }
+  }
 }
