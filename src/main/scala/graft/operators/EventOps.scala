@@ -518,6 +518,71 @@ object EventOps {
         .orderBy("active_days")
     }),
 
+    // Lorenz concentration curve — per event type, rank users by how much
+    // of that type's traffic they generate, cut into deciles, and report
+    // each decile's share plus the cumulative share ("the top 10% of
+    // committers produce X% of pushes" — the inequality view behind every
+    // capacity/abuse discussion). The full-data pass is ONE per-(type,
+    // user) count; the ntile/cumsum windows run over the already-
+    // aggregated table (one row per active user per type — the
+    // stat_spearman/event_rfm precedent; at billions of users swap exact
+    // ntile for approx-quantile cuts). Shares are exact-integer ratios,
+    // round(6); decile assignment is total-ordered by (count, user_id)
+    // so both engines cut identical tie groups.
+    "event_lorenz" -> ((s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val byActivity = Window.partitionBy("event_type")
+        .orderBy(col("n"), col("user_id"))
+      val dec = cnt
+        .withColumn("decile", ntile(10).over(byActivity).cast(LongType))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"))
+      val tot = dec.groupBy("event_type")
+        .agg(sum("n_events").as("total"))
+      dec.join(broadcast(tot), "event_type")
+        .withColumn("cum", sum("n_events")
+          .over(Window.partitionBy("event_type").orderBy("decile")))
+        .select(col("event_type"), col("decile"), col("n_users"),
+          col("n_events"),
+          round(col("n_events").cast(DoubleType) / col("total"), 6)
+            .as("events_share"),
+          round(col("cum").cast(DoubleType) / col("total"), 6)
+            .as("cum_share"))
+        .orderBy("event_type", "decile")
+    }),
+
+    // Exact rolling-uniques ladder — DAU plus trailing 7-day and 28-day
+    // distinct users per day (the WAU/MAU triplet every growth dashboard
+    // leads with). Shape discipline: the corpus collapses to the DISTINCT
+    // (user, day) table first (one exchange, |user-days| ≪ |events|);
+    // each pair then fans out MAP-SIDE to the w window-end days it serves
+    // via explode(sequence(day, day+w−1)) — an equality-keyed hash
+    // aggregate, never a range join — and the trailing count is a count
+    // DISTINCT over (day, user). Fanout is bounded by the window length
+    // (7× / 28× the user-day table, not the corpus). At 100 TB the same
+    // plan holds; if exact distinct per day is too hot, the drop-in is
+    // day-partial HLL sketches merged over the window (agg_hll_merge).
+    // Days outside the observed range that the fanout invents are dropped
+    // by the inner join back to the observed-day spine (both engines
+    // emit exactly the days with traffic).
+    "event_rolling_uniques" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      def trailing(w: Int, name: String) = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), w - 1)))
+            .as("day"))
+        .groupBy("day")
+        .agg(countDistinct("user_id").as(name))
+      dau
+        .join(trailing(7, "wau7"), "day")
+        .join(trailing(28, "mau28"), "day")
+        .orderBy("day")
+    }),
+
     // Longest activity streak per user — the classic gaps-and-islands
     // identity: on the distinct user-day table, (day − row_number) is
     // constant exactly within a run of consecutive days, so streaks fall
@@ -1947,6 +2012,44 @@ object EventOps {
         |  SELECT user_id, count(*) AS active_days FROM ud GROUP BY user_id)
         |SELECT active_days, count(*) AS n_users
         |FROM pu GROUP BY active_days ORDER BY active_days""".stripMargin,
+    "event_lorenz" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type,
+        |         ntile(10) OVER (PARTITION BY event_type
+        |                         ORDER BY n, user_id) AS decile,
+        |         n
+        |  FROM c),
+        |g AS (
+        |  SELECT event_type, decile, count(*) AS n_users,
+        |         sum(n) AS n_events
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n_events) AS total FROM g GROUP BY 1)
+        |SELECT g.event_type, g.decile, g.n_users,
+        |       CAST(g.n_events AS BIGINT) AS n_events,
+        |       round(CAST(g.n_events AS DOUBLE) / total, 6) AS events_share,
+        |       round(CAST(sum(g.n_events) OVER (PARTITION BY g.event_type
+        |                    ORDER BY g.decile) AS DOUBLE) / total, 6)
+        |         AS cum_share
+        |FROM g JOIN t USING (event_type)
+        |ORDER BY event_type, decile""".stripMargin,
+    "event_rolling_uniques" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |w7 AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS wau7
+        |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1),
+        |w28 AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS mau28
+        |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+        |  GROUP BY 1)
+        |SELECT day, dau, wau7, mau28
+        |FROM dau JOIN w7 USING (day) JOIN w28 USING (day)
+        |ORDER BY day""".stripMargin,
     "event_autocorrelation" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

@@ -237,6 +237,41 @@ object RelationalOps {
     }),
 
     // E8: cross join (tiny×tiny only — a guard rail, not a pattern).
+    // Market-basket association — support/confidence/lift for part pairs
+    // co-purchased in the same order (the "customers who bought A also
+    // bought B" scorer). The pair generator is a SELF-JOIN ON THE ORDER
+    // KEY with p1 < p2 — fanout is k·(k−1)/2 per order where k is the
+    // basket size (bounded small by the domain), never a parts×parts
+    // cross. Per-part order counts are a Heaps-small dimension →
+    // broadcast back onto the pair table; the order total is one
+    // broadcast scalar. All counts are exact integers; lift/support/
+    // confidence are integer ratios, round(6). At 100 TB the order-key
+    // join co-locates each basket in one task — the only exchange that
+    // scales with the corpus is the (p1,p2) pair aggregate, an
+    // equality-keyed hash agg on a well-spread composite key.
+    "market_basket_lift" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val partCnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      val nOrders = li.agg(countDistinct("ok").as("n_orders"))
+      val pairs = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      pairs
+        .join(broadcast(partCnt.select(col("pk").as("p1"), col("c").as("c1"))), Seq("p1"))
+        .join(broadcast(partCnt.select(col("pk").as("p2"), col("c").as("c2"))), Seq("p2"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("p1"), col("p2"), col("co"), col("c1"), col("c2"),
+          round(col("co").cast(DoubleType) / col("n_orders"), 6).as("support"),
+          round(col("co").cast(DoubleType) / col("c1"), 6).as("confidence"),
+          round(col("co").cast(DoubleType) * col("n_orders")
+            / (col("c1") * col("c2")), 6).as("lift"))
+        .orderBy("p1", "p2")
+    }),
+
     "join_cross" -> ((s, dir) => {
       Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
         .crossJoin(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
@@ -1045,6 +1080,24 @@ object RelationalOps {
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "market_basket_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pc AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS co
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, co, c1.c AS c1, c2.c AS c2,
+        |       round(CAST(co AS DOUBLE) / n_orders, 6) AS support,
+        |       round(CAST(co AS DOUBLE) / c1.c, 6) AS confidence,
+        |       round(CAST(co AS DOUBLE) * n_orders / (c1.c * c2.c), 6) AS lift
+        |FROM pairs
+        |JOIN pc c1 ON c1.pk = p1
+        |JOIN pc c2 ON c2.pk = p2
+        |CROSS JOIN n
+        |ORDER BY p1, p2""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, o_totalprice
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey

@@ -592,4 +592,96 @@ class AnalystDepthSpec extends SparkSpec {
       assert(math.abs(perDow.sum) <= 1e-4, s"$typ seasonal centering")
     }
   }
+
+  test("event_lorenz deciles equal the sequential ntile cut") {
+    val counts = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("event_lorenz")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    var checked = 0
+    for ((typ, rows) <- counts) {
+      // SQL ntile: first (n mod k) buckets take ceil(n/k) rows
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val n = sorted.length
+      val (base, extra) = (n / 10, n % 10)
+      val buckets = (1 to 10).map { d =>
+        val start = (d - 1) * base + math.min(d - 1, extra)
+        val size = base + (if (d <= extra) 1 else 0)
+        d.toLong -> sorted.slice(start, start + size).map(_._3)
+      }.filter(_._2.nonEmpty)
+      val total = sorted.map(_._3).sum.toDouble
+      var cum = 0L
+      for ((d, ns) <- buckets) {
+        val (gu, ge, gshare, gcum) = got((typ, d))
+        cum += ns.sum
+        assert(gu == ns.length, s"$typ d$d users")
+        assert(ge == ns.sum, s"$typ d$d events")
+        assert(math.abs(gshare - r6(ns.sum / total)) <= 1e-9, s"$typ d$d share")
+        assert(math.abs(gcum - r6(cum / total)) <= 1e-9, s"$typ d$d cum")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && checked == got.size)
+    // each type's last decile must close the curve at 1.0
+    got.keys.map(_._1).foreach { typ =>
+      val last = got.filter(_._1._1 == typ).keys.map(_._2).max
+      assert(got((typ, last))._4 == 1.0, s"$typ curve closes")
+    }
+  }
+
+  test("event_rolling_uniques equals brute-force trailing distinct counts") {
+    val ud = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+    val days = ud.map(_._1).distinct.sorted
+    val got = SparkEntry.queries("event_rolling_uniques")(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == days.length)
+    for (d <- days) {
+      def uniq(w: Int) =
+        ud.filter(p => p._1 <= d && p._1 > d - w).map(_._2).distinct.length
+      val (dau, wau7, mau28) = got(d)
+      assert(dau == uniq(1), s"day $d dau")
+      assert(wau7 == uniq(7), s"day $d wau7")
+      assert(mau28 == uniq(28), s"day $d mau28")
+    }
+  }
+
+  test("market_basket_lift equals brute-force pair association") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = li.map(_._1).distinct.length
+    val partCnt = li.groupBy(_._2).map { case (p, rs) => p -> rs.length }
+    val co = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (pr, xs) => pr -> xs.size }
+      .filter(_._2 >= 2)
+    val got = SparkEntry.queries("market_basket_lift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got.size == co.size && co.nonEmpty)
+    for ((pr @ (p1, p2), c) <- co) {
+      val (gco, gc1, gc2, gsup, gconf, glift) = got(pr)
+      assert(gco == c && gc1 == partCnt(p1) && gc2 == partCnt(p2), s"$pr counts")
+      assert(math.abs(gsup - r6(c.toDouble / nOrders)) <= 1e-9, s"$pr support")
+      assert(math.abs(gconf - r6(c.toDouble / partCnt(p1))) <= 1e-9, s"$pr conf")
+      assert(math.abs(glift -
+        r6(c.toDouble * nOrders / (partCnt(p1).toLong * partCnt(p2)))) <= 1e-9,
+        s"$pr lift")
+    }
+  }
 }
