@@ -341,6 +341,154 @@ object StatsOps {
             .as("rho_spearman"))
     }),
 
+    // CUPED variance-reduced experiment readout — the standard trick for
+    // shrinking A/B confidence intervals: adjust each user's metric by
+    // their PRE-period covariate, y' = y − θ(x − x̄), θ = cov(x,y)/var(x).
+    // Arms are a deterministic user_id parity; the period split is the
+    // data's midpoint day. Determinism discipline: per-user x/y are
+    // DECIMAL money sums (exact), the per-arm reduce keeps Σx, Σy, Σxy,
+    // Σx², Σy² in DECIMAL (exact integers at 2-dp scale), and the
+    // adjusted moments are derived ALGEBRAICALLY from those sums
+    // (Σy'² = Σy² − 2θ(Σxy − x̄Σy) + θ²(Σx² − 2x̄Σx + n·x̄²)) — no
+    // order-dependent double summation anywhere, so both engines compute
+    // identical IEEE scalars from identical exact inputs. θ and x̄ are
+    // ROUNDED to 6 dp before the algebra (the difference-rounded-parts
+    // rule). Shape: one per-user exchange, one 2-row arm reduce; the
+    // pooled scalars ride a window over the 2-row arm table.
+    "stat_cuped" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val span = e.agg(min(to_date(col("ts"))).as("mn"),
+          max(to_date(col("ts"))).as("mx"))
+        .select(date_add(col("mn"),
+          floor(datediff(col("mx"), col("mn")) / 2).cast(IntegerType))
+          .as("cut"))
+      val z = lit(0).cast("decimal(18,2)")
+      val perUser = e.crossJoin(broadcast(span))
+        .groupBy("user_id")
+        .agg(
+          coalesce(sum(when(to_date(col("ts")) < col("cut"),
+            Tables.dec(col("value")))), z).as("x"),
+          coalesce(sum(when(to_date(col("ts")) >= col("cut"),
+            Tables.dec(col("value")))), z).as("y"))
+      val arm = perUser
+        .groupBy(pmod(col("user_id"), lit(2)).cast(LongType).as("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("arm"), col("n").cast(DoubleType).as("n"),
+          col("sx").cast(DoubleType).as("sx"),
+          col("sy").cast(DoubleType).as("sy"),
+          col("sxy").cast(DoubleType).as("sxy"),
+          col("sxx").cast(DoubleType).as("sxx"),
+          col("syy").cast(DoubleType).as("syy"))
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      arm
+        .withColumn("tn", sum("n").over(all))
+        .withColumn("tx", sum("sx").over(all))
+        .withColumn("ty", sum("sy").over(all))
+        .withColumn("txy", sum("sxy").over(all))
+        .withColumn("txx", sum("sxx").over(all))
+        .withColumn("theta",
+          round((col("tn") * col("txy") - col("tx") * col("ty"))
+            / (col("tn") * col("txx") - col("tx") * col("tx")), 6))
+        .withColumn("mx", round(col("tx") / col("tn"), 6))
+        .withColumn("syc",
+          col("sy") - col("theta") * (col("sx") - col("n") * col("mx")))
+        .withColumn("qyc",
+          col("syy") - lit(2.0) * col("theta") * (col("sxy") - col("mx") * col("sy"))
+            + col("theta") * col("theta")
+            * (col("sxx") - lit(2.0) * col("mx") * col("sx")
+               + col("n") * col("mx") * col("mx")))
+        .select(col("arm"), col("n").cast(LongType).as("n_users"),
+          round(col("sy") / col("n"), 6).as("mean_y"),
+          round((col("syy") - col("sy") * col("sy") / col("n"))
+            / (col("n") - 1), 6).as("var_y"),
+          round(col("syc") / col("n"), 6).as("mean_y_cuped"),
+          round((col("qyc") - col("syc") * col("syc") / col("n"))
+            / (col("n") - 1), 6).as("var_y_cuped"),
+          round(lit(1.0)
+            - (col("qyc") - col("syc") * col("syc") / col("n"))
+            / (col("syy") - col("sy") * col("sy") / col("n")), 6)
+            .as("var_reduction"))
+        .orderBy("arm")
+    }),
+
+    // Two-proportion z-test + sample-ratio-mismatch guard — the binary-
+    // metric sibling of stat_cuped (conversion = "user made a high-value
+    // purchase", value ≥ 100 — every user purchases at least once in this
+    // corpus, so plain purchase incidence is degenerate at p = 1 and the
+    // z denominator collapses). One per-user reduce (exact 0/1), then a 2-row
+    // arm reduce collapsed to a single summary row; every input to the
+    // z / chi-square formulas is an exact integer, so both engines run
+    // identical scalar IEEE ops. SRM is the chi-square of the observed
+    // arm sizes against the designed 50/50 split — the sanity gate an
+    // experimentation platform evaluates before showing any readout.
+    "stat_ab_proportions" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+            && col("value") >= 100, 1)
+          .otherwise(0)).as("conv"))
+        .select(pmod(col("user_id"), lit(2)).as("arm"), col("conv"))
+      perUser.agg(
+          count(when(col("arm") === 0, 1)).cast(DoubleType).as("n0"),
+          count(when(col("arm") === 1, 1)).cast(DoubleType).as("n1"),
+          sum(when(col("arm") === 0, col("conv"))).cast(DoubleType).as("c0"),
+          sum(when(col("arm") === 1, col("conv"))).cast(DoubleType).as("c1"))
+        .withColumn("p0", col("c0") / col("n0"))
+        .withColumn("p1", col("c1") / col("n1"))
+        .withColumn("p", (col("c0") + col("c1")) / (col("n0") + col("n1")))
+        .withColumn("h", (col("n0") + col("n1")) / 2)
+        .select(
+          col("n0").cast(LongType).as("n0"),
+          col("n1").cast(LongType).as("n1"),
+          col("c0").cast(LongType).as("conv0"),
+          col("c1").cast(LongType).as("conv1"),
+          round(col("p0"), 6).as("rate0"),
+          round(col("p1"), 6).as("rate1"),
+          round((col("p1") - col("p0"))
+            / sqrt(col("p") * (lit(1.0) - col("p"))
+              * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6)
+            .as("z_stat"),
+          round((col("n0") - col("h")) * (col("n0") - col("h")) / col("h")
+            + (col("n1") - col("h")) * (col("n1") - col("h")) / col("h"), 6)
+            .as("srm_chi2"))
+    }),
+
+    // Theil's U (uncertainty coefficient) between event type and ISO
+    // weekday — the ASYMMETRIC association measure that answers "how much
+    // does knowing the weekday reduce uncertainty about the event type?"
+    // (and the reverse), completing the association family next to the
+    // symmetric stat_cramers_v. U(X|Y) = I(X;Y)/H(X) with every entropy
+    // computed by the mergeable-sum identity (H = log2 T − Σ n·log2 n / T,
+    // the agg_entropy discipline) over the k×m contingency cells — the
+    // only full-data pass is the cell aggregate; the three entropy
+    // reductions run on ≤ |types|·7 metadata rows.
+    "stat_theils_u" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (weekday(to_date(col("ts"))) + 1).cast(LongType).as("dow"))
+        .agg(count(lit(1)).as("n"))
+      def ent(grouped: DataFrame, name: String) = grouped
+        .agg(sum("n").cast(DoubleType).as("t"),
+          sum(col("n").cast(DoubleType) * log2(col("n"))).as("sl"))
+        .select((log2(col("t")) - col("sl") / col("t")).as(name))
+      val hx = ent(cells.groupBy("event_type").agg(sum("n").as("n")), "hx")
+      val hy = ent(cells.groupBy("dow").agg(sum("n").as("n")), "hy")
+      val hxy = ent(cells, "hxy")
+      hx.crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+        .withColumn("mi", col("hx") + col("hy") - col("hxy"))
+        .select(round(col("hx"), 6).as("h_type"),
+          round(col("hy"), 6).as("h_dow"),
+          round(col("hxy"), 6).as("h_joint"),
+          round(col("mi"), 6).as("mutual_info"),
+          round(col("mi") / col("hx"), 6).as("u_type_given_dow"),
+          round(col("mi") / col("hy"), 6).as("u_dow_given_type"))
+    }),
+
     // Join/agg key-skew profiler — the report an engineer actually runs
     // before choosing a partitioning at 100 TB: per-key cardinality,
     // top-1/top-10 share, Gini concentration, p50/p99 key sizes, for
@@ -1095,5 +1243,109 @@ object StatsOps {
         |       round(coalesce(sum(delta) FILTER (delta > 0), 0), 6)
         |         AS delta_sum,
         |       count(*) FILTER (delta < 0) AS n_resets
-        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // per-user x/y kept DECIMAL(18,2) so every moment sum is exact on both
+    // engines; the scalar algebra mirrors the Spark expression tree node
+    // for node (theta and x-bar rounded to 6 dp BEFORE the adjustment)
+    "stat_cuped" ->
+      """WITH span AS (
+        |  SELECT min(CAST(ts AS DATE))
+        |         + CAST(floor((max(CAST(ts AS DATE))
+        |                       - min(CAST(ts AS DATE))) / 2) AS INTEGER)
+        |           AS cut
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |         CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) < s.cut
+        |           THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |           AS DECIMAL(18,2)) AS x,
+        |         CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= s.cut
+        |           THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        |           AS DECIMAL(18,2)) AS y
+        |  FROM events CROSS JOIN span s GROUP BY user_id),
+        |a AS (
+        |  SELECT user_id % 2 AS arm, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |         CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |         CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM u GROUP BY 1),
+        |t AS (
+        |  SELECT sum(n) AS tn, sum(sx) AS tx, sum(sy) AS ty,
+        |         sum(sxy) AS txy, sum(sxx) AS txx
+        |  FROM a),
+        |c AS (
+        |  SELECT a.*, round((tn * txy - tx * ty)
+        |                    / (tn * txx - tx * tx), 6) AS theta,
+        |         round(tx / tn, 6) AS mx
+        |  FROM a CROSS JOIN t),
+        |d AS (
+        |  SELECT *, sy - theta * (sx - n * mx) AS syc,
+        |         syy - 2.0 * theta * (sxy - mx * sy)
+        |           + theta * theta
+        |             * (sxx - 2.0 * mx * sx + n * mx * mx) AS qyc
+        |  FROM c)
+        |SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_users,
+        |       round(sy / n, 6) AS mean_y,
+        |       round((syy - sy * sy / n) / (n - 1), 6) AS var_y,
+        |       round(syc / n, 6) AS mean_y_cuped,
+        |       round((qyc - syc * syc / n) / (n - 1), 6) AS var_y_cuped,
+        |       round(1.0 - (qyc - syc * syc / n)
+        |             / (syy - sy * sy / n), 6) AS var_reduction
+        |FROM d ORDER BY arm""".stripMargin,
+    "stat_ab_proportions" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' AND value >= 100
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT CAST(count(*) FILTER (user_id % 2 = 0) AS DOUBLE) AS n0,
+        |         CAST(count(*) FILTER (user_id % 2 = 1) AS DOUBLE) AS n1,
+        |         CAST(sum(conv) FILTER (user_id % 2 = 0) AS DOUBLE) AS c0,
+        |         CAST(sum(conv) FILTER (user_id % 2 = 1) AS DOUBLE) AS c1
+        |  FROM u),
+        |p AS (
+        |  SELECT *, c0 / n0 AS p0, c1 / n1 AS p1,
+        |         (c0 + c1) / (n0 + n1) AS p, (n0 + n1) / 2 AS h
+        |  FROM a)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |       CAST(c0 AS BIGINT) AS conv0, CAST(c1 AS BIGINT) AS conv1,
+        |       round(p0, 6) AS rate0, round(p1, 6) AS rate1,
+        |       round((p1 - p0)
+        |             / sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1)), 6)
+        |         AS z_stat,
+        |       round((n0 - h) * (n0 - h) / h
+        |             + (n1 - h) * (n1 - h) / h, 6) AS srm_chi2
+        |FROM p""".stripMargin,
+    // entropies via the mergeable-sum identity on both engines (never the
+    // engine's own entropy()) so the scalar trees are identical
+    "stat_theils_u" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |hx AS (
+        |  SELECT log2(CAST(sum(n) AS DOUBLE))
+        |         - sum(CAST(n AS DOUBLE) * log2(n)) / CAST(sum(n) AS DOUBLE)
+        |           AS hx
+        |  FROM (SELECT event_type, CAST(sum(n) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1)),
+        |hy AS (
+        |  SELECT log2(CAST(sum(n) AS DOUBLE))
+        |         - sum(CAST(n AS DOUBLE) * log2(n)) / CAST(sum(n) AS DOUBLE)
+        |           AS hy
+        |  FROM (SELECT dow, CAST(sum(n) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1)),
+        |hxy AS (
+        |  SELECT log2(CAST(sum(n) AS DOUBLE))
+        |         - sum(CAST(n AS DOUBLE) * log2(n)) / CAST(sum(n) AS DOUBLE)
+        |           AS hxy
+        |  FROM cells)
+        |SELECT round(hx, 6) AS h_type, round(hy, 6) AS h_dow,
+        |       round(hxy, 6) AS h_joint,
+        |       round(hx + hy - hxy, 6) AS mutual_info,
+        |       round((hx + hy - hxy) / hx, 6) AS u_type_given_dow,
+        |       round((hx + hy - hxy) / hy, 6) AS u_dow_given_type
+        |FROM hx CROSS JOIN hy CROSS JOIN hxy""".stripMargin)
 }

@@ -684,4 +684,102 @@ class AnalystDepthSpec extends SparkSpec {
         s"$pr lift")
     }
   }
+
+  /** (user, day, value-at-2dp, type) rows for the experimentation family. */
+  private lazy val expRows: Seq[(Long, java.time.LocalDate, BigDecimal, String)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d"),
+        col("value"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        r.getString(3))).toSeq
+
+  test("stat_cuped equals the textbook per-user adjustment y' = y - theta(x - xbar)") {
+    val days = expRows.map(_._2)
+    val cut = days.min.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max) / 2)
+    val perUser = expRows.groupBy(_._1).map { case (u, rs) =>
+      val x = rs.filter(_._2.isBefore(cut)).map(_._3).sum.toDouble
+      val y = rs.filter(!_._2.isBefore(cut)).map(_._3).sum.toDouble
+      (u, x, y)
+    }.toSeq
+    val n = perUser.size.toDouble
+    val (tx, ty) = (perUser.map(_._2).sum, perUser.map(_._3).sum)
+    val txy = perUser.map(r => r._2 * r._3).sum
+    val txx = perUser.map(r => r._2 * r._2).sum
+    val theta = r6((n * txy - tx * ty) / (n * txx - tx * tx))
+    val xbar = r6(tx / n)
+    val got = SparkEntry.queries("stat_cuped")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.size == 2)
+    for (arm <- Seq(0L, 1L)) {
+      val us = perUser.filter(r => r._1 % 2 == arm)
+      val adj = us.map(r => r._3 - theta * (r._2 - xbar))
+      val raw = us.map(_._3)
+      def mean(v: Seq[Double]) = v.sum / v.size
+      def varS(v: Seq[Double]) = {
+        val m = mean(v); v.map(x => (x - m) * (x - m)).sum / (v.size - 1)
+      }
+      val (gn, gMeanY, gVarY, gMeanC, gVarC) = got(arm)
+      assert(gn == us.size, s"arm $arm n_users")
+      def close(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) <= math.max(2e-6, 1e-8 * math.abs(b)),
+          s"arm $arm $what: got $a want $b")
+      close(gMeanY, mean(raw), "mean_y")
+      close(gVarY, varS(raw), "var_y")
+      close(gMeanC, mean(adj), "mean_y_cuped")
+      close(gVarC, varS(adj), "var_y_cuped")
+      // NOTE: pooled-theta CUPED guarantees variance reduction only for the
+      // pooled population, not per arm — no per-arm inequality asserted.
+    }
+  }
+
+  test("stat_ab_proportions equals the sequential two-proportion z-test") {
+    val conv = expRows.groupBy(_._1).map { case (u, rs) =>
+      u -> (if (rs.exists(r => r._4 == "purchase" && r._3 >= 100)) 1L else 0L)
+    }
+    val (a0, a1) = conv.partition(_._1 % 2 == 0)
+    val (n0, n1) = (a0.size.toDouble, a1.size.toDouble)
+    val (c0, c1) = (a0.values.sum.toDouble, a1.values.sum.toDouble)
+    val (p0, p1) = (c0 / n0, c1 / n1)
+    val p = (c0 + c1) / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(p * (1 - p) * (1 / n0 + 1 / n1))
+    val h = (n0 + n1) / 2
+    val srm = (n0 - h) * (n0 - h) / h + (n1 - h) * (n1 - h) / h
+    val r = SparkEntry.queries("stat_ab_proportions")(spark, sf).collect().head
+    assert(r.getLong(0) == n0.toLong && r.getLong(1) == n1.toLong)
+    assert(r.getLong(2) == c0.toLong && r.getLong(3) == c1.toLong)
+    assert(math.abs(r.getDouble(4) - r6(p0)) <= 1e-9)
+    assert(math.abs(r.getDouble(5) - r6(p1)) <= 1e-9)
+    assert(math.abs(r.getDouble(6) - r6(z)) <= 2e-6, "z_stat")
+    assert(math.abs(r.getDouble(7) - r6(srm)) <= 2e-6, "srm_chi2")
+  }
+
+  test("stat_theils_u equals textbook -sum(p log2 p) entropies and U identities") {
+    val cells = expRows.groupBy(r =>
+      (r._4, r._2.getDayOfWeek.getValue)).map { case (k, rs) => k -> rs.size }
+    def ent[K](m: Map[K, Int]): Double = {
+      val t = m.values.sum.toDouble
+      -m.values.map(n => n / t * (math.log(n / t) / math.log(2))).sum
+    }
+    val hx = ent(cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum })
+    val hy = ent(cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum })
+    val hxy = ent(cells)
+    val mi = hx + hy - hxy
+    val r = SparkEntry.queries("stat_theils_u")(spark, sf).collect().head
+    def close(a: Double, b: Double, what: String): Unit =
+      assert(math.abs(a - b) <= 2e-6, s"$what: got $a want $b")
+    close(r.getDouble(0), r6(hx), "h_type")
+    close(r.getDouble(1), r6(hy), "h_dow")
+    close(r.getDouble(2), r6(hxy), "h_joint")
+    close(r.getDouble(3), r6(mi), "mutual_info")
+    close(r.getDouble(4), r6(mi / hx), "u_type_given_dow")
+    close(r.getDouble(5), r6(mi / hy), "u_dow_given_type")
+    // U is a normalized mutual information: both directions in [0, 1]
+    assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
+  }
 }
