@@ -66,27 +66,44 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-build] $name: ${e.getMessage}") }
     }
     val buildSec = (System.nanoTime() - buildT0) / 1e9
+    // A key that throws is an ERROR, not a measurement: round 4 recorded
+    // analysis failures as ~0.06 s "timings", which made broken keys look
+    // 10× faster than their real r3 numbers. Failed keys go to an "errors"
+    // JSON object and are excluded from "queries" and the total.
     val results = selected.map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, times.head)
+      (name, times.min, times.head, err)
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def toJson(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = toJson(results.map(t => (t._1, t._2)))
-    val total = results.map(_._2).sum
+    val ok = results.filter(_._4.isEmpty)
+    val errs = results.collect { case (n, _, _, Some(m)) => (n, m) }
+    val qs = toJson(ok.map(t => (t._1, t._2)))
+    val total = ok.map(_._2).sum
     // protocol marker + warm-phase wall time: steady-state numbers (codegen
     // pre-compiled on the sf0.001 sibling) are not comparable to cold runs,
     // so the JSON says which one this is and what the warm-up itself cost.
     // With reps > 1, rep 1 may build OpCache-persisted intermediates that
     // later reps reuse — "queries_first" preserves the uncached timing.
     val protocol = if (warmDir.isDefined) "steady-state" else "cold"
-    val extra = if (reps > 1) s""","queries_first":${toJson(results.map(t => (t._1, t._3)))}""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"build_sec":$buildSec,"reps":$reps,"queries":$qs$extra,"sf":"$sfDir"}""")
+    val extra = if (reps > 1) s""","queries_first":${toJson(ok.map(t => (t._1, t._3)))}""" else ""
+    val errJson = errs.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"build_sec":$buildSec,"reps":$reps,"queries":$qs$extra,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,10 +10,12 @@ import org.apache.spark.sql.SparkSession
   * two queries run concurrently in one session (one query's setting races
   * another's read). Every conf below is documented at its point of need:
   *
-  *  - `nanosAsLong`: `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
-  *    refuses to read as a timestamp; read raw nanos and truncate to µs in
-  *    `Tables.events` (SURVEY.md §7.4.2). Without it the events read fails
-  *    loudly (Illegal Parquet type), never silently.
+  *  - `nanosAsLong`: `events.ts` shipped as parquet TIMESTAMP(NANOS) through
+  *    round 3, which Spark 4 refuses to read as a timestamp; with this conf
+  *    it reads as raw long nanos and `Tables.events` truncates to µs. The
+  *    round-4 testdata generation switched to TIMESTAMP(MICROS) — the conf
+  *    stays so BOTH encodings load, and `Tables.events` dispatches on the
+  *    loaded dtype (SURVEY.md §7.4.2, FIXTURES.md).
   *  - `objectHashAggregate.sortBased.fallbackThreshold`: ObjectHashAggregate
   *    (the TypedImperativeAggregate executor behind
   *    `functions.MinHashSignature`) falls back to sort-based aggregation

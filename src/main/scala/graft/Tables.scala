@@ -19,17 +19,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as raw nanos and truncate to µs — exactly what
-    * DuckDB 1.0 does on its side of the oracle compare, so both engines see
-    * identical µs instants (SURVEY.md §7.4.2). Requires the `nanosAsLong`
-    * conf, set at session construction by `GraftSession` (never here: query
-    * builders must not mutate shared session state); a session missing it
-    * fails loudly on the parquet read.
+  /** `events.ts` has shipped under two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 only reads via the
+    * `nanosAsLong` conf, set by `GraftSession` — never here: query builders
+    * must not mutate shared session state) and TIMESTAMP(MICROS, NTZ).
+    * Dispatch on the dtype Spark actually loaded so both generations work:
+    *   - LongType          → nanos-as-long; truncate to µs, matching what
+    *                         DuckDB does on its side of the oracle compare
+    *                         (SURVEY.md §7.4.2)
+    *   - TimestampNTZType  → cast to TimestampType; under the UTC session
+    *                         timezone (`GraftSession`) this is the identical
+    *                         wall-clock instant, and downstream operators all
+    *                         assume the LTZ type
+    *   - TimestampType     → already what we want; pass through
+    * Any other dtype fails loudly — a new fixture encoding must be handled
+    * here, in one place, not discovered as 100+ broken query keys.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet-loaded type $other; extend Tables.events dispatch")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
@@ -40,4 +58,16 @@ object Tables {
     * double so the output schema matches DuckDB's `CAST(... AS DOUBLE)`.
     */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Negative-zero normalizer for rounded double outputs. `round(x, 6)` of a
+    * tiny negative value yields IEEE `-0.0`, which bit-compares (and so
+    * driver-hash-compares) unequal to `+0.0` even though `==` says equal —
+    * and Spark and DuckDB can land on opposite signs from summation-order
+    * ulps. `-0.0 + 0.0 = +0.0` under IEEE 754, so adding literal zero after
+    * rounding canonicalizes the sign on any engine. Every rounded output
+    * column that can sit at zero (differences, z/t statistics, covariances,
+    * log-ratios) must pass through here, with a matching `+ 0` in the oracle
+    * SQL.
+    */
+  def nz(c: Column): Column = c + org.apache.spark.sql.functions.lit(0.0)
 }

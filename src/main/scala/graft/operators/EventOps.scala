@@ -436,7 +436,7 @@ object EventOps {
         .select(col("user_id"), col("event_id"), col("value"),
           round(col("mean"), 6).as("mid"),
           round(col("mean") + lit(2.0) * col("sd"), 6).as("upper"),
-          round(col("mean") - lit(2.0) * col("sd"), 6).as("lower"))
+          Tables.nz(round(col("mean") - lit(2.0) * col("sd"), 6)).as("lower"))
         .withColumn("breakout_up", col("value") > col("upper"))
         .withColumn("breakout_down", col("value") < col("lower"))
         .orderBy("user_id", "event_id")
@@ -660,7 +660,7 @@ object EventOps {
           Seq("event_type", "dow"))
         .select(col("event_type"), col("day"), col("n").cast(LongType).as("n"),
           round(col("mu"), 6).as("expected"),
-          round((col("n") - col("mu")) / col("sd"), 6).as("z"),
+          Tables.nz(round((col("n") - col("mu")) / col("sd"), 6)).as("z"),
           (abs(round((col("n") - col("mu")) / col("sd"), 6)) > 2.0)
             .as("is_anomaly"))
         .orderBy("event_type", "day")
@@ -702,8 +702,8 @@ object EventOps {
         .join(broadcast(stats), "event_type")
         .select(col("event_type"), col("lag"),
           col("c").cast(LongType).as("n_pairs"),
-          round((col("s12") - col("m") * col("s1") - col("m") * col("s2")
-            + col("c") * col("m") * col("m")) / col("den"), 6).as("acf"))
+          Tables.nz(round((col("s12") - col("m") * col("s1") - col("m") * col("s2")
+            + col("c") * col("m") * col("m")) / col("den"), 6)).as("acf"))
         .orderBy("event_type", "lag")
     }),
 
@@ -735,11 +735,11 @@ object EventOps {
         .agg((sum(col("sdt") / col("cdt")) / count(lit(1))).as("ctr"))
       val seasonal = dowAvg.join(center, "event_type")
         .select(col("event_type"), col("dow"),
-          round(col("sdt") / col("cdt") - col("ctr"), 6).as("seasonal"))
+          Tables.nz(round(col("sdt") / col("cdt") - col("ctr"), 6)).as("seasonal"))
       trended.join(broadcast(seasonal), Seq("event_type", "dow"))
         .select(col("event_type"), col("day"), col("n"), col("trend"),
           col("seasonal"),
-          round(col("n") - col("trend") - col("seasonal"), 6).as("residual"))
+          Tables.nz(round(col("n") - col("trend") - col("seasonal"), 6)).as("residual"))
         .orderBy("event_type", "day")
     }),
 
@@ -1301,7 +1301,7 @@ object EventOps {
         .select(col("event_type"), col("day"), col("n"),
           round(col("trail_mean"), 6).as("trail_mean"),
           when(col("trail_k") >= 3 && col("trail_sd") > 0,
-            round((col("n") - col("trail_mean")) / col("trail_sd"), 6))
+            Tables.nz(round((col("n") - col("trail_mean")) / col("trail_sd"), 6)))
             .as("z_score"))
         .orderBy("event_type", "day")
     }))
@@ -1600,7 +1600,7 @@ object EventOps {
         |SELECT event_type, day, n,
         |       round(trail_mean, 6) AS trail_mean,
         |       CASE WHEN trail_k >= 3 AND trail_sd > 0
-        |            THEN round((n - trail_mean) / trail_sd, 6) END AS z_score
+        |            THEN round((n - trail_mean) / trail_sd, 6) + 0 END AS z_score
         |FROM (
         |  SELECT event_type, day, n,
         |         avg(n) OVER w AS trail_mean,
@@ -1935,7 +1935,7 @@ object EventOps {
         |  FROM prof WHERE sqrt((q - s * s / k) / (k - 1)) > 0)
         |SELECT d2.event_type, d2.day, CAST(d2.n AS BIGINT) AS n,
         |       round(mu, 6) AS expected,
-        |       round((d2.n - mu) / sd, 6) AS z,
+        |       round((d2.n - mu) / sd, 6) + 0 AS z,
         |       abs(round((d2.n - mu) / sd, 6)) > 2.0 AS is_anomaly
         |FROM d2 JOIN p2 USING (event_type, dow)
         |ORDER BY event_type, day""".stripMargin,
@@ -1957,7 +1957,7 @@ object EventOps {
         |  SELECT user_id, event_id, value,
         |         round(mean, 6) AS mid,
         |         round(mean + 2e0 * sd, 6) AS upper,
-        |         round(mean - 2e0 * sd, 6) AS lower
+        |         round(mean - 2e0 * sd, 6) + 0 AS lower
         |  FROM m)
         |SELECT user_id, event_id, value, mid, upper, lower,
         |       value > upper AS breakout_up,
@@ -2073,7 +2073,7 @@ object EventOps {
         |  JOIN d1 b ON b.event_type = a.event_type AND b.di = a.di + l.lag
         |  GROUP BY 1, 2)
         |SELECT p.event_type, p.lag, CAST(p.c AS BIGINT) AS n_pairs,
-        |       round((s12 - m * s1 - m * s2 + c * m * m) / den, 6) AS acf
+        |       round((s12 - m * s1 - m * s2 + c * m * m) / den, 6) + 0 AS acf
         |FROM pairs p JOIN st2 USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
     "event_seasonal_decompose" ->
@@ -2094,10 +2094,11 @@ object EventOps {
         |       FROM t2 GROUP BY 1, 2),
         |ctr AS (SELECT event_type, sum(sdt / cdt) / count(*) AS ctr
         |        FROM da GROUP BY 1),
-        |se AS (SELECT da.event_type, da.dow, round(sdt / cdt - ctr, 6) AS seasonal
+        |se AS (SELECT da.event_type, da.dow,
+        |              round(sdt / cdt - ctr, 6) + 0 AS seasonal
         |       FROM da JOIN ctr USING (event_type))
         |SELECT t2.event_type, t2.day, t2.n, t2.trend, se.seasonal,
-        |       round(t2.n - t2.trend - se.seasonal, 6) AS residual
+        |       round(t2.n - t2.trend - se.seasonal, 6) + 0 AS residual
         |FROM t2 JOIN se USING (event_type, dow)
         |ORDER BY event_type, day""".stripMargin,
     "event_seasonal_index" ->

@@ -419,9 +419,9 @@ object SimOps {
       val n = element_at(col("m"), 1)
       pairs.crossJoin(broadcast(m))
         .select(col("i"), col("j"),
-          round(element_at(col("m"), col("idx").cast(IntegerType)) / n
+          Tables.nz(round(element_at(col("m"), col("idx").cast(IntegerType)) / n
             - (element_at(col("m"), col("i").cast(IntegerType) + 2) / n)
-            * (element_at(col("m"), col("j").cast(IntegerType) + 2) / n), 6)
+            * (element_at(col("m"), col("j").cast(IntegerType) + 2) / n), 6))
             .as("cov"))
         .orderBy("i", "j")
     }),
@@ -727,7 +727,7 @@ object SimOps {
         |SELECT i, j,
         |       round(sum(v[i+1] * v[j+1]) / count(*)
         |             - (sum(v[i+1]) / count(*)) * (sum(v[j+1]) / count(*)),
-        |             6) AS cov
+        |             6) + 0 AS cov
         |FROM p CROSS JOIN e
         |GROUP BY i, j ORDER BY i, j""".stripMargin,
     "multimodal_struct" ->

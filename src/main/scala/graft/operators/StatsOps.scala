@@ -40,7 +40,7 @@ object StatsOps {
           sum("n").as("n_events"),
           sum(col("n").cast(DoubleType) * log2(col("n"))).as("s"))
         .select(col("day"), col("n_events"),
-          round(log2(col("n_events")) - col("s") / col("n_events"), 6)
+          Tables.nz(round(log2(col("n_events")) - col("s") / col("n_events"), 6))
             .as("entropy_bits"))
         .orderBy("day")
     }),
@@ -135,8 +135,9 @@ object StatsOps {
         .select(col("l_returnflag"), col("n"),
           round(col("mean"), 6).as("mean"),
           round(col("m2"), 6).as("var_pop"),
-          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skew_pop"),
-          round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+          Tables.nz(round(col("m3") / (col("m2") * sqrt(col("m2"))), 6))
+            .as("skew_pop"),
+          Tables.nz(round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6))
             .as("kurt_excess"))
         .orderBy("l_returnflag")
     }),
@@ -221,8 +222,8 @@ object StatsOps {
           (col("q2") - col("s2") * col("s2") / col("n2"))
             / (col("n2") - 1) / col("n2"))
       base.select(col("day"), col("n1"), col("n2"),
-        round(col("m1") - col("m2"), 6).as("mean_diff"),
-        round((col("m1") - col("m2")) / sqrt(col("se1") + col("se2")), 6)
+        Tables.nz(round(col("m1") - col("m2"), 6)).as("mean_diff"),
+        Tables.nz(round((col("m1") - col("m2")) / sqrt(col("se1") + col("se2")), 6))
           .as("t_stat"),
         round(
           (col("se1") + col("se2")) * (col("se1") + col("se2"))
@@ -297,7 +298,7 @@ object StatsOps {
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val wRank = Window.orderBy(col("p_value"), col("event_type"), col("day"))
       daily.join(broadcast(prof), Seq("event_type", "dow"))
-        .withColumn("z", round((col("n") - col("mu")) / col("sd"), 6))
+        .withColumn("z", Tables.nz(round((col("n") - col("mu")) / col("sd"), 6)))
         .withColumn("p_value", round(poly * exp(-x * x), 6))
         .withColumn("rank", row_number().over(wRank).cast(LongType))
         .withColumn("m", count(lit(1)).over(wAll))
@@ -335,9 +336,9 @@ object StatsOps {
         sum(col("ry") * col("ry")).as("qy"),
         sum(col("rx") * col("ry")).as("sxy"))
         .select(col("n").cast(LongType).as("n_users"),
-          round((col("n") * col("sxy") - col("sx") * col("sy"))
+          Tables.nz(round((col("n") * col("sxy") - col("sx") * col("sy"))
             / sqrt((col("n") * col("qx") - col("sx") * col("sx"))
-              * (col("n") * col("qy") - col("sy") * col("sy"))), 6)
+              * (col("n") * col("qy") - col("sy") * col("sy"))), 6))
             .as("rho_spearman"))
     }),
 
@@ -366,10 +367,14 @@ object StatsOps {
       val perUser = e.crossJoin(broadcast(span))
         .groupBy("user_id")
         .agg(
+          // re-narrow the sum-widened decimal(28,2) back to (18,2) — the
+          // oracle does the same CAST, keeping the arm-level x*y moment
+          // products inside exact precision on BOTH engines (a (28,2)²
+          // product would clamp to (38,4) and can overflow-to-NULL at scale)
           coalesce(sum(when(to_date(col("ts")) < col("cut"),
-            Tables.dec(col("value")))), z).as("x"),
+            Tables.dec(col("value")))), z).cast("decimal(18,2)").as("x"),
           coalesce(sum(when(to_date(col("ts")) >= col("cut"),
-            Tables.dec(col("value")))), z).as("y"))
+            Tables.dec(col("value")))), z).cast("decimal(18,2)").as("y"))
       val arm = perUser
         .groupBy(pmod(col("user_id"), lit(2)).cast(LongType).as("arm"))
         .agg(count(lit(1)).as("n"),
@@ -409,9 +414,9 @@ object StatsOps {
           round(col("syc") / col("n"), 6).as("mean_y_cuped"),
           round((col("qyc") - col("syc") * col("syc") / col("n"))
             / (col("n") - 1), 6).as("var_y_cuped"),
-          round(lit(1.0)
+          Tables.nz(round(lit(1.0)
             - (col("qyc") - col("syc") * col("syc") / col("n"))
-            / (col("syy") - col("sy") * col("sy") / col("n")), 6)
+            / (col("syy") - col("sy") * col("sy") / col("n")), 6))
             .as("var_reduction"))
         .orderBy("arm")
     }),
@@ -449,9 +454,12 @@ object StatsOps {
           col("c1").cast(LongType).as("conv1"),
           round(col("p0"), 6).as("rate0"),
           round(col("p1"), 6).as("rate1"),
-          round((col("p1") - col("p0"))
-            / sqrt(col("p") * (lit(1.0) - col("p"))
-              * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6)
+          // nullif guards the degenerate pooled p ∈ {0, 1} (all or no users
+          // convert): the denominator is 0 and both engines must return NULL,
+          // not ±Inf/NaN — a data change away from the current fixtures
+          Tables.nz(round((col("p1") - col("p0"))
+            / sqrt(nullif(col("p") * (lit(1.0) - col("p")), lit(0.0))
+              * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6))
             .as("z_stat"),
           round((col("n0") - col("h")) * (col("n0") - col("h")) / col("h")
             + (col("n1") - col("h")) * (col("n1") - col("h")) / col("h"), 6)
@@ -484,9 +492,9 @@ object StatsOps {
         .select(round(col("hx"), 6).as("h_type"),
           round(col("hy"), 6).as("h_dow"),
           round(col("hxy"), 6).as("h_joint"),
-          round(col("mi"), 6).as("mutual_info"),
-          round(col("mi") / col("hx"), 6).as("u_type_given_dow"),
-          round(col("mi") / col("hy"), 6).as("u_dow_given_type"))
+          Tables.nz(round(col("mi"), 6)).as("mutual_info"),
+          Tables.nz(round(col("mi") / col("hx"), 6)).as("u_type_given_dow"),
+          Tables.nz(round(col("mi") / col("hy"), 6)).as("u_dow_given_type"))
     }),
 
     // Join/agg key-skew profiler — the report an engineer actually runs
@@ -655,9 +663,9 @@ object StatsOps {
         .select(col("l_returnflag"), col("n"),
           // back to dollars (the cents scaling divides out of b1/b2's
           // x-units, leaving the /100 y-rescale only)
-          round(col("det0") / col("det") / 100.0, 6).as("intercept"),
-          round(col("det1") / col("det") / 100.0, 6).as("b_quantity"),
-          round(col("det2") / col("det") / 100.0, 6).as("b_discount_pct"))
+          Tables.nz(round(col("det0") / col("det") / 100.0, 6)).as("intercept"),
+          Tables.nz(round(col("det1") / col("det") / 100.0, 6)).as("b_quantity"),
+          Tables.nz(round(col("det2") / col("det") / 100.0, 6)).as("b_discount_pct"))
         .orderBy("l_returnflag")
     }),
 
@@ -713,10 +721,10 @@ object StatsOps {
       z.agg(count(lit(1)).as("n"),
           round(avg(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p))), 6)
             .as("log_loss"))
-        .select(col("n"), round(lit(w(0)), 6).as("bias"),
-          round(lit(w(1)), 6).as("w_quantity"),
-          round(lit(w(2)), 6).as("w_discount"),
-          round(lit(w(3)), 6).as("w_tax"),
+        .select(col("n"), Tables.nz(round(lit(w(0)), 6)).as("bias"),
+          Tables.nz(round(lit(w(1)), 6)).as("w_quantity"),
+          Tables.nz(round(lit(w(2)), 6)).as("w_discount"),
+          Tables.nz(round(lit(w(3)), 6)).as("w_tax"),
           col("log_loss"))
     }),
 
@@ -775,9 +783,9 @@ object StatsOps {
         // n1·n2 in DOUBLE: the product overflows Long at ~3e9 rows/day
         .select(col("day"), col("n1"), col("n2"),
           round(col("u"), 6).as("u_stat"),
-          round((col("u") - col("n1").cast(DoubleType) * col("n2") / lit(2.0))
+          Tables.nz(round((col("u") - col("n1").cast(DoubleType) * col("n2") / lit(2.0))
             / sqrt(col("n1").cast(DoubleType) * col("n2")
-              * (col("n1") + col("n2") + 1) / lit(12.0)), 6).as("z_score"))
+              * (col("n1") + col("n2") + 1) / lit(12.0)), 6)).as("z_score"))
         .orderBy("day")
     }),
 
@@ -815,7 +823,7 @@ object StatsOps {
   def oracle: Map[String, String] = Map(
     "agg_entropy" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
-        |       round(entropy(event_type), 6) AS entropy_bits
+        |       round(entropy(event_type), 6) + 0 AS entropy_bits
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "agg_regression" ->
       """SELECT l_returnflag,
@@ -866,8 +874,8 @@ object StatsOps {
         |  FROM s)
         |SELECT l_returnflag, n, round(mean, 6) AS mean,
         |       round(m2, 6) AS var_pop,
-        |       round(m3 / (m2 * sqrt(m2)), 6) AS skew_pop,
-        |       round(m4 / (m2 * m2) - 3.0, 6) AS kurt_excess
+        |       round(m3 / (m2 * sqrt(m2)), 6) + 0 AS skew_pop,
+        |       round(m4 / (m2 * m2) - 3.0, 6) + 0 AS kurt_excess
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_weighted_median" ->
       """WITH x AS (
@@ -925,8 +933,8 @@ object StatsOps {
         |         (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
         |  FROM s WHERE n1 > 1 AND n2 > 1)
         |SELECT day, n1, n2,
-        |       round(m1 - m2, 6) AS mean_diff,
-        |       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+        |       round(m1 - m2, 6) + 0 AS mean_diff,
+        |       round((m1 - m2) / sqrt(se1 + se2), 6) + 0 AS t_stat,
         |       round((se1 + se2) * (se1 + se2)
         |             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
         |         AS df_welch
@@ -1019,7 +1027,7 @@ object StatsOps {
         |  FROM prof WHERE sqrt((q - s * s / k) / (k - 1)) > 0),
         |z AS (
         |  SELECT d2.event_type, d2.day,
-        |         round((d2.n - mu) / sd, 6) AS z
+        |         round((d2.n - mu) / sd, 6) + 0 AS z
         |  FROM d2 JOIN p2 USING (event_type, dow)),
         |pv AS (
         |  SELECT event_type, day, z,
@@ -1057,7 +1065,7 @@ object StatsOps {
         |       round((count(*) * sum(rx * ry) - sum(rx) * sum(ry))
         |             / sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx))
         |                    * (count(*) * sum(ry * ry) - sum(ry) * sum(ry))),
-        |             6) AS rho_spearman
+        |             6) + 0 AS rho_spearman
         |FROM r""".stripMargin,
     "stat_cramers_v" ->
       """WITH cells AS (
@@ -1137,9 +1145,9 @@ object StatsOps {
         |           + sy * (s1 * s12 - s11 * s2) AS det2
         |  FROM s)
         |SELECT l_returnflag, n,
-        |       round(det0 / det / 100.0, 6) AS intercept,
-        |       round(det1 / det / 100.0, 6) AS b_quantity,
-        |       round(det2 / det / 100.0, 6) AS b_discount_pct
+        |       round(det0 / det / 100.0, 6) + 0 AS intercept,
+        |       round(det1 / det / 100.0, 6) + 0 AS b_quantity,
+        |       round(det2 / det / 100.0, 6) + 0 AS b_discount_pct
         |FROM d ORDER BY l_returnflag""".stripMargin,
     // the IDENTICAL 8 gradient-descent rounds the Spark side drives with
     // driver-held weights, unrolled as chained MATERIALIZED CTEs (the
@@ -1180,8 +1188,8 @@ object StatsOps {
          |wi0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
          |$rounds
          |SELECT (SELECT count(*) FROM z) AS n,
-         |       round(b, 6) AS bias, round(w1, 6) AS w_quantity,
-         |       round(w2, 6) AS w_discount, round(w3, 6) AS w_tax,
+         |       round(b, 6) + 0 AS bias, round(w1, 6) + 0 AS w_quantity,
+         |       round(w2, 6) + 0 AS w_discount, round(w3, 6) + 0 AS w_tax,
          |       (SELECT round(avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6)
          |        FROM (SELECT y,
          |                     1.0 / (1.0 + exp(-(wi8.b + wi8.w1 * z1
@@ -1229,7 +1237,7 @@ object StatsOps {
         |       round((sum(np * (below + nn / 2.0))
         |              - sum(np) * sum(nn) / 2.0)
         |             / sqrt(sum(np) * sum(nn)
-        |                    * (sum(np) + sum(nn) + 1) / 12.0), 6) AS z_score
+        |                    * (sum(np) + sum(nn) + 1) / 12.0), 6) + 0 AS z_score
         |FROM w GROUP BY day
         |HAVING sum(np) > 0 AND sum(nn) > 0
         |ORDER BY day""".stripMargin,
@@ -1291,7 +1299,7 @@ object StatsOps {
         |       round(syc / n, 6) AS mean_y_cuped,
         |       round((qyc - syc * syc / n) / (n - 1), 6) AS var_y_cuped,
         |       round(1.0 - (qyc - syc * syc / n)
-        |             / (syy - sy * sy / n), 6) AS var_reduction
+        |             / (syy - sy * sy / n), 6) + 0 AS var_reduction
         |FROM d ORDER BY arm""".stripMargin,
     "stat_ab_proportions" ->
       """WITH u AS (
@@ -1313,8 +1321,8 @@ object StatsOps {
         |       CAST(c0 AS BIGINT) AS conv0, CAST(c1 AS BIGINT) AS conv1,
         |       round(p0, 6) AS rate0, round(p1, 6) AS rate1,
         |       round((p1 - p0)
-        |             / sqrt(p * (1 - p) * (1.0 / n0 + 1.0 / n1)), 6)
-        |         AS z_stat,
+        |             / sqrt(NULLIF(p * (1 - p), 0) * (1.0 / n0 + 1.0 / n1)),
+        |             6) + 0 AS z_stat,
         |       round((n0 - h) * (n0 - h) / h
         |             + (n1 - h) * (n1 - h) / h, 6) AS srm_chi2
         |FROM p""".stripMargin,
@@ -1344,8 +1352,8 @@ object StatsOps {
         |  FROM cells)
         |SELECT round(hx, 6) AS h_type, round(hy, 6) AS h_dow,
         |       round(hxy, 6) AS h_joint,
-        |       round(hx + hy - hxy, 6) AS mutual_info,
-        |       round((hx + hy - hxy) / hx, 6) AS u_type_given_dow,
-        |       round((hx + hy - hxy) / hy, 6) AS u_dow_given_type
+        |       round(hx + hy - hxy, 6) + 0 AS mutual_info,
+        |       round((hx + hy - hxy) / hx, 6) + 0 AS u_type_given_dow,
+        |       round((hx + hy - hxy) / hy, 6) + 0 AS u_dow_given_type
         |FROM hx CROSS JOIN hy CROSS JOIN hxy""".stripMargin)
 }

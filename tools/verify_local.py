@@ -23,6 +23,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # The driver hashes raw bytes, where -0.0 != +0.0; Python == would
+        # equate them and hide the mismatch (bit us in round 4:
+        # embed_covariance). Tag the sign of zero to match driver semantics.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
