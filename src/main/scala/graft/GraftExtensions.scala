@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(s => graft.plans.TtlEnforcement(s))
+    ext.injectResolutionRule(s => graft.plans.AsOfJoinRewrite(s))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.CosineSimilarity", "cosine_sim"),

@@ -1,0 +1,20 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShim}
+
+/** DataFrame-level entry point for the plan-level as-of join
+  * (graft.plans.AsOfJoin — see its Scaladoc for semantics and the scale
+  * contract). `probe`/`build` ts columns must already be TimestampType;
+  * build columns other than the key must not collide with probe names.
+  */
+object AsOf {
+  def join(probe: DataFrame, build: DataFrame, key: String,
+           probeTs: String, buildTs: String, buildTie: String,
+           direction: String = graft.plans.AsOfJoin.Backward,
+           toleranceMicros: Option[Long] = None): DataFrame = {
+    val node = graft.plans.AsOfJoin.build(
+      probe.queryExecution.analyzed, build.queryExecution.analyzed,
+      key, probeTs, buildTs, buildTie, direction, toleranceMicros)
+    GraftSqlShim.ofRows(probe.sparkSession, node)
+  }
+}

@@ -236,6 +236,25 @@ object RelationalOps {
         .orderBy("p_id")
     }),
 
+    // E7d: the SAME backward as-of through the PLAN-LEVEL operator
+    // (graft.plans.AsOfJoin + AsOfJoinRewrite, SURVEY.md §7.3): the query
+    // declares `AsOfJoin(probe, build, key, ts, …)` and the resolution rule
+    // owns the union-tag-sort + running-last expansion — one keyed exchange,
+    // linear state, identical semantics to `join_asof` (same oracle SQL).
+    "join_asof_plan" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      AsOf.join(purchases, clicks, key = "user_id",
+          probeTs = "ts", buildTs = "click_ts", buildTie = "click_id")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("click_ts").as("asof_click_ts"))
+        .orderBy("p_id")
+    }),
+
     // E8: cross join (tiny×tiny only — a guard rail, not a pattern).
     // Market-basket association — support/confidence/lift for part pairs
     // co-purchased in the same order (the "customers who bought A also
@@ -1028,6 +1047,17 @@ object RelationalOps {
         |  ON p_retailprice >= lo AND p_retailprice < hi
         |ORDER BY p_partkey""".stripMargin,
     "join_asof" ->
+      """SELECT p_id, p_user, p_ts, asof_click_ts FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+        |         c.ts AS asof_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    // plan-level operator, same semantics ⇒ same oracle as join_asof
+    "join_asof_plan" ->
       """SELECT p_id, p_user, p_ts, asof_click_ts FROM (
         |  SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
         |         c.ts AS asof_click_ts,
