@@ -589,6 +589,126 @@ object StatsOps {
             .as("cramers_v"))
     }),
 
+    // Pooled-variance two-sample t-test per day (ClickHouse `studentTTest`
+    // analog) — completes the test family next to `stat_welch_ttest`
+    // (Welch = unequal variances; this = classical equal-variance pooling,
+    // the version with an exact t distribution under normality). Identical
+    // raw-sum discipline: ONE conditional-agg scan yields both groups'
+    // (n, Σx, Σx²); the pooled variance
+    // sp² = ((n1−1)s1² + (n2−1)s2²)/(n1+n2−2) and t derive by the same
+    // IEEE scalar tree on both engines — never an engine's var_samp.
+    "stat_student_ttest" -> ((s, dir) => {
+      val v = col("value")
+      def g(t: String, e: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === t, e))
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("n1"),
+          g("purchase", v).as("s1"), g("purchase", v * v).as("q1"),
+          count(when(col("event_type") === "click", 1)).as("n2"),
+          g("click", v).as("s2"), g("click", v * v).as("q2"))
+        .filter(col("n1") > 1 && col("n2") > 1)
+        .withColumn("m1", col("s1") / col("n1"))
+        .withColumn("m2", col("s2") / col("n2"))
+        .withColumn("sp2",
+          ((col("q1") - col("s1") * col("s1") / col("n1"))
+            + (col("q2") - col("s2") * col("s2") / col("n2")))
+            / (col("n1") + col("n2") - 2))
+        .select(col("day"), col("n1"), col("n2"),
+          Tables.nz(round(col("m1") - col("m2"), 6)).as("mean_diff"),
+          Tables.nz(round((col("m1") - col("m2"))
+            / sqrt(col("sp2") * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6))
+            .as("t_stat"),
+          (col("n1") + col("n2") - 2).as("df"))
+        .orderBy("day")
+    }),
+
+    // Bias-corrected Cramér's V (Bergsma 2013; ClickHouse
+    // `cramersVBiasCorrected` analog): the raw V of `stat_cramers_v`
+    // overstates association in small/sparse contingency tables; the
+    // correction subtracts the expected chi-square inflation
+    // (r−1)(c−1)/(n−1) from φ² and shrinks the table dims the same way.
+    // Same scale shape as the raw key: ONE full-data contingency
+    // aggregate, then scalar algebra on the ≤ k×7 cell table.
+    "stat_cramers_v_corrected" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"), (weekday(to_date(col("ts"))) + 1).as("dow"))
+        .agg(count(lit(1)).cast(DoubleType).as("o"))
+      val t = cells.agg(sum("o").as("tot"),
+        countDistinct("event_type").cast(DoubleType).as("r"),
+        countDistinct("dow").cast(DoubleType).as("c"))
+      cells
+        .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", sum("o").over(Window.partitionBy("dow")))
+        .crossJoin(broadcast(t))
+        .withColumn("e", col("rt") * col("ct") / col("tot"))
+        .withColumn("cell",
+          (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .groupBy()
+        .agg(max(col("tot")).as("n"), max(col("r")).as("r"),
+          max(col("c")).as("c"), sum("cell").as("chi2"))
+        .withColumn("phi2", col("chi2") / col("n"))
+        .withColumn("phi2c", greatest(lit(0.0),
+          col("phi2") - (col("r") - 1) * (col("c") - 1) / (col("n") - 1)))
+        .withColumn("rc", col("r") - (col("r") - 1) * (col("r") - 1) / (col("n") - 1))
+        .withColumn("cc", col("c") - (col("c") - 1) * (col("c") - 1) / (col("n") - 1))
+        .select(
+          col("n").cast(LongType).as("n_events"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("phi2") / (least(col("r"), col("c")) - 1)), 6)
+            .as("v_raw"),
+          round(sqrt(col("phi2c") / (least(col("rc"), col("cc")) - 1)), 6)
+            .as("v_corrected"))
+    }),
+
+    // A/B minimum-sample-size calculators (ClickHouse
+    // `minSampleSizeConversion` / `minSampleSizeContinuous` analogs) — the
+    // pre-experiment power analysis an experimentation platform serves
+    // next to the readouts (stat_ab_proportions / stat_cuped): at α=0.05
+    // (two-sided) and power 0.8, how many users per arm to detect a 2 pp
+    // conversion lift, and how many to detect a 5% relative shift of the
+    // per-user mean? Baselines come from the data by the SAME per-user
+    // definitions the readout keys use (exact integers / DECIMAL sums), so
+    // the z-formula inputs are bit-identical on both engines; the normal
+    // quantiles are shared literals. Full-data cost is the one per-user
+    // reduce; the calculator itself is scalar algebra on a 1-row frame.
+    "stat_min_sample_size" -> ((s, dir) => {
+      val za = lit(1.9599639845400545) // z_{0.025}
+      val zb = lit(0.8416212335729143) // z_{0.20} (power 0.8)
+      val mde = lit(0.02)              // +2 pp conversion lift
+      val rel = lit(0.05)              // 5% relative mean shift
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "purchase"
+              && col("value") >= 100, 1).otherwise(0)).as("conv"),
+          coalesce(sum(Tables.dec(col("value"))),
+            lit(0).cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
+      perUser.agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum("conv").cast(DoubleType).as("c"),
+          sum(col("y")).cast(DoubleType).as("sy"),
+          sum(col("y") * col("y")).cast(DoubleType).as("qy"))
+        .withColumn("p1", col("c") / col("n"))
+        .withColumn("p2", col("p1") + mde)
+        .withColumn("my", col("sy") / col("n"))
+        .withColumn("vy",
+          (col("qy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))
+        .select(
+          col("n").cast(LongType).as("n_users"),
+          round(col("p1"), 6).as("p_base"),
+          ceil((za + zb) * (za + zb)
+            * (col("p1") * (lit(1.0) - col("p1"))
+              + col("p2") * (lit(1.0) - col("p2")))
+            / (mde * mde)).cast(LongType).as("n_per_arm_conversion"),
+          round(col("my"), 6).as("mean_y"),
+          round(sqrt(col("vy")), 6).as("sd_y"),
+          ceil(lit(2.0) * (za + zb) * (za + zb) * col("vy")
+            / (rel * col("my") * rel * col("my"))).cast(LongType)
+            .as("n_per_arm_continuous"))
+    }),
+
     // Per-day ROC AUC of `value` as a purchase-vs-click classifier score
     // (ClickHouse `arrayAUC` analog) via the tie-aware rank identity
     // AUC = Σ_s np(s)·(NN_below(s) + nn(s)/2) / (NP·NN). The formulation
@@ -939,6 +1059,91 @@ object StatsOps {
         |             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
         |         AS df_welch
         |FROM m ORDER BY day""".stripMargin,
+    // identical pooled-variance raw-sum algebra on both engines
+    "stat_student_ttest" ->
+      """WITH s AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         count(*) FILTER (event_type = 'purchase') AS n1,
+        |         sum(value) FILTER (event_type = 'purchase') AS s1,
+        |         sum(value * value) FILTER (event_type = 'purchase') AS q1,
+        |         count(*) FILTER (event_type = 'click') AS n2,
+        |         sum(value) FILTER (event_type = 'click') AS s2,
+        |         sum(value * value) FILTER (event_type = 'click') AS q2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+        |         ((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2))
+        |           / (n1 + n2 - 2) AS sp2
+        |  FROM s WHERE n1 > 1 AND n2 > 1)
+        |SELECT day, n1, n2,
+        |       round(m1 - m2, 6) + 0 AS mean_diff,
+        |       round((m1 - m2) / sqrt(sp2 * (1.0 / n1 + 1.0 / n2)), 6) + 0
+        |         AS t_stat,
+        |       n1 + n2 - 2 AS df
+        |FROM m ORDER BY day""".stripMargin,
+    "stat_cramers_v_corrected" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts) AS dow,
+        |         CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT sum(o) AS tot,
+        |         CAST(count(DISTINCT event_type) AS DOUBLE) AS r,
+        |         CAST(count(DISTINCT dow) AS DOUBLE) AS c
+        |  FROM cells),
+        |x AS (
+        |  SELECT o,
+        |         sum(o) OVER (PARTITION BY event_type) AS rt,
+        |         sum(o) OVER (PARTITION BY dow) AS ct
+        |  FROM cells),
+        |a AS (
+        |  SELECT max(tot) AS n, max(r) AS r, max(c) AS c,
+        |         sum((o - rt * ct / tot) * (o - rt * ct / tot)
+        |             / (rt * ct / tot)) AS chi2
+        |  FROM x CROSS JOIN t),
+        |b AS (
+        |  SELECT *, chi2 / n AS phi2,
+        |         greatest(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1)) AS phi2c,
+        |         r - (r - 1) * (r - 1) / (n - 1) AS rc,
+        |         c - (c - 1) * (c - 1) / (n - 1) AS cc
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_events,
+        |       round(chi2, 6) AS chi2,
+        |       round(sqrt(phi2 / (least(r, c) - 1)), 6) AS v_raw,
+        |       round(sqrt(phi2c / (least(rc, cc) - 1)), 6) AS v_corrected
+        |FROM b""".stripMargin,
+    // same per-user definitions as stat_ab_proportions / stat_cuped; the
+    // normal quantiles are shared literals so the scalar trees match
+    "stat_min_sample_size" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' AND value >= 100
+        |             THEN 1 ELSE 0 END) AS conv,
+        |         CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
+        |              AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(conv) AS DOUBLE) AS c,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(y * y) AS DOUBLE) AS qy
+        |  FROM u),
+        |b AS (
+        |  SELECT n, c / n AS p1, c / n + 0.02 AS p2, sy / n AS my,
+        |         (qy - sy * sy / n) / (n - 1) AS vy
+        |  FROM a),
+        |z AS (SELECT 1.9599639845400545 + 0.8416212335729143 AS zs)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |       round(p1, 6) AS p_base,
+        |       CAST(ceil(zs * zs * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        |                 / (0.02 * 0.02)) AS BIGINT)
+        |         AS n_per_arm_conversion,
+        |       round(my, 6) AS mean_y,
+        |       round(sqrt(vy), 6) AS sd_y,
+        |       CAST(ceil(2.0 * zs * zs * vy
+        |                 / (0.05 * my * 0.05 * my)) AS BIGINT)
+        |         AS n_per_arm_continuous
+        |FROM b CROSS JOIN z""".stripMargin,
     "profile_key_skew" ->
       """WITH cu AS (
         |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n

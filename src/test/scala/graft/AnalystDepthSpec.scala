@@ -782,4 +782,93 @@ class AnalystDepthSpec extends SparkSpec {
     assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
     assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1)
   }
+
+  test("stat_student_ttest equals the textbook pooled-variance t per day") {
+    val byDay = expRows.groupBy(_._2)
+    val got = SparkEntry.queries("stat_student_ttest")(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    var checked = 0
+    for ((day, rs) <- byDay) {
+      val a = rs.filter(_._4 == "purchase").map(_._3.toDouble)
+      val b = rs.filter(_._4 == "click").map(_._3.toDouble)
+      if (a.length > 1 && b.length > 1) {
+        val (n1, n2) = (a.length, b.length)
+        val (m1, m2) = (a.sum / n1, b.sum / n2)
+        def ss(xs: Seq[Double], m: Double) = xs.map(x => (x - m) * (x - m)).sum
+        val sp2 = (ss(a, m1) + ss(b, m2)) / (n1 + n2 - 2)
+        val t = (m1 - m2) / math.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+        val (gn1, gn2, gdiff, gt, gdf) = got(day)
+        assert(gn1 == n1 && gn2 == n2, s"$day counts")
+        assert(math.abs(gdiff - r6(m1 - m2)) <= 2e-6, s"$day mean_diff")
+        assert(math.abs(gt - r6(t)) <= 2e-6, s"$day t_stat")
+        assert(gdf == n1 + n2 - 2, s"$day df")
+        checked += 1
+      }
+    }
+    assert(checked > 5, s"only $checked days checked")
+    // pooled t and Welch t must agree in sign day-by-day
+    val welch = SparkEntry.queries("stat_welch_ttest")(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getDouble(4)).toMap
+    for ((day, (_, _, _, t, _)) <- got if welch.contains(day))
+      assert(t.sign == welch(day).sign || t == 0.0 || welch(day) == 0.0,
+        s"$day pooled vs Welch sign")
+  }
+
+  test("stat_cramers_v_corrected matches the Bergsma correction and shrinks V") {
+    val cells = expRows.groupBy(r =>
+      (r._4, r._2.getDayOfWeek.getValue)).map { case (k, rs) => k -> rs.size }
+    val n = cells.values.sum.toDouble
+    val rowT = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val colT = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val (rr, cc) = (rowT.size.toDouble, colT.size.toDouble)
+    var chi2 = 0.0
+    for (((et, dow), o) <- cells) {
+      val e = rowT(et) * colT(dow) / n
+      chi2 += (o - e) * (o - e) / e
+    }
+    val phi2 = chi2 / n
+    val phi2c = math.max(0.0, phi2 - (rr - 1) * (cc - 1) / (n - 1))
+    val rc = rr - (rr - 1) * (rr - 1) / (n - 1)
+    val ccd = cc - (cc - 1) * (cc - 1) / (n - 1)
+    val vRaw = math.sqrt(phi2 / (math.min(rr, cc) - 1))
+    val vCorr = math.sqrt(phi2c / (math.min(rc, ccd) - 1))
+    val r = SparkEntry.queries("stat_cramers_v_corrected")(spark, sf).collect().head
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - r6(chi2)) <= 2e-6, "chi2")
+    assert(math.abs(r.getDouble(2) - r6(vRaw)) <= 2e-6, "v_raw")
+    assert(math.abs(r.getDouble(3) - r6(vCorr)) <= 2e-6, "v_corrected")
+    // the correction can only shrink, and both stay in [0, 1]
+    assert(r.getDouble(3) <= r.getDouble(2) + 1e-9)
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+  }
+
+  test("stat_min_sample_size equals the closed-form two-arm calculators") {
+    val perUser = expRows.groupBy(_._1).map { case (u, rs) =>
+      val conv = if (rs.exists(r => r._4 == "purchase" && r._3 >= 100)) 1 else 0
+      (u, conv, rs.map(_._3).sum)
+    }.toSeq
+    val n = perUser.size.toDouble
+    val p1 = perUser.map(_._2).sum / n
+    val p2 = p1 + 0.02
+    val ys = perUser.map(_._3.toDouble)
+    val my = ys.sum / n
+    val vy = ys.map(y => (y - my) * (y - my)).sum / (n - 1)
+    val zs = 1.9599639845400545 + 0.8416212335729143
+    val nConv = math.ceil(zs * zs * (p1 * (1 - p1) + p2 * (1 - p2)) / (0.02 * 0.02)).toLong
+    val nCont = math.ceil(2.0 * zs * zs * vy / (0.05 * my * 0.05 * my)).toLong
+    val r = SparkEntry.queries("stat_min_sample_size")(spark, sf).collect().head
+    assert(r.getLong(0) == n.toLong, "n_users")
+    assert(math.abs(r.getDouble(1) - r6(p1)) <= 1e-9, "p_base")
+    // variance algebra differs (raw sums vs two-pass): allow the ceil to
+    // move by one user at the boundary
+    assert(math.abs(r.getLong(2) - nConv) <= 1, "n_per_arm_conversion")
+    assert(math.abs(r.getDouble(3) - r6(my)) <= 2e-6, "mean_y")
+    assert(math.abs(r.getLong(5) - nCont) <= 1, "n_per_arm_continuous")
+    // detecting a smaller lift must need more users than a larger one:
+    // the calculator is inversely quadratic in the effect size
+    assert(r.getLong(2) > (zs * zs * (p1 * (1 - p1) + p2 * (1 - p2)) / (0.04 * 0.04)).toLong)
+  }
 }
