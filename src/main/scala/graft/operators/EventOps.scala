@@ -1104,6 +1104,38 @@ object EventOps {
         .orderBy("event_type", "day")
     }),
 
+    // EVENT-TIME exponentially-decayed average per user (ClickHouse
+    // `exponentialTimeDecayedAvg` analog; τ = 1 h) — the recency-weighted
+    // engagement score where the weight is e^{−Δt/τ} of the REAL gap, not
+    // a row offset (the sibling of row-kernel `window_ema`). The infinite
+    // recurrence is inherently sequential and its prefix-sum rewrite
+    // (Σ v·e^{t/τ} running sums) is summation-ORDER-sensitive across
+    // engines; the 8-tap truncated kernel instead sums in fixed j=0..7
+    // order on both engines (the window_ema discipline) — the dropped
+    // tail is < e^{−Δt₈/τ} of the weight mass, and the kernel is 8 lag()
+    // taps riding ONE keyed window exchange, mergeable and restartable.
+    "window_time_decay" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val tauUs = 3.6e9 // 1 hour in µs
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+      val terms = (0 until 8).map { j =>
+        val vj = lag(col("value"), j).over(w)
+        val tj = lag(col("t"), j).over(w)
+        val wt = exp((tj - col("t")).cast(DoubleType) / lit(tauUs))
+        (when(vj.isNotNull, vj * wt).otherwise(lit(0.0)),
+          when(vj.isNotNull, wt).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      base
+        .withColumn("decayed_avg", round(num / den, 6))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("decayed_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Interval join, banded — the scale-safe phrasing of "assign every
     // event to the global error-incident window covering it". A naive
     // interval join has no equality key and plans as a nested loop; the
@@ -1454,6 +1486,27 @@ object EventOps {
          |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
          |SELECT event_type, day, n, round(($num) / ($den), 6) AS ema
          |FROM l ORDER BY event_type, day""".stripMargin
+    },
+    // fixed j=0..7 left-to-right tap summation mirrors the Spark reduce;
+    // exp() libm-vs-duckdb ulps « round(6)
+    "window_time_decay" -> {
+      val num = (0 until 8).map(j =>
+        s"CASE WHEN v$j IS NOT NULL THEN v$j * exp((t$j - t) / 3.6e9) ELSE 0.0 END")
+        .mkString(" + ")
+      val den = (0 until 8).map(j =>
+        s"CASE WHEN v$j IS NOT NULL THEN exp((t$j - t) / 3.6e9) ELSE 0.0 END")
+        .mkString(" + ")
+      val lags = (0 until 8).map(j =>
+        s"lag(value, $j) OVER w AS v$j, lag(t, $j) OVER w AS t$j").mkString(", ")
+      s"""WITH b AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS t, value
+         |  FROM events),
+         |l AS (
+         |  SELECT user_id, event_id, value, t, $lags
+         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+         |SELECT user_id, event_id, value,
+         |       round(($num) / ($den), 6) AS decayed_avg
+         |FROM l ORDER BY user_id, event_id""".stripMargin
     },
     "join_interval_bucketed" ->
       """WITH err AS (

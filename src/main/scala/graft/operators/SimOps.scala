@@ -426,6 +426,36 @@ object SimOps {
         .orderBy("i", "j")
     }),
 
+    // Correlation matrix of the embedding corpus (ClickHouse `corrMatrix`
+    // analog) — the scale-free sibling of `embed_covariance`, and the
+    // standard "which dimensions are redundant?" diagnostic before
+    // whitening/truncation. SAME single CoMoment exchange (O(d²) state,
+    // one aggregate row); corr_ij = cov_ij / √(cov_ii·cov_jj) derives
+    // per-pair from the broadcast moment buffer via three element_at
+    // probes — the corpus is scanned exactly once however many of these
+    // matrix keys run.
+    "embed_correlation" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.api.coMoment
+      val d = 64
+      val m = vecs(s, dir).agg(coMoment(col("v"), d).as("m"))
+      def idx(i: Column, j: Column): Column =
+        (lit(1 + d) + i * (lit(2 * d) - i + 1) / 2 + (j - i) + 1).cast(IntegerType)
+      val pairs = (for { i <- 0 until d; j <- i until d } yield
+        (i.toLong, j.toLong)).toDF("i", "j")
+      val n = element_at(col("m"), 1)
+      def rawCov(i: Column, j: Column): Column =
+        element_at(col("m"), idx(i, j)) / n -
+          (element_at(col("m"), i.cast(IntegerType) + 2) / n) *
+          (element_at(col("m"), j.cast(IntegerType) + 2) / n)
+      pairs.crossJoin(broadcast(m))
+        .select(col("i"), col("j"),
+          Tables.nz(round(rawCov(col("i"), col("j"))
+            / sqrt(rawCov(col("i"), col("i")) * rawCov(col("j"), col("j"))), 6))
+            .as("corr"))
+        .orderBy("i", "j")
+    }),
+
     // Top-principal-component projection of the corpus — the embedding
     // whitening / decorrelation step of a training pipeline. The heavy
     // lifting is ONE CoMoment aggregate (O(d²) state, one exchange); the
@@ -730,6 +760,24 @@ object SimOps {
         |             6) + 0 AS cov
         |FROM p CROSS JOIN e
         |GROUP BY i, j ORDER BY i, j""".stripMargin,
+    // same raw-sum covariance algebra as embed_covariance, normalized by
+    // the diagonal — summation-order ulps « round(6)
+    "embed_correlation" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.range AS i, b.range AS j
+        |      FROM range(64) a, range(64) b WHERE a.range <= b.range),
+        |c AS (
+        |  SELECT i, j,
+        |         sum(v[i+1] * v[j+1]) / count(*)
+        |           - (sum(v[i+1]) / count(*)) * (sum(v[j+1]) / count(*)) AS cv
+        |  FROM p CROSS JOIN e
+        |  GROUP BY i, j),
+        |d AS (SELECT i, cv AS dv FROM c WHERE i = j)
+        |SELECT c.i, c.j,
+        |       round(c.cv / sqrt(di.dv * dj.dv), 6) + 0 AS corr
+        |FROM c JOIN d di ON di.i = c.i JOIN d dj ON dj.i = c.j
+        |ORDER BY c.i, c.j""".stripMargin,
     "multimodal_struct" ->
       """SELECT doc_id, lang, label,
         |       CAST(len(embedding) AS BIGINT) AS dim,

@@ -709,6 +709,38 @@ object StatsOps {
             .as("n_per_arm_continuous"))
     }),
 
+    // Weight-of-Evidence / Information Value per category (the
+    // credit-scoring / feature-selection staple a feature platform
+    // computes before model training): WoE_c = ln((good_c/G)/(bad_c/B)),
+    // IV = Σ (good_c/G − bad_c/B)·WoE_c, label = high-value event
+    // (value ≥ 100), category = event_type. Counts are exact integers
+    // from ONE conditional-agg scan; the share algebra runs on the
+    // |categories|-row table (window over the whole tiny frame). The
+    // standard degenerate-category rule is pinned identically on both
+    // engines: categories with zero goods or zero bads are dropped
+    // (WoE would be ±∞), never smoothed silently.
+    "ml_woe_iv" -> ((s, dir) => {
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(when(col("value") >= 100, 1)).as("n_good"),
+          count(when(col("value") < 100, 1)).as("n_bad"))
+        .filter(col("n_good") > 0 && col("n_bad") > 0)
+        .withColumn("gshare",
+          col("n_good").cast(DoubleType) / sum("n_good").over(all))
+        .withColumn("bshare",
+          col("n_bad").cast(DoubleType) / sum("n_bad").over(all))
+        .withColumn("woe", log(col("gshare") / col("bshare")))
+        .withColumn("iv_term", (col("gshare") - col("bshare")) * col("woe"))
+        .select(col("event_type"), col("n_good"), col("n_bad"),
+          Tables.nz(round(col("woe"), 6)).as("woe"),
+          Tables.nz(round(col("iv_term"), 6)).as("iv_term"),
+          round(sum("iv_term").over(all), 6).as("iv_total"))
+        .orderBy("event_type")
+    }),
+
     // Per-day ROC AUC of `value` as a purchase-vs-click classifier score
     // (ClickHouse `arrayAUC` analog) via the tie-aware rank identity
     // AUC = Σ_s np(s)·(NN_below(s) + nn(s)/2) / (NP·NN). The formulation
@@ -1059,6 +1091,30 @@ object StatsOps {
         |             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
         |         AS df_welch
         |FROM m ORDER BY day""".stripMargin,
+    // exact integer counts; identical share/ln algebra; the zero-good /
+    // zero-bad drop rule is pinned on both engines
+    "ml_woe_iv" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         count(*) FILTER (value >= 100) AS n_good,
+        |         count(*) FILTER (value < 100) AS n_bad
+        |  FROM events GROUP BY 1
+        |  HAVING count(*) FILTER (value >= 100) > 0
+        |     AND count(*) FILTER (value < 100) > 0),
+        |s AS (
+        |  SELECT event_type, n_good, n_bad,
+        |         CAST(n_good AS DOUBLE) / sum(n_good) OVER () AS gshare,
+        |         CAST(n_bad AS DOUBLE) / sum(n_bad) OVER () AS bshare
+        |  FROM c),
+        |w AS (
+        |  SELECT *, ln(gshare / bshare) AS woe,
+        |         (gshare - bshare) * ln(gshare / bshare) AS iv_term
+        |  FROM s)
+        |SELECT event_type, n_good, n_bad,
+        |       round(woe, 6) + 0 AS woe,
+        |       round(iv_term, 6) + 0 AS iv_term,
+        |       round(sum(iv_term) OVER (), 6) AS iv_total
+        |FROM w ORDER BY event_type""".stripMargin,
     // identical pooled-variance raw-sum algebra on both engines
     "stat_student_ttest" ->
       """WITH s AS (

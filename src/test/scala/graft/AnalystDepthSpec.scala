@@ -871,4 +871,83 @@ class AnalystDepthSpec extends SparkSpec {
     // the calculator is inversely quadratic in the effect size
     assert(r.getLong(2) > (zs * zs * (p1 * (1 - p1) + p2 * (1 - p2)) / (0.04 * 0.04)).toLong)
   }
+
+  test("ml_woe_iv equals the textbook WoE/IV shares and sign rule") {
+    val byType = expRows.groupBy(_._4).map { case (t, rs) =>
+      t -> ((rs.count(_._3 >= 100), rs.count(_._3 < 100)))
+    }.filter { case (_, (g, b)) => g > 0 && b > 0 }
+    val tg = byType.values.map(_._1).sum.toDouble
+    val tb = byType.values.map(_._2).sum.toDouble
+    val rows = SparkEntry.queries("ml_woe_iv")(spark, sf).collect()
+    assert(rows.length == byType.size)
+    var ivSum = 0.0
+    for (r <- rows) {
+      val (g, b) = byType(r.getString(0))
+      assert(r.getLong(1) == g && r.getLong(2) == b)
+      val (gs, bs) = (g / tg, b / tb)
+      val woe = math.log(gs / bs)
+      assert(math.abs(r.getDouble(3) - r6(woe)) <= 2e-6, s"${r.getString(0)} woe")
+      assert(math.abs(r.getDouble(4) - r6((gs - bs) * woe)) <= 2e-6, "iv_term")
+      // sign rule: over-represented goods ⇒ positive WoE
+      assert((gs > bs) == (r.getDouble(3) > 0) || r.getDouble(3) == 0.0)
+      assert(r.getDouble(4) >= 0.0, "IV contributions are non-negative")
+      ivSum += (gs - bs) * woe
+    }
+    assert(math.abs(rows.head.getDouble(5) - r6(ivSum)) <= 2e-6, "iv_total")
+  }
+
+  test("embed_correlation: unit diagonal, [-1,1] range, matches Pearson") {
+    val rows = SparkEntry.queries("embed_correlation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 65 * 64 / 2)
+    for (i <- 0 until 64) assert(rows((i.toLong, i.toLong)) == 1.0, s"diag $i")
+    assert(rows.values.forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+    // independent Pearson recompute for a few pairs from the raw vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    def corr(i: Int, j: Int): Double = {
+      val (xi, xj) = (vecs.map(_(i)), vecs.map(_(j)))
+      val (mi, mj) = (xi.sum / n, xj.sum / n)
+      val cov = xi.zip(xj).map { case (a, b) => (a - mi) * (b - mj) }.sum / n
+      val (vi, vj) = (xi.map(a => (a - mi) * (a - mi)).sum / n,
+        xj.map(a => (a - mj) * (a - mj)).sum / n)
+      cov / math.sqrt(vi * vj)
+    }
+    for ((i, j) <- Seq((0, 1), (5, 9), (10, 63), (31, 32)))
+      assert(math.abs(rows((i.toLong, j.toLong)) - r6(corr(i, j))) <= 5e-6,
+        s"corr($i,$j)")
+  }
+
+  test("window_time_decay equals the sequential 8-tap event-time kernel") {
+    val perUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("window_time_decay")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    var checked = 0
+    for ((u, rows) <- perUser) {
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      for (i <- ordered.indices) {
+        val taps = (0 until 8).flatMap { j =>
+          if (i - j >= 0) {
+            val (_, _, tj, vj) = ordered(i - j)
+            Some((vj, math.exp((tj - ordered(i)._3).toDouble / 3.6e9)))
+          } else None
+        }
+        val want = taps.map(t => t._1 * t._2).sum / taps.map(_._2).sum
+        val g = got((u, ordered(i)._2))
+        assert(math.abs(g - r6(want)) <= 2e-6, s"user $u event ${ordered(i)._2}")
+        // a weighted average stays inside the window's value range
+        val vs = taps.map(_._1)
+        assert(g >= vs.min - 1e-6 && g <= vs.max + 1e-6)
+        checked += 1
+      }
+    }
+    assert(checked > 500, s"only $checked rows checked")
+  }
 }
