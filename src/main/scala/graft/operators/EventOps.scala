@@ -1104,6 +1104,36 @@ object EventOps {
         .orderBy("event_type", "day")
     }),
 
+    // Bounding ratio per user (ClickHouse `boundingRatio` analog): the
+    // slope between the FIRST and LAST point of the (t, value) series —
+    // the cheapest "net rate of change" a counter/gauge dashboard reads
+    // (e.g. value-per-second drift over the whole observation span).
+    // first/last ride ONE keyed full-frame window (same exchange the
+    // other per-user series keys use); the per-user division happens on
+    // the |users|-row reduce. Single-point users yield NULL via the
+    // pinned NULLIF (zero span), never ±Inf.
+    "event_bounding_ratio" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t"), col("value"))
+        .withColumn("fv", first("value").over(w))
+        .withColumn("lv", last("value").over(w))
+        .withColumn("ft", first("t").over(w))
+        .withColumn("lt", last("t").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max("fv").as("fv"), max("lv").as("lv"),
+          max("ft").as("ft"), max("lt").as("lt"))
+        .select(col("user_id"), col("n_events"),
+          round((col("lt") - col("ft")).cast(DoubleType) / 1e6, 6).as("span_s"),
+          Tables.nz(round((col("lv") - col("fv"))
+            / nullif((col("lt") - col("ft")).cast(DoubleType) / 1e6, lit(0.0)),
+            6)).as("rate_per_s"))
+        .orderBy("user_id")
+    }),
+
     // EVENT-TIME exponentially-decayed average per user (ClickHouse
     // `exponentialTimeDecayedAvg` analog; τ = 1 h) — the recency-weighted
     // engagement score where the weight is e^{−Δt/τ} of the REAL gap, not
@@ -1487,6 +1517,28 @@ object EventOps {
          |SELECT event_type, day, n, round(($num) / ($den), 6) AS ema
          |FROM l ORDER BY event_type, day""".stripMargin
     },
+    // identical first/last full-frame windows; NULLIF pins the
+    // single-point-user (zero-span) rule on both engines
+    "event_bounding_ratio" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, value
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |         first_value(value) OVER win AS fv,
+        |         last_value(value) OVER win AS lv,
+        |         first_value(t) OVER win AS ft,
+        |         last_value(t) OVER win AS lt
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, count(*) AS n_events,
+        |       round(CAST(max(lt) - max(ft) AS DOUBLE) / 1e6, 6) AS span_s,
+        |       round((max(lv) - max(fv))
+        |             / NULLIF(CAST(max(lt) - max(ft) AS DOUBLE) / 1e6, 0.0),
+        |             6) + 0 AS rate_per_s
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     // fixed j=0..7 left-to-right tap summation mirrors the Spark reduce;
     // exp() libm-vs-duckdb ulps « round(6)
     "window_time_decay" -> {

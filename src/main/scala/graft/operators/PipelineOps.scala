@@ -339,6 +339,35 @@ object PipelineOps {
         .option("mode", "FAILFAST") // corrupt interchange data fails loudly
         .csv(path)
         .orderBy("event_id")
+    }),
+
+    // NDJSON sink + source round-trip — the reference's NATIVE interchange
+    // format (gh-archive hour files ARE gzipped NDJSON;
+    // ref: internal/gh/gh.go:92-125 decodes one JSON event per line). The
+    // write is a line-per-row JSON lake a downstream non-Spark consumer
+    // can tail; the read back proves schema-first parsing (FAILFAST, µs
+    // timestamp format pinned on both sides — the default format writes
+    // only millis and would silently truncate). Same OpCache discipline as
+    // the CSV/ORC sinks: the lake is built once per (JVM, scale), the
+    // query measures the read path.
+    "sink_json_roundtrip" -> ((s, dir) => {
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      val path = OpCache.once(dir + "#json_sink") {
+        val out = scratch(dir, "events_json")
+        Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .write.mode("overwrite")
+          .option("timestampFormat", tsFmt)
+          .json(out)
+        out
+      }
+      s.read
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .option("timestampFormat", tsFmt)
+        .option("mode", "FAILFAST")
+        .json(path)
+        .orderBy("event_id")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -427,6 +456,9 @@ object PipelineOps {
         |WHERE ts BETWEEN TIMESTAMP '2024-01-01 06:00:00' AND TIMESTAMP '2024-01-01 18:00:00'
         |ORDER BY event_id""".stripMargin,
     "sink_csv_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+    "sink_json_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
     "sink_partition_overwrite_day" ->

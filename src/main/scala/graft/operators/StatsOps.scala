@@ -662,6 +662,39 @@ object StatsOps {
             .as("v_corrected"))
     }),
 
+    // The remaining classical association coefficients over the same
+    // event-type × weekday contingency table: φ (mean-square contingency),
+    // Pearson's C = √(χ²/(χ²+n)), Tschuprow's T = √(φ²/√((r−1)(c−1))) —
+    // completing the family next to raw/bias-corrected Cramér's V (the
+    // four are NOT interchangeable: C saturates below 1, T penalizes
+    // rectangular tables). Same shape: ONE contingency aggregate, scalar
+    // algebra on the k×7 cell table.
+    "stat_association_coeffs" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type"), (weekday(to_date(col("ts"))) + 1).as("dow"))
+        .agg(count(lit(1)).cast(DoubleType).as("o"))
+      val t = cells.agg(sum("o").as("tot"),
+        countDistinct("event_type").cast(DoubleType).as("r"),
+        countDistinct("dow").cast(DoubleType).as("c"))
+      cells
+        .withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("ct", sum("o").over(Window.partitionBy("dow")))
+        .crossJoin(broadcast(t))
+        .withColumn("e", col("rt") * col("ct") / col("tot"))
+        .withColumn("cell",
+          (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .groupBy()
+        .agg(max(col("tot")).as("n"), max(col("r")).as("r"),
+          max(col("c")).as("c"), sum("cell").as("chi2"))
+        .select(
+          col("n").cast(LongType).as("n_events"),
+          round(sqrt(col("chi2") / col("n")), 6).as("phi"),
+          round(sqrt(col("chi2") / (col("chi2") + col("n"))), 6)
+            .as("contingency_c"),
+          round(sqrt(col("chi2") / col("n")
+            / sqrt((col("r") - 1) * (col("c") - 1))), 6).as("tschuprow_t"))
+    }),
+
     // A/B minimum-sample-size calculators (ClickHouse
     // `minSampleSizeConversion` / `minSampleSizeContinuous` analogs) — the
     // pre-experiment power analysis an experimentation platform serves
@@ -1168,6 +1201,32 @@ object StatsOps {
         |       round(sqrt(phi2 / (least(r, c) - 1)), 6) AS v_raw,
         |       round(sqrt(phi2c / (least(rc, cc) - 1)), 6) AS v_corrected
         |FROM b""".stripMargin,
+    "stat_association_coeffs" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts) AS dow,
+        |         CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT sum(o) AS tot,
+        |         CAST(count(DISTINCT event_type) AS DOUBLE) AS r,
+        |         CAST(count(DISTINCT dow) AS DOUBLE) AS c
+        |  FROM cells),
+        |x AS (
+        |  SELECT o,
+        |         sum(o) OVER (PARTITION BY event_type) AS rt,
+        |         sum(o) OVER (PARTITION BY dow) AS ct
+        |  FROM cells),
+        |a AS (
+        |  SELECT max(tot) AS n, max(r) AS r, max(c) AS c,
+        |         sum((o - rt * ct / tot) * (o - rt * ct / tot)
+        |             / (rt * ct / tot)) AS chi2
+        |  FROM x CROSS JOIN t)
+        |SELECT CAST(n AS BIGINT) AS n_events,
+        |       round(sqrt(chi2 / n), 6) AS phi,
+        |       round(sqrt(chi2 / (chi2 + n)), 6) AS contingency_c,
+        |       round(sqrt(chi2 / n / sqrt((r - 1) * (c - 1))), 6)
+        |         AS tschuprow_t
+        |FROM a""".stripMargin,
     // same per-user definitions as stat_ab_proportions / stat_cuped; the
     // normal quantiles are shared literals so the scalar trees match
     "stat_min_sample_size" ->

@@ -950,4 +950,59 @@ class AnalystDepthSpec extends SparkSpec {
     }
     assert(checked > 500, s"only $checked rows checked")
   }
+
+  test("event_bounding_ratio equals (last-first)/span over the ordered series") {
+    val perUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("event_bounding_ratio")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got.size == perUser.size)
+    for ((u, rows) <- perUser) {
+      val o = rows.sortBy(r => (r._3, r._2))
+      val span = (o.last._3 - o.head._3).toDouble / 1e6
+      val (gn, gspan, grate) = got(u)
+      assert(gn == rows.size)
+      assert(math.abs(gspan - r6(span)) <= 1e-6)
+      if (span == 0.0) assert(grate.isEmpty, s"user $u zero span must be NULL")
+      else assert(math.abs(grate.get - r6((o.last._4 - o.head._4) / span)) <= 2e-6)
+    }
+  }
+
+  test("stat_association_coeffs equals the textbook phi/C/T and orders sanely") {
+    val cells = expRows.groupBy(r =>
+      (r._4, r._2.getDayOfWeek.getValue)).map { case (k, rs) => k -> rs.size }
+    val n = cells.values.sum.toDouble
+    val rowT = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val colT = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    var chi2 = 0.0
+    for (((et, dow), o) <- cells) {
+      val e = rowT(et) * colT(dow) / n
+      chi2 += (o - e) * (o - e) / e
+    }
+    val (rr, cc) = (rowT.size.toDouble, colT.size.toDouble)
+    val r = SparkEntry.queries("stat_association_coeffs")(spark, sf).collect().head
+    assert(r.getLong(0) == n.toLong)
+    assert(math.abs(r.getDouble(1) - r6(math.sqrt(chi2 / n))) <= 2e-6, "phi")
+    assert(math.abs(r.getDouble(2) - r6(math.sqrt(chi2 / (chi2 + n)))) <= 2e-6, "C")
+    assert(math.abs(r.getDouble(3) -
+      r6(math.sqrt(chi2 / n / math.sqrt((rr - 1) * (cc - 1))))) <= 2e-6, "T")
+    // C < 1 always; T <= phi for tables larger than 2x2
+    assert(r.getDouble(2) < 1.0)
+    assert(r.getDouble(3) <= r.getDouble(1) + 1e-9)
+  }
+
+  test("sink_json_roundtrip preserves every row bit-exactly") {
+    val src = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val back = SparkEntry.queries("sink_json_roundtrip")(spark, sf)
+    assert(back.count() == src.count())
+    assert(back.except(src).count() == 0 && src.except(back).count() == 0,
+      "NDJSON round-trip must lose nothing (timestamp µs format pinned)")
+  }
 }
