@@ -183,4 +183,84 @@ object StateOps {
             out.result().iterator
           }
       }
+
+  case class ClickState(t: Long, id: Long)
+  case class AsOfMatch(user_id: Long, p_id: Long, p_ts: Timestamp,
+                       click_ts: Option[Timestamp])
+
+  private implicit val clkEnc: Encoder[ClickState] = Encoders.product[ClickState]
+  private implicit val amEnc: Encoder[AsOfMatch] = Encoders.product[AsOfMatch]
+  private implicit val quadEnc: Encoder[(Long, String, Long, Timestamp)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong,
+      Encoders.TIMESTAMP)
+
+  /** Streaming backward as-of join (the live twin of `join_asof` and of
+    * the plan-level `graft.plans.AsOfJoin`): every purchase is paired with
+    * the latest same-user click at-or-before it, the moment it arrives.
+    *
+    * State discipline at scale: ONE (ts, id) pair per user — the as-of
+    * carry needs nothing else, because backward as-of is a running `last`
+    * (the batch twin's window). Compare a stream-stream interval join for
+    * the same ask: its state holds EVERY click inside the watermark
+    * horizon. Eviction after `idleGapMs` of event-time idleness frees the
+    * key; a later purchase restarts unmatched (the eviction contract,
+    * documented like `carryForward`'s).
+    *
+    * Within a batch rows apply in (ts, kind, id) order with clicks before
+    * purchases at equal ts — the SAME total order the batch window sorts
+    * by, so inclusive-bound and max-id tie semantics match exactly;
+    * in-order delivery across batches is the archive replay contract
+    * (StreamingSpec pins the equality against the batch key).
+    */
+  def streamingAsOf(events: Dataset[(Long, String, Long, Timestamp)],
+                    watermark: String = "1 hour",
+                    idleGapMs: Long = 24L * 3600 * 1000): Dataset[AsOfMatch] =
+    events.toDF("user_id", "event_type", "event_id", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, String, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ClickState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Timestamp)],
+         state: GroupState[ClickState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // state and ordering in MICROSECONDS: Timestamp.getTime is
+            // millis-only and the archive carries µs — truncating here
+            // would silently shift the carried click_ts by up to 999 µs
+            def micros(ts: Timestamp): Long =
+              ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+            def fromMicros(us: Long): Timestamp = {
+              val t = new Timestamp(us / 1000000 * 1000)
+              t.setNanos((us % 1000000).toInt * 1000)
+              t
+            }
+            var s = state.getOption.orNull
+            val out = Seq.newBuilder[AsOfMatch]
+            var maxTsMs = Long.MinValue
+            def kindRank(t: String) = if (t == "click") 0 else 1
+            rows.toSeq
+              .sortBy(r => (micros(r._4), kindRank(r._2), r._3))
+              .foreach { case (_, typ, id, ts) =>
+                val t = micros(ts)
+                if (ts.getTime > maxTsMs) maxTsMs = ts.getTime
+                if (typ == "click") {
+                  // latest (ts, id) click wins — the batch window's
+                  // ascending-id tie rule falls out of the sort above
+                  if (s == null || t > s.t || (t == s.t && id > s.id)) s = ClickState(t, id)
+                } else if (typ == "purchase") {
+                  out += AsOfMatch(user, id, ts,
+                    Option(s).map(c => fromMicros(c.t)))
+                }
+              }
+            if (s != null) {
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(maxTsMs + idleGapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
 }

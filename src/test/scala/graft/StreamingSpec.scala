@@ -272,6 +272,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join equals the batch join_asof / plan-level AsOfJoin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Timestamp)]
+    // watermark wider than the replayed span: no state eviction mid-replay,
+    // so the stream must reproduce the batch as-of exactly
+    val q = graft.streaming.StateOps.streamingAsOf(
+        mem.toDF().toDF("user_id", "event_type", "event_id", "ts")
+          .as[(Long, String, Long, Timestamp)],
+        watermark = "40 days")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      val all = Tables.events(spark, sf)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("ts", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getTimestamp(3)))
+      for (chunk <- all.grouped(400)) { mem.addData(chunk.toSeq); q.processAllAvailable() }
+      val streamed = spark.sql(
+        "select p_id, click_ts from asof_out")
+        .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+      val batch = SparkEntry.queries("join_asof")(spark, sf).collect()
+        .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+      assert(streamed.size == batch.size,
+        s"purchase count: stream ${streamed.size} vs batch ${batch.size}")
+      val diffs = batch.collect {
+        case (id, want) if streamed(id) != want => (id, streamed(id), want)
+      }
+      assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped from finalized windows (G6)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
