@@ -227,4 +227,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "banding must keep the interval join keyed:\n" + p.take(1500))
   }
+
+  test("window_time_decay: the 8-tap kernel rides ONE keyed exchange") {
+    val p = plan("window_time_decay")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // hashpartitioning(user_id) serves every lag tap; the only other
+    // exchange is the final presentation sort (range partitioning)
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n" + p.take(2000))
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("event_bounding_ratio: full-frame window and per-user reduce share the user_id exchange") {
+    val p = plan("event_bounding_ratio")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"groupBy(user_id) must reuse the window's partitioning, got $exchanges:\n" + p.take(2000))
+  }
+
+  test("embed_correlation: one corpus aggregate, pair table broadcast against it") {
+    val p = plan("embed_correlation")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      "the corpus must be scanned exactly once:\n" + p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row moment buffer must broadcast, never shuffle the pair table:\n" + p.take(1500))
+  }
+
+  test("ml_woe_iv: one conditional-agg exchange; shares ride the tiny category frame") {
+    val p = plan("ml_woe_iv")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      "good/bad counts must come from ONE scan:\n" + p.take(1500))
+  }
+
+  test("join_asof_plan: the rewrite yields the same no-NLJ window shape as join_asof") {
+    val p = plan("join_asof_plan")
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the plan-level as-of must never pair ranges:\n" + p.take(1500))
+  }
 }
