@@ -363,6 +363,105 @@ object EventOps {
         .orderBy("cur", "next")
     }),
 
+    // Markov removal-effect attribution — the data-driven
+    // multi-touch-attribution model (Anderl et al.; the industry
+    // alternative to last-click): build the user-journey transition graph,
+    // then credit each channel by how much the 20-step conversion
+    // probability DROPS when that channel's node is removed (edges into it
+    // redirect to the null absorber). The DISTRIBUTED work is journey
+    // truncation (running prior-purchase count) + the transition-count
+    // aggregate — one keyed window exchange, map-side-combined counts. The
+    // transition matrix is ≤ (1+|channels|)×(|channels|+2) METADATA (the
+    // PageRank / IVF-centroid discipline: collect() of a bounded model,
+    // never data); the 5 scenario chains run as driver scalar algebra, and
+    // the oracle unrolls the IDENTICAL 20 iterations per scenario as
+    // generated CTEs (the embed_pca_project pattern). The 20-step horizon
+    // is part of the declared semantic, not an approximation knob: both
+    // engines iterate exactly 20 times over identical doubles (counts are
+    // exact ints; iteration is contractive, ulps do not amplify).
+    "event_markov_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prior = sum(when(col("event_type") === "purchase", 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val kept = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("pp", coalesce(prior, lit(0)))
+        .filter(col("pp") === 0)
+      val seq0 = kept
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      val bodies = seq0.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("cur"),
+          coalesce(when(col("nxt") === "purchase", lit("conv"))
+            .otherwise(col("nxt")), lit("null")).as("next"))
+      val starts = seq0.filter(col("rn") === 1)
+        .select(lit("start").as("cur"),
+          when(col("event_type") === "purchase", lit("conv"))
+            .otherwise(col("event_type")).as("next"))
+      val counts = bodies.unionAll(starts)
+        .groupBy("cur", "next").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val channels = counts.flatMap(t => Seq(t._1, t._2)).distinct
+        .filterNot(Set("start", "conv", "null")).sorted.toSeq
+      // probabilities AFTER redirect, from summed counts — the oracle CTEs
+      // compute the identical (n_null + n_removed)/total division
+      def probs(removed: Option[String]): Map[(String, String), Double] =
+        counts.filter(t => !removed.contains(t._1))
+          .map { case (c, nx, n) =>
+            (c, if (removed.contains(nx)) "null" else nx, n) }
+          .groupBy(_._1).flatMap { case (c, ts) =>
+            val tot = ts.map(_._3).sum.toDouble
+            ts.groupBy(_._2).map { case (nx, g) =>
+              (c, nx) -> g.map(_._3).sum / tot }
+          }
+      def pConv(p: Map[(String, String), Double]): Double = {
+        val transient = ("start" +: channels).sorted
+        var v = Map("start" -> 1.0).withDefaultValue(0.0)
+        var absorbed = 0.0
+        for (_ <- 1 to 20) {
+          absorbed += transient.map(c => v(c) * p.getOrElse((c, "conv"), 0.0)).sum
+          v = channels.map(nx => nx ->
+            transient.map(c => v(c) * p.getOrElse((c, nx), 0.0)).sum)
+            .toMap.withDefaultValue(0.0)
+        }
+        absorbed
+      }
+      val pFull = pConv(probs(None))
+      val re = channels.map(c => c -> (1.0 - pConv(probs(Some(c))) / pFull))
+      val reSum = re.map(_._2).sum
+      import s.implicits._
+      re.map { case (c, r) => (c, pFull, r, r / reSum) }
+        .toDF("channel", "p_conv", "removal_effect", "attribution")
+        .select(col("channel"), round(col("p_conv"), 6).as("p_conv"),
+          Tables.nz(round(col("removal_effect"), 6)).as("removal_effect"),
+          Tables.nz(round(col("attribution"), 6)).as("attribution"))
+        .orderBy("channel")
+    }),
+
+    // ClickHouse `retention(cond1, …)` analog: per-user gate-then-flag —
+    // r1 = did the user sign up at all; r_i = r1 AND condition i (no
+    // ordering constraint — that is the deliberate CH semantic, the
+    // ordered variants live in the funnel keys). ONE conditional-agg
+    // per-user reduce, then a 1-row ratio summary — the quick
+    // "of signed-up users, how many also clicked / purchased?" readout.
+    "agg_retention" -> ((s, dir) => {
+      def flag(t: String) =
+        max(when(col("event_type") === t, 1).otherwise(0))
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(flag("signup").as("c1"), flag("click").as("c2"),
+          flag("purchase").as("c3"))
+        .agg(
+          sum(col("c1")).as("n_signup"),
+          sum(col("c1") * col("c2")).as("n_signup_click"),
+          sum(col("c1") * col("c3")).as("n_signup_purchase"),
+          round(sum(col("c1") * col("c2")).cast(DoubleType)
+            / sum(col("c1")), 6).as("click_retention"),
+          round(sum(col("c1") * col("c3")).cast(DoubleType)
+            / sum(col("c1")), 6).as("purchase_retention"))
+    }),
+
     // RFM segmentation — the classic customer-value triage (Recency of
     // last purchase, purchase Frequency, Monetary total) quintile-scored
     // with ntile(5). One conditional aggregate per user (purchases only),
@@ -1517,6 +1616,97 @@ object EventOps {
          |SELECT event_type, day, n, round(($num) / ($den), 6) AS ema
          |FROM l ORDER BY event_type, day""".stripMargin
     },
+    // the IDENTICAL 20 iterations per scenario unrolled as generated CTEs
+    // (embed_pca_project / graph_pagerank oracle pattern); probabilities
+    // divided once from summed counts exactly like the Spark driver;
+    // channel set pinned to the fixture's four non-purchase types
+    "event_markov_attribution" -> {
+      val channels = Seq("click", "error", "signup", "view")
+      def scen(name: String, removed: Option[String]): String = {
+        val filt = removed.map(r => s"WHERE cur <> '$r'").getOrElse("")
+        val redirect = removed
+          .map(r => s"CASE WHEN next = '$r' THEN 'null' ELSE next END")
+          .getOrElse("next")
+        val head =
+          s"""red_$name AS (
+             |  SELECT cur, $redirect AS nx, sum(n) AS n
+             |  FROM tr $filt GROUP BY 1, 2),
+             |pr_$name AS MATERIALIZED (
+             |  SELECT cur, nx,
+             |         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur) AS p
+             |  FROM red_$name),
+             |v_${name}_0 AS (SELECT 'start' AS st, 1.0 AS p)""".stripMargin
+        // each v_k is referenced TWICE (absorption c_{k+1} and step v_{k+1});
+        // without MATERIALIZED DuckDB inlines the reference tree → 2^20
+        // expansion (measured: minutes instead of milliseconds)
+        val steps = (1 to 20).map { k =>
+          s"""c_${name}_$k AS (
+             |  SELECT coalesce(sum(v.p * t.p), 0.0) AS a
+             |  FROM v_${name}_${k - 1} v
+             |  JOIN pr_$name t ON t.cur = v.st AND t.nx = 'conv'),
+             |v_${name}_$k AS MATERIALIZED (
+             |  SELECT t.nx AS st, sum(v.p * t.p) AS p
+             |  FROM v_${name}_${k - 1} v JOIN pr_$name t ON t.cur = v.st
+             |  WHERE t.nx NOT IN ('conv', 'null') GROUP BY t.nx)""".stripMargin
+        }.mkString(",\n")
+        val tot = s"a_$name AS (SELECT " +
+          (1 to 20).map(k => s"(SELECT a FROM c_${name}_$k)").mkString(" + ") +
+          " AS p)"
+        Seq(head, steps, tot).mkString(",\n")
+      }
+      val scens = (("full", None) +: channels.map(c => (c, Some(c))))
+        .map { case (n, r) => scen(n, r) }.mkString(",\n")
+      val reRows = channels.map(c =>
+        s"SELECT '$c' AS channel, 1.0 - (SELECT p FROM a_$c) / (SELECT p FROM a_full) AS r")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH k AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pp
+         |  FROM events),
+         |seqq AS (
+         |  SELECT user_id, event_type,
+         |         row_number() OVER w AS rn, lead(event_type) OVER w AS nxt
+         |  FROM k WHERE pp = 0
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tr AS MATERIALIZED (
+         |  SELECT cur, next, count(*) AS n FROM (
+         |    SELECT event_type AS cur,
+         |           coalesce(CASE WHEN nxt = 'purchase' THEN 'conv' ELSE nxt END,
+         |                    'null') AS next
+         |    FROM seqq WHERE event_type <> 'purchase'
+         |    UNION ALL
+         |    SELECT 'start',
+         |           CASE WHEN event_type = 'purchase' THEN 'conv'
+         |                ELSE event_type END
+         |    FROM seqq WHERE rn = 1)
+         |  GROUP BY 1, 2),
+         |$scens,
+         |re AS (
+         |  $reRows
+         |)
+         |SELECT channel,
+         |       round((SELECT p FROM a_full), 6) AS p_conv,
+         |       round(r, 6) + 0 AS removal_effect,
+         |       round(r / sum(r) OVER (), 6) + 0 AS attribution
+         |FROM re ORDER BY channel""".stripMargin
+    },
+    "agg_retention" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+        |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(sum(c1) AS BIGINT) AS n_signup,
+        |       CAST(sum(c1 * c2) AS BIGINT) AS n_signup_click,
+        |       CAST(sum(c1 * c3) AS BIGINT) AS n_signup_purchase,
+        |       round(CAST(sum(c1 * c2) AS DOUBLE) / sum(c1), 6)
+        |         AS click_retention,
+        |       round(CAST(sum(c1 * c3) AS DOUBLE) / sum(c1), 6)
+        |         AS purchase_retention
+        |FROM u""".stripMargin,
     // identical first/last full-frame windows; NULLIF pins the
     // single-point-user (zero-span) rule on both engines
     "event_bounding_ratio" ->

@@ -997,6 +997,79 @@ class AnalystDepthSpec extends SparkSpec {
     assert(r.getDouble(3) <= r.getDouble(1) + 1e-9)
   }
 
+  test("event_markov_attribution equals a sequential journey-chain reference") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // journeys truncated after the first purchase, in (ts, id) order
+    val trans = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    for ((_, rows) <- events.groupBy(_._1)) {
+      val o = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      val cut = o.indexOf("purchase") match {
+        case -1 => o
+        case i  => o.take(i + 1)
+      }
+      def m(t: String) = if (t == "purchase") "conv" else t
+      def bump(k: (String, String)): Unit = trans(k) = trans(k) + 1
+      bump(("start", m(cut.head)))
+      for (w <- cut.sliding(2) if w.length == 2 && w(0) != "purchase")
+        bump((w(0), m(w(1))))
+      if (cut.last != "purchase") bump((cut.last, "null"))
+    }
+    val channels = Seq("click", "error", "signup", "view")
+    def pConv(removed: Option[String]): Double = {
+      val red = trans.toSeq
+        .filter(t => !removed.contains(t._1._1))
+        .map { case ((c, nx), n) =>
+          ((c, if (removed.contains(nx)) "null" else nx), n) }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      val byCur = red.groupBy(_._1._1)
+      val p = byCur.flatMap { case (c, m2) =>
+        val tot = m2.values.sum.toDouble
+        m2.map { case ((_, nx), n) => (c, nx) -> n / tot }
+      }
+      val transient = ("start" +: channels).sorted
+      var v = Map("start" -> 1.0).withDefaultValue(0.0)
+      var absorbed = 0.0
+      for (_ <- 1 to 20) {
+        absorbed += transient.map(c => v(c) * p.getOrElse((c, "conv"), 0.0)).sum
+        v = channels.map(nx => nx ->
+          transient.map(c => v(c) * p.getOrElse((c, nx), 0.0)).sum)
+          .toMap.withDefaultValue(0.0)
+      }
+      absorbed
+    }
+    val pFull = pConv(None)
+    val re = channels.map(c => 1.0 - pConv(Some(c)) / pFull)
+    val got = SparkEntry.queries("event_markov_attribution")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq == channels)
+    for ((r, i) <- got.zipWithIndex) {
+      assert(math.abs(r.getDouble(1) - r6(pFull)) <= 2e-6, "p_conv")
+      assert(math.abs(r.getDouble(2) - r6(re(i))) <= 2e-6, s"${channels(i)} removal")
+      assert(math.abs(r.getDouble(3) - r6(re(i) / re.sum)) <= 2e-6, "attribution")
+      assert(r.getDouble(2) >= -1e-9, "removing a channel cannot add conversions")
+    }
+    // attribution is a credit split: sums to 1
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) <= 5e-6)
+  }
+
+  test("agg_retention equals per-user gate-then-flag counting") {
+    val perUser = expRows.groupBy(_._1).map { case (_, rs) =>
+      (rs.exists(_._4 == "signup"), rs.exists(_._4 == "click"),
+        rs.exists(_._4 == "purchase"))
+    }
+    val n1 = perUser.count(_._1)
+    val n12 = perUser.count(u => u._1 && u._2)
+    val n13 = perUser.count(u => u._1 && u._3)
+    val r = SparkEntry.queries("agg_retention")(spark, sf).collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n12 && r.getLong(2) == n13)
+    assert(math.abs(r.getDouble(3) - r6(n12.toDouble / n1)) <= 1e-9)
+    assert(math.abs(r.getDouble(4) - r6(n13.toDouble / n1)) <= 1e-9)
+  }
+
   test("sink_json_roundtrip preserves every row bit-exactly") {
     val src = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
