@@ -1045,6 +1045,87 @@ object EventOps {
         .orderBy("user_id", "sess_n")
     }),
 
+    // Corpus-level session health summary — the one-row readout product
+    // teams watch (bounce rate, events/session, duration percentiles),
+    // composed over the SAME 30-minute-gap islands as `event_sessionize`:
+    // the keyed window exchange builds sessions, the per-session rows
+    // (≪ events) flow into one global reduce. Durations are exact integer
+    // seconds (epoch-second subtraction before any float); percentiles
+    // exact (`percentile` ≡ DuckDB `quantile_cont` — approx_percentile at
+    // extreme session counts, same decision output).
+    "event_session_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("sess_n", sum("new_sess").over(run))
+        .groupBy("user_id", "sess_n")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts")).cast(LongType) - min(col("ts")).cast(LongType))
+            .as("duration_s"))
+      sessions.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast(DoubleType) / count(lit(1)), 6).as("bounce_rate"),
+        round(sum("n_events").cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_events"),
+        round(avg("duration_s"), 6).as("avg_duration_s"),
+        round(expr("percentile(duration_s, 0.5D)"), 6).as("p50_duration_s"),
+        round(expr("percentile(duration_s, 0.9D)"), 6).as("p90_duration_s"))
+    }),
+
+    // Seasonal-naive forecast — the baseline every real forecasting
+    // system is benchmarked against (and the one a capacity dashboard
+    // actually ships first): next-7-days daily count per event type =
+    // last observed trend level + that weekday's seasonal component,
+    // both taken from the `event_seasonal_decompose` machinery. All
+    // heavy work is the ONE daily aggregate; trend/seasonal/projection
+    // run on metadata-sized profile tables. Forecasts difference ROUNDED
+    // parts (the decompose discipline), so both engines emit identical
+    // 6-dp values.
+    "event_forecast_baseline" -> ((s, dir) => {
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val trended = daily
+        .withColumn("wn", count(lit(1)).over(w7))
+        .withColumn("ws", sum("n").over(w7))
+        .filter(col("wn") === 7)
+        .withColumn("trend", round(col("ws") / 7, 6))
+        .withColumn("dt", col("n") - col("trend"))
+        .withColumn("dow", (weekday(col("day")) + 1).cast(LongType))
+      val lastTrend = trended
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("day").desc)))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("last_day"), col("trend"))
+      val dowAvg = trended.groupBy("event_type", "dow")
+        .agg(sum("dt").as("sdt"), count(lit(1)).as("cdt"))
+      val center = dowAvg.groupBy("event_type")
+        .agg((sum(col("sdt") / col("cdt")) / count(lit(1))).as("ctr"))
+      val seasonal = dowAvg.join(center, "event_type")
+        .select(col("event_type"), col("dow"),
+          Tables.nz(round(col("sdt") / col("cdt") - col("ctr"), 6)).as("seasonal"))
+      val offsets = (1 to 7).map(i => lit(i)).toArray
+      lastTrend
+        .select(col("event_type"), col("last_day"), col("trend"),
+          explode(array(offsets: _*)).as("i"))
+        .withColumn("day", date_add(col("last_day"), col("i")))
+        .withColumn("dow", (weekday(col("day")) + 1).cast(LongType))
+        .join(broadcast(seasonal), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"),
+          Tables.nz(round(col("trend") + col("seasonal"), 6)).as("forecast"))
+        .orderBy("event_type", "day")
+    }),
+
     // ANY-ORDER funnel (ClickHouse windowFunnel's relaxed mode next to
     // `event_funnel`'s strict one): a user's anchor is the FIRST of the
     // three step types they ever perform; a step counts if its first
@@ -1553,6 +1634,77 @@ object EventOps {
         |       count(*) AS n_events
         |FROM z GROUP BY user_id, sess_n
         |ORDER BY user_id, sess_n""".stripMargin,
+    // same islands as event_sessionize; duration via date_diff('second')
+    // ≡ Spark's truncate-then-subtract epoch seconds
+    "event_session_stats" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sess_n
+        |  FROM y),
+        |g AS (
+        |  SELECT user_id, sess_n, count(*) AS n_events,
+        |         date_diff('second', min(ts), max(ts)) AS duration_s
+        |  FROM z GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_bounce,
+        |       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS bounce_rate,
+        |       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+        |       round(avg(duration_s), 6) AS avg_duration_s,
+        |       round(quantile_cont(duration_s, 0.5), 6) AS p50_duration_s,
+        |       round(quantile_cont(duration_s, 0.9), 6) AS p90_duration_s
+        |FROM g""".stripMargin,
+    // the decompose CTEs + a rank-1 last-trend pick + 7-day projection;
+    // forecast differences ROUNDED parts exactly like the Spark side
+    "event_forecast_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT event_type, day, n,
+        |         count(*) OVER w AS wn, sum(n) OVER w AS ws
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |tr AS (
+        |  SELECT event_type, day, n, round(ws / 7, 6) AS trend,
+        |         n - round(ws / 7, 6) AS dt,
+        |         CAST(isodow(day) AS BIGINT) AS dow
+        |  FROM t2 WHERE wn = 7),
+        |lastt AS (
+        |  SELECT event_type, day AS last_day, trend
+        |  FROM tr
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |                             ORDER BY day DESC) = 1),
+        |da AS (
+        |  SELECT event_type, dow, sum(dt) AS sdt, count(*) AS cdt
+        |  FROM tr GROUP BY 1, 2),
+        |ce AS (
+        |  SELECT event_type, sum(sdt / cdt) / count(*) AS ctr
+        |  FROM da GROUP BY 1),
+        |se AS (
+        |  SELECT da.event_type, da.dow,
+        |         round(sdt / cdt - ctr, 6) + 0 AS seasonal
+        |  FROM da JOIN ce ON ce.event_type = da.event_type),
+        |f AS (
+        |  SELECT l.event_type, l.last_day + CAST(i AS INTEGER) AS day, l.trend
+        |  FROM lastt l, unnest(generate_series(1, 7)) AS u(i))
+        |SELECT f.event_type, f.day,
+        |       round(f.trend + se.seasonal, 6) + 0 AS forecast
+        |FROM f JOIN se ON se.event_type = f.event_type
+        |               AND se.dow = CAST(isodow(f.day) AS BIGINT)
+        |ORDER BY f.event_type, f.day""".stripMargin,
     "event_retention_matrix" ->
       """WITH acts AS (
         |  SELECT DISTINCT user_id,

@@ -179,6 +179,40 @@ object TextOps {
         .orderBy("doc_id", "off")
     }),
 
+    // C4 / RefinedWeb-style LINE-level dedup — the web-corpus cleaning
+    // step BETWEEN exact-doc and near-dup dedup: boilerplate repeats as
+    // identical short spans across documents, so the corpus is cut into
+    // fixed 12-token lines and every line that already appeared earlier
+    // (first by (doc_id, offset) — the C4 keep-first rule) is dropped,
+    // reporting each document's surviving fraction. ONE exchange keyed on
+    // the line text (at 100 TB swap the key for a 128-bit hash of the
+    // line — the xxhash64-gram-postings discipline — same plan shape);
+    // the keeper choice is a rank-1 window, never a self-join.
+    "pipeline_line_dedup" -> ((s, dir) => {
+      val win = 12L
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("n", size(col("tk")).cast(LongType))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n") - 1L, lit(win))).as("off"),
+          col("tk"))
+        .select(col("doc_id"), col("off"),
+          concat_ws(" ",
+            slice(col("tk"), (col("off") + 1L).cast(IntegerType), lit(win.toInt)))
+            .as("line"))
+      val wl = Window.partitionBy("line").orderBy("doc_id", "off")
+      chunks
+        .withColumn("rn", row_number().over(wl))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          round(col("n_kept").cast(DoubleType) / col("n_lines"), 6)
+            .as("kept_frac"))
+        .orderBy("doc_id")
+    }),
+
     // The composed corpus-preparation pipeline — the three stages a
     // training corpus actually passes through, as ONE declarative plan:
     // exact dedup (keep min doc_id per text) → quality gate (the
@@ -824,6 +858,29 @@ object TextOps {
         |SELECT doc_id, off, least(64, n - off) AS n_tokens,
         |       array_to_string(list_slice(tk, off + 1, off + 64), ' ') AS chunk_text
         |FROM x ORDER BY doc_id, off""".stripMargin,
+    // same generate_series chunking as pipeline_chunk_documents; keep-first
+    // rule is the identical rank-1 window on both engines
+    "pipeline_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, unnest(generate_series(0, n - 1, 12)) AS off, tk
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, off,
+        |         array_to_string(list_slice(tk, off + 1, off + 12), ' ') AS line
+        |  FROM x),
+        |r AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, off) AS rn
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS kept_frac
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_prepare_corpus" ->
       """WITH dedup AS (
         |  SELECT doc_id, lang, text FROM documents

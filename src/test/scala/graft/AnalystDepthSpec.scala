@@ -1070,6 +1070,58 @@ class AnalystDepthSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - r6(n13.toDouble / n1)) <= 1e-9)
   }
 
+  test("pipeline_line_dedup equals sequential keep-first over 12-token lines") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val want = docs.map { case (id, text) =>
+      val toks = text.split(" ")
+      val lines = toks.grouped(12).map(_.mkString(" ")).toSeq
+      val kept = lines.count(l => seen.add(l))
+      (id, lines.size.toLong, kept.toLong)
+    }.toSeq
+    val got = SparkEntry.queries("pipeline_line_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // keep-first by (doc_id, off): ascending doc scan IS the keeper order
+    assert(got.toSeq == want, s"first diff: ${got.toSeq.diff(want).take(3)}")
+  }
+
+  test("event_session_stats is consistent with the event_sessionize islands") {
+    val sess = SparkEntry.queries("event_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(5), r.getLong(4))) // (n_events, duration_s)
+    val r = SparkEntry.queries("event_session_stats")(spark, sf).collect().head
+    assert(r.getLong(0) == sess.length, "n_sessions")
+    assert(r.getLong(1) == sess.count(_._1 == 1L), "n_bounce")
+    assert(math.abs(r.getDouble(3) -
+      r6(sess.map(_._1).sum.toDouble / sess.length)) <= 1e-9, "avg_events")
+    assert(math.abs(r.getDouble(4) -
+      r6(sess.map(_._2).sum.toDouble / sess.length)) <= 2e-6, "avg_duration_s")
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+  }
+
+  test("event_forecast_baseline equals last trend + that weekday's seasonal") {
+    val dec = SparkEntry.queries("event_seasonal_decompose")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(3),
+        r.getDouble(4)))
+    val lastTrend = dec.groupBy(_._1).map { case (t, rs) =>
+      val last = rs.maxBy(_._2.toEpochDay)
+      t -> ((last._2, last._3))
+    }
+    val seasonal = dec.map(r => (r._1, r._2.getDayOfWeek.getValue.toLong) -> r._4)
+      .toMap // same (type, dow) → same seasonal on every row
+    val got = SparkEntry.queries("event_forecast_baseline")(spark, sf).collect()
+    assert(got.length == lastTrend.size * 7)
+    for (r <- got) {
+      val (lastDay, trend) = lastTrend(r.getString(0))
+      val day = r.getDate(1).toLocalDate
+      assert(day.isAfter(lastDay) && !day.isAfter(lastDay.plusDays(7)))
+      val s = seasonal((r.getString(0), day.getDayOfWeek.getValue.toLong))
+      assert(math.abs(r.getDouble(2) - r6(trend + s)) <= 2e-6,
+        s"${r.getString(0)} $day")
+    }
+  }
+
   test("sink_json_roundtrip preserves every row bit-exactly") {
     val src = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
