@@ -456,6 +456,44 @@ object SimOps {
         .orderBy("i", "j")
     }),
 
+    // In-plan Lloyd k-means over the embedding corpus (k=4, 3 fixed
+    // iterations, seeds = the k smallest vec_ids) — the oracle-paired
+    // sibling of the IVF index build (same algorithm; the IVF variant is
+    // rows-only because its hash-sampled training set has no SQL twin).
+    // Per iteration: map-only argmin against BROADCAST centroid literals
+    // (whole-stage codegen, no shuffle), then ONE skinny (cell, dim)
+    // aggregate; centroids live on the driver as k×d metadata (IVF /
+    // PageRank discipline). Determinism: computed centroids are ROUNDED
+    // to 6 dp each iteration on BOTH engines, so cross-engine float-sum
+    // ulps are re-absorbed every round instead of compounding; empty
+    // cells keep their previous centroid (pinned identically in the
+    // oracle's fallback UNION).
+    "ml_kmeans" -> ((s, dir) => {
+      val k = 4
+      val iters = 3
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val e = vecs(s, dir)
+      var cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
+        .select("v").collect().map(_.getSeq[Double](0)).toSeq
+      for (_ <- 1 to iters) {
+        val rows = e
+          .select(nearestCell(col("v"), cents).as("cell"), col("v"))
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim").agg(avg("x").as("m"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        val refined = rows.groupBy(_._1).map { case (c, rs) =>
+          c -> rs.sortBy(_._2).map(t => r6(t._3)).toSeq
+        }
+        cents = cents.indices.map(i => refined.getOrElse(i + 1, cents(i)))
+      }
+      val dists = transform(typedlit(cents), c => api.sqDist(col("v"), c))
+      e.select(col("vec_id"),
+          array_position(dists, array_min(dists)).cast(LongType).as("cluster"),
+          round(array_min(dists), 6).as("dist2"))
+        .orderBy("vec_id")
+    }),
+
     // Top-principal-component projection of the corpus — the embedding
     // whitening / decorrelation step of a training pipeline. The heavy
     // lifting is ONE CoMoment aggregate (O(d²) state, one exchange); the
@@ -760,6 +798,47 @@ object SimOps {
         |             6) + 0 AS cov
         |FROM p CROSS JOIN e
         |GROUP BY i, j ORDER BY i, j""".stripMargin,
+    // the identical 3 Lloyd rounds unrolled; centroids rounded to 6 dp per
+    // round on both engines (re-absorbs float-sum ulps); empty-cell
+    // fallback pinned via the NOT IN union
+    "ml_kmeans" -> {
+      def iter(i: Int): String = {
+        val prev = s"cf${i - 1}"
+        s"""a$i AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |           sum((e.v[c.dim + 1] - c.m) * (e.v[c.dim + 1] - c.m)) AS d2
+           |    FROM e, $prev c GROUP BY 1, 2)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |                             ORDER BY d2, cell) = 1),
+           |c$i AS MATERIALIZED (
+           |  SELECT a.cell, d.dim, round(avg(e.v[d.dim + 1]), 6) AS m
+           |  FROM a$i a JOIN e USING (vec_id), dims d GROUP BY 1, 2),
+           |cf$i AS MATERIALIZED (
+           |  SELECT * FROM c$i
+           |  UNION ALL
+           |  SELECT p.cell, p.dim, p.m FROM $prev p
+           |  WHERE p.cell NOT IN (SELECT DISTINCT cell FROM c$i))""".stripMargin
+      }
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(range(64)) AS dim),
+         |cf0 AS MATERIALIZED (
+         |  SELECT s.cell, d.dim, s.v[d.dim + 1] AS m
+         |  FROM (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+         |               AS cell
+         |        FROM e QUALIFY cell <= 4) s, dims d),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cluster,
+         |       round(d2, 6) AS dist2
+         |FROM (
+         |  SELECT e.vec_id, c.cell,
+         |         sum((e.v[c.dim + 1] - c.m) * (e.v[c.dim + 1] - c.m)) AS d2
+         |  FROM e, cf3 c GROUP BY 1, 2)
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1
+         |ORDER BY vec_id""".stripMargin
+    },
     // same raw-sum covariance algebra as embed_covariance, normalized by
     // the diagonal — summation-order ulps « round(6)
     "embed_correlation" ->

@@ -1122,6 +1122,48 @@ class AnalystDepthSpec extends SparkSpec {
     }
   }
 
+  test("ml_kmeans equals a sequential Lloyd reference with per-round rounding") {
+    val data = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    var cents = data.take(4).map(_._2.clone)
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    def assign(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) => (d2(v, c), i) }.min._2
+    for (_ <- 1 to 3) {
+      val byCell = data.groupBy(d => assign(d._2))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(members) =>
+            val m = Array.fill(64)(0.0)
+            for ((_, v) <- members; j <- 0 until 64) m(j) += v(j)
+            m.map(x => r6(x / members.length))
+          case None => old
+        }
+      }
+    }
+    val got = SparkEntry.queries("ml_kmeans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.length == data.length)
+    var mismatch = 0
+    for (((id, v), (gid, gc, gd)) <- data.zip(got)) {
+      assert(id == gid)
+      val want = assign(v)
+      // ulp-level distance ties could flip an assignment between the
+      // sequential and distributed sum orders; require near-total agreement
+      if (gc != want + 1) mismatch += 1
+      else assert(math.abs(gd - r6(d2(v, cents(want)))) <= 2e-6, s"vec $id dist2")
+    }
+    assert(mismatch == 0, s"$mismatch assignment flips")
+    // every cluster non-empty at this scale
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("sink_json_roundtrip preserves every row bit-exactly") {
     val src = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
