@@ -589,6 +589,86 @@ object StatsOps {
             .as("cramers_v"))
     }),
 
+    // Jarque–Bera normality test per group — the cheap "is this column
+    // even approximately normal?" gate run before any t-test/z-interval
+    // is trusted: JB = n/6·(S² + K²/4) from the SAME four exact integer
+    // power sums as `agg_moments` (l_quantity is integer-valued, so both
+    // engines hold identical sums and the moment algebra is identical
+    // IEEE). One aggregate exchange; χ²(2) critical value 5.99 pins the
+    // verdict column identically on both engines.
+    "stat_jarque_bera" -> ((s, dir) => {
+      val x = col("l_quantity")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+        .withColumn("m3",
+          col("s3") / col("n") - lit(3.0) * col("mean") * (col("s2") / col("n"))
+            + lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4",
+          col("s4") / col("n") - lit(4.0) * col("mean") * (col("s3") / col("n"))
+            + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+            - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+        .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+        .withColumn("kurt", col("m4") / (col("m2") * col("m2")) - lit(3.0))
+        .select(col("l_returnflag"), col("n"),
+          Tables.nz(round(col("skew"), 6)).as("skew_pop"),
+          Tables.nz(round(col("kurt"), 6)).as("kurt_excess"),
+          round(col("n") / lit(6.0)
+            * (col("skew") * col("skew")
+              + col("kurt") * col("kurt") / lit(4.0)), 6).as("jb_stat"),
+          (col("n") / lit(6.0) * (col("skew") * col("skew")
+            + col("kurt") * col("kurt") / lit(4.0)) > 5.99).as("reject_normal"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Anderson–Darling normality statistic of the daily value
+    // distribution — the tail-sensitive normality test (AD weights the
+    // tails where KS barely looks). Single-pass reformulation: the
+    // textbook Σ(2i−1)[ln Φ(z_i) + ln(1−Φ(z_{n+1−i}))] pairs row i with
+    // its mirror; substituting j = n+1−i folds both terms onto ONE row —
+    // (2i−1)·ln Φ(z_i) + (2n+1−2i)·ln(1−Φ(z_i)) — so one ranked window
+    // pass per day suffices, no self-join. Φ via the shared
+    // Abramowitz–Stegun erfc polynomial (the stat_fdr_bh literals):
+    // identical scalar trees on both engines, so the ≈1.5e-7 poly error
+    // cancels in the comparison. Day mean/sd from raw sums.
+    "stat_anderson_darling" -> ((s, dir) => {
+      val byDay = Window.partitionBy("day")
+      val ord = Window.partitionBy("day").orderBy("value", "event_id")
+      def phi(z: org.apache.spark.sql.Column) = {
+        val x = abs(z) / sqrt(lit(2.0))
+        val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+        val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t
+          + lit(1.421413741)) * t + lit(-0.284496736)) * t
+          + lit(0.254829592)) * t
+        val erfc = poly * exp(-x * x)
+        when(z >= 0, lit(1.0) - erfc / 2).otherwise(erfc / 2)
+      }
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("value"), col("event_id"))
+        .withColumn("n", count(lit(1)).over(byDay))
+        .withColumn("mu", sum("value").over(byDay) / col("n"))
+        .withColumn("sd", sqrt(
+          (sum(col("value") * col("value")).over(byDay)
+            - sum("value").over(byDay) * sum("value").over(byDay) / col("n"))
+            / (col("n") - 1)))
+        .filter(col("n") > 7 && col("sd") > 0)
+        .withColumn("i", row_number().over(ord))
+        .withColumn("p", phi((col("value") - col("mu")) / col("sd")))
+        .withColumn("term",
+          (lit(2.0) * col("i") - 1) * log(col("p"))
+            + (lit(2.0) * col("n") - lit(2.0) * col("i") + 1)
+              * log(lit(1.0) - col("p")))
+        .groupBy("day")
+        .agg(max("n").as("n"),
+          round(-max("n") - sum("term") / max("n"), 6).as("a2_stat"))
+        .select(col("day"), col("n"), col("a2_stat"),
+          (col("a2_stat") > 0.752).as("reject_normal"))
+        .orderBy("day")
+    }),
+
     // Pooled-variance two-sample t-test per day (ClickHouse `studentTTest`
     // analog) — completes the test family next to `stat_welch_ttest`
     // (Welch = unequal variances; this = classical equal-variance pooling,
@@ -1148,6 +1228,75 @@ object StatsOps {
         |       round(iv_term, 6) + 0 AS iv_term,
         |       round(sum(iv_term) OVER (), 6) AS iv_total
         |FROM w ORDER BY event_type""".stripMargin,
+    // same exact-integer power sums as agg_moments; verdict compares the
+    // identical unrounded JB on both engines against the χ²(2) literal
+    "stat_jarque_bera" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(l_quantity) AS s1,
+        |         sum(l_quantity * l_quantity) AS s2,
+        |         sum(l_quantity * l_quantity * l_quantity) AS s3,
+        |         sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        |  SELECT l_returnflag, n, s1 / n AS mean,
+        |         s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM s),
+        |k AS (
+        |  SELECT l_returnflag, n,
+        |         m3 / (m2 * sqrt(m2)) AS skew,
+        |         m4 / (m2 * m2) - 3.0 AS kurt
+        |  FROM m)
+        |SELECT l_returnflag, n,
+        |       round(skew, 6) + 0 AS skew_pop,
+        |       round(kurt, 6) + 0 AS kurt_excess,
+        |       round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 6) AS jb_stat,
+        |       n / 6.0 * (skew * skew + kurt * kurt / 4.0) > 5.99
+        |         AS reject_normal
+        |FROM k ORDER BY l_returnflag""".stripMargin,
+    // the single-pass folded AD formulation with the shared
+    // Abramowitz–Stegun erfc polynomial (stat_fdr_bh literals)
+    "stat_anderson_darling" ->
+      """WITH b AS (
+        |  SELECT CAST(ts AS DATE) AS day, value, event_id FROM events),
+        |w AS (
+        |  SELECT day, value, event_id,
+        |         count(*) OVER d AS n,
+        |         sum(value) OVER d AS sv,
+        |         sum(value * value) OVER d AS sq
+        |  FROM b WINDOW d AS (PARTITION BY day)),
+        |z AS (
+        |  SELECT day, value, event_id, n, sv / n AS mu,
+        |         sqrt((sq - sv * sv / n) / (n - 1)) AS sd
+        |  FROM w WHERE n > 7),
+        |r AS (
+        |  SELECT day, n,
+        |         CAST(row_number() OVER (PARTITION BY day
+        |                                 ORDER BY value, event_id) AS DOUBLE) AS i,
+        |         (value - mu) / sd AS zz
+        |  FROM z WHERE sd > 0),
+        |p AS (
+        |  SELECT day, n, i,
+        |         CASE WHEN zz >= 0 THEN 1.0 - erfc / 2 ELSE erfc / 2 END AS p
+        |  FROM (SELECT *,
+        |               ((((1.061405429 * t + -1.453152027) * t
+        |                  + 1.421413741) * t + -0.284496736) * t
+        |                + 0.254829592) * t * exp(-x * x) AS erfc
+        |        FROM (SELECT *, 1e0 / (1e0 + 0.3275911 * x) AS t
+        |              FROM (SELECT *, abs(zz) / sqrt(2e0) AS x FROM r)))),
+        |g AS (
+        |  SELECT day, CAST(max(n) AS BIGINT) AS n,
+        |         round(-max(n) - sum((2.0 * i - 1) * ln(p)
+        |                             + (2.0 * n - 2.0 * i + 1) * ln(1.0 - p))
+        |               / max(n), 6) AS a2_stat
+        |  FROM p GROUP BY day)
+        |SELECT day, n, a2_stat, a2_stat > 0.752 AS reject_normal
+        |FROM g ORDER BY day""".stripMargin,
     // identical pooled-variance raw-sum algebra on both engines
     "stat_student_ttest" ->
       """WITH s AS (

@@ -1164,6 +1164,60 @@ class AnalystDepthSpec extends SparkSpec {
     assert(got.map(_._2).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("stat_jarque_bera equals n/6(S^2 + K^2/4) from agg_moments' outputs") {
+    val moments = SparkEntry.queries("agg_moments")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val got = SparkEntry.queries("stat_jarque_bera")(spark, sf).collect()
+    assert(got.length == moments.size)
+    for (r <- got) {
+      val (n, s, k) = moments(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - s) <= 2e-6, "skew matches agg_moments")
+      assert(math.abs(r.getDouble(3) - k) <= 2e-6, "kurt matches agg_moments")
+      // recompute from the 6-dp moments: JB is smooth, tolerance covers it
+      val jb = n / 6.0 * (s * s + k * k / 4.0)
+      assert(math.abs(r.getDouble(4) - jb) <= math.max(1e-4, jb * 1e-4), "jb")
+      assert(r.getBoolean(5) == (r.getDouble(4) > 5.99))
+    }
+  }
+
+  test("stat_anderson_darling folded formula equals the textbook two-term sum") {
+    def phi(z: Double): Double = {
+      val x = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t
+      val erfc = poly * math.exp(-x * x)
+      if (z >= 0) 1.0 - erfc / 2 else erfc / 2
+    }
+    val byDay = expRows.groupBy(_._2)
+    val got = SparkEntry.queries("stat_anderson_darling")(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    var checked = 0
+    for ((day, rs) <- byDay if rs.size > 7) {
+      val vs = rs.map(_._3.toDouble).sorted
+      val n = vs.length
+      val mu = vs.sum / n
+      val sd = math.sqrt(vs.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+      if (sd > 0) {
+        val z = vs.map(v => (v - mu) / sd)
+        // UNFOLDED textbook form: pairs (i, n+1-i) — independent of the
+        // single-pass folded rewrite the distributed key uses
+        val a2 = -n - (1 to n).map(i =>
+          (2.0 * i - 1) * (math.log(phi(z(i - 1)))
+            + math.log(1.0 - phi(z(n - i))))).sum / n
+        val (gn, ga2, grej) = got(day)
+        assert(gn == n, s"$day n")
+        assert(math.abs(ga2 - r6(a2)) <= 5e-6, s"$day a2")
+        assert(grej == (ga2 > 0.752), s"$day verdict")
+        checked += 1
+      }
+    }
+    assert(checked > 5)
+  }
+
   test("sink_json_roundtrip preserves every row bit-exactly") {
     val src = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
