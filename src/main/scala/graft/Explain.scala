@@ -15,7 +15,10 @@ object Explain {
     // round-3 scale-critical additions
     "sim_centroid", "profile_columns", "scd2_history",
     "join_interval_bucketed", "join_asof_nearest", "multimodal_near_dup",
-    "event_interpolate", "agg_quantiles_multi")
+    "event_interpolate", "agg_quantiles_multi",
+    // round-5: plan-level as-of, in-plan ML, corpus line dedup, decay kernel
+    "join_asof_plan", "ml_kmeans", "event_markov_attribution",
+    "pipeline_line_dedup", "window_time_decay", "embed_correlation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
