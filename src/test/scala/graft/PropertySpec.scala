@@ -345,4 +345,61 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"seed=$i")
     }
   }
+
+  test("property: plan-level AsOfJoin equals brute force for every direction") {
+    import spark.implicits._
+    val genPair: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] = for {
+      np <- Gen.chooseNum(1, 40)
+      nb <- Gen.chooseNum(0, 40)  // empty build side must also work
+      probes <- Gen.listOfN(np, for {
+        u <- Gen.chooseNum(0L, 5L); t <- Gen.chooseNum(0L, 2000L)
+      } yield (u, t))
+      builds <- Gen.listOfN(nb, for {
+        u <- Gen.chooseNum(0L, 5L); t <- Gen.chooseNum(0L, 2000L)
+      } yield (u, t))
+    } yield (
+      probes.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) },
+      builds.zipWithIndex.map { case ((u, t), i) => (u, t, 1000L + i) })
+    val base = 1700000000L
+    def mk(rows: List[(Long, Long, Long)], ts: String, id: String) =
+      rows.map { case (u, t, i) =>
+        (u, new Timestamp((base + t) * 1000L), i)
+      }.toDF("user_id", ts, id)
+    for (i <- trials) {
+      val (p, b) = genPair(Gen.Parameters.default, Seed(i))
+        .getOrElse((List((0L, 0L, 0L)), Nil))
+      val probe = mk(p, "ts", "p_id")
+      val build = mk(b, "b_ts", "b_id")
+      def run(dir: String, tol: Option[Long] = None) =
+        operators.AsOf.join(probe, build, "user_id", "ts", "b_ts", "b_id",
+            direction = dir, toleranceMicros = tol)
+          .collect()
+          .map(r => r.getLong(2) -> Option(r.getTimestamp(3)).map(_.getTime))
+          .toMap
+      val bByUser = b.groupBy(_._1)
+      def bt(t: Long) = (base + t) * 1000L  // expected carry in epoch ms
+      // backward: latest (ts, id) with b_ts <= ts
+      val back = run(plans.AsOfJoin.Backward)
+      val fwd = run(plans.AsOfJoin.Forward)
+      val near = run(plans.AsOfJoin.Nearest)
+      val tol = run(plans.AsOfJoin.Backward, Some(300L * 1000000))
+      assert(back.size == p.size && fwd.size == p.size, s"seed=$i left-join shape")
+      for ((u, t, id) <- p) {
+        val cands = bByUser.getOrElse(u, Nil)
+        val wb = cands.filter(_._2 <= t).sortBy(c => (c._2, c._3)).lastOption
+        val wf = cands.filter(_._2 >= t).sortBy(c => (c._2, c._3)).headOption
+        assert(back(id) == wb.map(c => bt(c._2)), s"seed=$i probe $id backward")
+        assert(fwd(id) == wf.map(c => bt(c._2)), s"seed=$i probe $id forward")
+        val wn = (wb, wf) match {
+          case (None, f) => f
+          case (bk, None) => bk
+          case (Some(bk), Some(f)) =>
+            if (t - bk._2 <= f._2 - t) Some(bk) else Some(f)
+        }
+        assert(near(id) == wn.map(c => bt(c._2)), s"seed=$i probe $id nearest")
+        val wtol = wb.filter(c => (t - c._2) <= 300L)
+        assert(tol(id) == wtol.map(c => bt(c._2)), s"seed=$i probe $id tolerance")
+      }
+    }
+  }
 }
