@@ -806,6 +806,50 @@ object EventOps {
         .orderBy("event_type", "lag")
     }),
 
+    // Discrete periodogram of the daily count series per event type —
+    // the frequency-domain "which cycle length dominates?" scan that
+    // VALIDATES the weekly assumption the seasonal keys bake in (ACF
+    // hints at it; the periodogram ranks it against every other candidate
+    // period 2–14). Power(p) = (Σ ñ·cos 2πt/p)² + (Σ ñ·sin 2πt/p)² over
+    // MEAN-CENTERED counts (raw counts leak the DC component into every
+    // frequency). The full-data pass is the ONE daily aggregate; the
+    // 13-row period spine broadcasts (the ACF lag-spine pattern) and the
+    // trig argument uses pmod(day-index, p) — exact integer reduction, so
+    // both engines evaluate cos/sin on identical small angles instead of
+    // relying on large-argument libm reduction. Dominance verdict ranks
+    // on the ROUNDED power with a period tiebreak (deterministic
+    // cross-engine).
+    "event_periodogram" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("di",
+          datediff(col("day"), to_date(lit("1970-01-01"))).cast(LongType))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("k"),
+          sum("n").cast(DoubleType).as("s"))
+        .withColumn("m", col("s") / col("k"))
+        .select("event_type", "k", "m")
+      val periods = s.range(2, 15).select(col("id").as("p"))
+      val ang = lit(2.0 * math.Pi) * pmod(col("di"), col("p")) / col("p")
+      val cn = col("n").cast(DoubleType) - col("m")
+      val byType = Window.partitionBy("event_type")
+      daily.join(broadcast(stats), "event_type")
+        .crossJoin(broadcast(periods))
+        .groupBy("event_type", "p")
+        .agg(max(col("k")).cast(LongType).as("n_days"),
+          sum(cn * cos(ang)).as("cs"),
+          sum(cn * sin(ang)).as("sn"))
+        .withColumn("power",
+          round((col("cs") * col("cs") + col("sn") * col("sn"))
+            / col("n_days"), 6))
+        .withColumn("dominant",
+          rank().over(byType.orderBy(col("power").desc, col("p"))) === 1)
+        .select(col("event_type"), col("p").as("period"), col("n_days"),
+          col("power"), col("dominant"))
+        .orderBy("event_type", "period")
+    }),
+
     // Classical seasonal decomposition of the daily count series —
     // additive STL-lite: trend = centered 7-day moving average (full
     // frames only), seasonal = the per-weekday mean of the detrended
@@ -1665,6 +1709,34 @@ object EventOps {
         |       round(quantile_cont(duration_s, 0.5), 6) AS p50_duration_s,
         |       round(quantile_cont(duration_s, 0.9), 6) AS p90_duration_s
         |FROM g""".stripMargin,
+    // pmod-reduced trig arguments; dominance ranks the ROUNDED power
+    "event_periodogram" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type, n,
+        |         CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS di
+        |  FROM daily),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS k,
+        |         CAST(sum(n) AS DOUBLE) / count(*) AS m
+        |  FROM d2 GROUP BY 1),
+        |pp AS (SELECT unnest(range(2, 15)) AS p),
+        |g AS (
+        |  SELECT d.event_type, pp.p, CAST(max(st.k) AS BIGINT) AS n_days,
+        |         sum((d.n - st.m) * cos(2 * pi() * (d.di % pp.p) / pp.p)) AS cs,
+        |         sum((d.n - st.m) * sin(2 * pi() * (d.di % pp.p) / pp.p)) AS sn
+        |  FROM d2 d JOIN st USING (event_type) CROSS JOIN pp
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, p, n_days,
+        |         round((cs * cs + sn * sn) / n_days, 6) AS power
+        |  FROM g)
+        |SELECT event_type, p AS period, n_days, power,
+        |       rank() OVER (PARTITION BY event_type
+        |                    ORDER BY power DESC, p) = 1 AS dominant
+        |FROM w ORDER BY event_type, period""".stripMargin,
     // the decompose CTEs + a rank-1 last-trend pick + 7-day projection;
     // forecast differences ROUNDED parts exactly like the Spark side
     "event_forecast_baseline" ->

@@ -669,6 +669,34 @@ object StatsOps {
         .orderBy("day")
     }),
 
+    // Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    // test across event types — the gate ANOVA's equal-variance
+    // assumption is checked with (median-centered = the robust default).
+    // Exact group medians via `percentile` (≡ DuckDB quantile_cont);
+    // medians broadcast back; then ONE conditional aggregate collapses
+    // the |x−med| deviations to per-group (n, Σz, Σz²) and the W
+    // statistic derives from sums only — between-SS as Σs²/n − T²/N,
+    // never per-row differences from a float mean.
+    "stat_levene" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      e.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("z"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum("z").as("s"), sum(col("z") * col("z")).as("q"))
+        .agg(count(lit(1)).cast(DoubleType).as("k"),
+          sum("n").as("nn"), sum("s").as("ts"),
+          sum(col("s") * col("s") / col("n")).as("bsum"),
+          sum(col("q") - col("s") * col("s") / col("n")).as("wss"))
+        .select(col("k").cast(LongType).as("k_groups"),
+          col("nn").cast(LongType).as("n_obs"),
+          round((col("nn") - col("k")) / (col("k") - 1)
+            * (col("bsum") - col("ts") * col("ts") / col("nn"))
+            / col("wss"), 6).as("w_stat"))
+    }),
+
     // Pooled-variance two-sample t-test per day (ClickHouse `studentTTest`
     // analog) — completes the test family next to `stat_welch_ttest`
     // (Welch = unequal variances; this = classical equal-variance pooling,
@@ -1297,6 +1325,27 @@ object StatsOps {
         |  FROM p GROUP BY day)
         |SELECT day, n, a2_stat, a2_stat > 0.752 AS reject_normal
         |FROM g ORDER BY day""".stripMargin,
+    // exact medians (percentile ≡ quantile_cont), identical sums-only W
+    "stat_levene" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |z AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS z
+        |  FROM events e JOIN med m USING (event_type)),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |         sum(z) AS s, sum(z * z) AS q
+        |  FROM z GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(n) AS nn, sum(s) AS ts,
+        |         sum(s * s / n) AS bsum,
+        |         sum(q - s * s / n) AS wss
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_obs,
+        |       round((nn - k) / (k - 1) * (bsum - ts * ts / nn) / wss, 6)
+        |         AS w_stat
+        |FROM a""".stripMargin,
     // identical pooled-variance raw-sum algebra on both engines
     "stat_student_ttest" ->
       """WITH s AS (

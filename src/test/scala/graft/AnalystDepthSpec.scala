@@ -1218,6 +1218,57 @@ class AnalystDepthSpec extends SparkSpec {
     assert(checked > 5)
   }
 
+  test("stat_levene equals the textbook Brown-Forsythe W from raw deviations") {
+    val byType = expRows.groupBy(_._4).map { case (t, rs) =>
+      t -> rs.map(_._3.toDouble).sorted
+    }
+    def median(xs: Seq[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    val zByGroup = byType.map { case (t, xs) =>
+      val m = median(xs); t -> xs.map(x => math.abs(x - m))
+    }
+    val k = zByGroup.size.toDouble
+    val nTot = zByGroup.values.map(_.size).sum.toDouble
+    val zbar = zByGroup.values.flatten.sum / nTot
+    val between = zByGroup.values.map { zs =>
+      val zj = zs.sum / zs.size; zs.size * (zj - zbar) * (zj - zbar)
+    }.sum
+    val within = zByGroup.values.map { zs =>
+      val zj = zs.sum / zs.size; zs.map(z => (z - zj) * (z - zj)).sum
+    }.sum
+    val w = (nTot - k) / (k - 1) * between / within
+    val r = SparkEntry.queries("stat_levene")(spark, sf).collect().head
+    assert(r.getLong(0) == k.toLong && r.getLong(1) == nTot.toLong)
+    // between-SS computed per-observation here vs sums-only in the key
+    assert(math.abs(r.getDouble(2) - r6(w)) <= 1e-4, s"W: ${r.getDouble(2)} vs $w")
+  }
+
+  test("event_periodogram: weekly period dominates and matches a DFT reference") {
+    val got = SparkEntry.queries("event_periodogram")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val daily = expRows.groupBy(r => (r._4, r._2)).map { case ((t, d), rs) =>
+      (t, d.toEpochDay, rs.size.toDouble)
+    }.groupBy(_._1)
+    for ((t, rows) <- daily) {
+      val m = rows.map(_._3).sum / rows.size
+      for (p <- 2L to 14L) {
+        val cs = rows.map(r => (r._3 - m) * math.cos(2 * math.Pi * (r._2 % p) / p)).sum
+        val sn = rows.map(r => (r._3 - m) * math.sin(2 * math.Pi * (r._2 % p) / p)).sum
+        val power = (cs * cs + sn * sn) / rows.size
+        val (gn, gp, _) = got((t, p))
+        assert(gn == rows.size)
+        assert(math.abs(gp - r6(power)) <= 5e-6, s"$t period $p")
+      }
+      // exactly one dominant period per type; the fixture's weekly traffic
+      // structure makes it 7 (or a 7-harmonic) — assert it beats period 2
+      val dom = (2L to 14L).filter(p => got((t, p))._3)
+      assert(dom.size == 1, s"$t dominant set $dom")
+    }
+  }
+
   test("sink_json_roundtrip preserves every row bit-exactly") {
     val src = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
