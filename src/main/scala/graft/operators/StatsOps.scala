@@ -669,6 +669,41 @@ object StatsOps {
         .orderBy("day")
     }),
 
+    // Tukey–Kramer HSD post-hoc pairwise comparisons — the step an
+    // analyst runs AFTER a significant ANOVA to learn WHICH groups
+    // differ: studentized-range q for every event-type pair, using the
+    // pooled within-group mean square from the same raw sums as
+    // `stat_anova`. The corpus collapses to one 5-row (n, Σv, Σv²) group
+    // table; the 10 pairs come from a broadcast self-join of THAT table
+    // (metadata-sized at any scale — never a data-side pairing). The
+    // k=5, df→∞, α=0.05 studentized-range critical value 3.858 is a
+    // shared literal; verdicts compare the ROUNDED q so the boolean is
+    // deterministic cross-engine.
+    "stat_tukey_hsd" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum("value").as("s"), sum(col("value") * col("value")).as("q"))
+      val tot = g.agg(sum("n").as("nn"), count(lit(1)).as("k"),
+        sum(col("q") - col("s") * col("s") / col("n")).as("ssw"))
+        .withColumn("msw", col("ssw") / (col("nn") - col("k")))
+      val a = g.select(col("event_type").as("type_a"), col("n").as("na"),
+        (col("s") / col("n")).as("ma"))
+      val b = g.select(col("event_type").as("type_b"), col("n").as("nb"),
+        (col("s") / col("n")).as("mb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("q_stat",
+          round(abs(col("ma") - col("mb"))
+            / sqrt(col("msw") / 2
+              * (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6))
+        .select(col("type_a"), col("type_b"),
+          Tables.nz(round(col("ma") - col("mb"), 6)).as("mean_diff"),
+          col("q_stat"),
+          (col("q_stat") > 3.858).as("significant"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Brown–Forsythe (median-centered Levene) homogeneity-of-variance
     // test across event types — the gate ANOVA's equal-variance
     // assumption is checked with (median-centered = the robust default).
@@ -1325,6 +1360,31 @@ object StatsOps {
         |  FROM p GROUP BY day)
         |SELECT day, n, a2_stat, a2_stat > 0.752 AS reject_normal
         |FROM g ORDER BY day""".stripMargin,
+    // same raw group sums as stat_anova; pairs from the tiny group table
+    "stat_tukey_hsd" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |         sum(value) AS s, sum(value * value) AS q
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT sum(n) AS nn, CAST(count(*) AS DOUBLE) AS k,
+        |         sum(q - s * s / n) AS ssw
+        |  FROM g),
+        |m AS (SELECT *, ssw / (nn - k) AS msw FROM t),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         a.n AS na, b.n AS nb,
+        |         a.s / a.n AS ma, b.s / b.n AS mb
+        |  FROM g a JOIN g b ON a.event_type < b.event_type),
+        |w AS (
+        |  SELECT type_a, type_b, ma, mb,
+        |         round(abs(ma - mb)
+        |               / sqrt(m.msw / 2 * (1.0 / na + 1.0 / nb)), 6) AS q_stat
+        |  FROM p CROSS JOIN m)
+        |SELECT type_a, type_b,
+        |       round(ma - mb, 6) + 0 AS mean_diff,
+        |       q_stat, q_stat > 3.858 AS significant
+        |FROM w ORDER BY type_a, type_b""".stripMargin,
     // exact medians (percentile ≡ quantile_cont), identical sums-only W
     "stat_levene" ->
       """WITH med AS (

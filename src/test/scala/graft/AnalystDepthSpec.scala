@@ -1269,6 +1269,31 @@ class AnalystDepthSpec extends SparkSpec {
     }
   }
 
+  test("stat_tukey_hsd equals the textbook Tukey-Kramer q from group stats") {
+    val byType = expRows.groupBy(_._4).map { case (t, rs) =>
+      t -> rs.map(_._3.toDouble)
+    }
+    val k = byType.size.toDouble
+    val nn = byType.values.map(_.size).sum.toDouble
+    val ssw = byType.values.map { xs =>
+      val m = xs.sum / xs.size; xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val msw = ssw / (nn - k)
+    val got = SparkEntry.queries("stat_tukey_hsd")(spark, sf).collect()
+    assert(got.length == (k * (k - 1) / 2).toInt)
+    for (r <- got) {
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "canonical pair order")
+      val (xa, xb) = (byType(a), byType(b))
+      val (ma, mb) = (xa.sum / xa.size, xb.sum / xb.size)
+      val q = math.abs(ma - mb) /
+        math.sqrt(msw / 2 * (1.0 / xa.size + 1.0 / xb.size))
+      assert(math.abs(r.getDouble(2) - r6(ma - mb)) <= 2e-6, s"$a/$b diff")
+      assert(math.abs(r.getDouble(3) - r6(q)) <= 1e-4, s"$a/$b q")
+      assert(r.getBoolean(4) == (r.getDouble(3) > 3.858))
+    }
+  }
+
   test("sink_json_roundtrip preserves every row bit-exactly") {
     val src = Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
