@@ -90,7 +90,7 @@ object Bench {
       case c => c.toString
     } + "\""
     def toJson(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      xs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val ok = results.filter(_._4.isEmpty)
     val errs = results.collect { case (n, _, _, Some(m)) => (n, m) }
     val qs = toJson(ok.map(t => (t._1, t._2)))

@@ -428,10 +428,17 @@ object EventOps {
         absorbed
       }
       val pFull = pConv(probs(None))
-      val re = channels.map(c => c -> (1.0 - pConv(probs(Some(c))) / pFull))
-      val reSum = re.map(_._2).sum
+      // degenerate-fixture guard (ADVICE r5): no conversions (pFull = 0) or
+      // removal effects summing to 0 → NULL, not NaN — mirrored in the
+      // oracle via NULLIF, same discipline as stat_ab_proportions.
+      val re: Seq[(String, Option[Double])] =
+        if (pFull == 0.0) channels.map(c => c -> (None: Option[Double]))
+        else channels.map(c => c -> Some(1.0 - pConv(probs(Some(c))) / pFull))
+      val reSum = re.flatMap(_._2).sum
       import s.implicits._
-      re.map { case (c, r) => (c, pFull, r, r / reSum) }
+      re.map { case (c, r) =>
+        (c, pFull, r, r.flatMap(x => if (reSum == 0.0) None else Some(x / reSum)))
+      }
         .toDF("channel", "p_conv", "removal_effect", "attribution")
         .select(col("channel"), round(col("p_conv"), 6).as("p_conv"),
           Tables.nz(round(col("removal_effect"), 6)).as("removal_effect"),
@@ -1845,6 +1852,9 @@ object EventOps {
     // divided once from summed counts exactly like the Spark driver;
     // channel set pinned to the fixture's four non-purchase types
     "event_markov_attribution" -> {
+      // CHANNEL-SET PIN: the Spark side derives channels from the data; this
+      // oracle hardcodes the fixture's non-absorbing event types. If the
+      // testdata generator's event_type vocabulary changes, update here FIRST.
       val channels = Seq("click", "error", "signup", "view")
       def scen(name: String, removed: Option[String]): String = {
         val filt = removed.map(r => s"WHERE cur <> '$r'").getOrElse("")
@@ -1881,7 +1891,7 @@ object EventOps {
       val scens = (("full", None) +: channels.map(c => (c, Some(c))))
         .map { case (n, r) => scen(n, r) }.mkString(",\n")
       val reRows = channels.map(c =>
-        s"SELECT '$c' AS channel, 1.0 - (SELECT p FROM a_$c) / (SELECT p FROM a_full) AS r")
+        s"SELECT '$c' AS channel, 1.0 - (SELECT p FROM a_$c) / NULLIF((SELECT p FROM a_full), 0) AS r")
         .mkString("\n  UNION ALL\n  ")
       s"""WITH k AS (
          |  SELECT user_id, event_type, ts, event_id,
@@ -1913,7 +1923,7 @@ object EventOps {
          |SELECT channel,
          |       round((SELECT p FROM a_full), 6) AS p_conv,
          |       round(r, 6) + 0 AS removal_effect,
-         |       round(r / sum(r) OVER (), 6) + 0 AS attribution
+         |       round(r / NULLIF(sum(r) OVER (), 0), 6) + 0 AS attribution
          |FROM re ORDER BY channel""".stripMargin
     },
     "agg_retention" ->

@@ -86,6 +86,15 @@ object AsOfJoin {
       s"as-of ts columns must be TimestampType (cast first): " +
         s"$leftTsCol=${lts.dataType}, $rightTsCol=${rts.dataType}")
     attr(right, rightTieCol, "build")
+    // payload excludes the key by NAME, so a key that doubles as the build ts
+    // (or tie) column would leave tsIdx = -1 in expand() and fail analysis
+    // with an opaque GetStructField(-1) — reject the aliasing up front.
+    require(keyCol != rightTsCol,
+      s"as-of join: keyCol '$keyCol' cannot also be the build ts column — " +
+        "project it under a second name first")
+    require(keyCol != rightTieCol,
+      s"as-of join: keyCol '$keyCol' cannot also be the build tie column — " +
+        "project it under a second name first")
     val payload = right.output.filterNot(_.name == keyCol)
     val dup = payload.map(_.name).intersect(left.output.map(_.name))
     require(dup.isEmpty,
@@ -174,13 +183,22 @@ object AsOfJoin {
             LessThanOrEqual(Subtract(carryTsMicros(c), UnixMicros(uTs)), Literal(tol))),
             c, nullP))
       case Nearest =>
-        val b = carryAttr("__back"); val f = carryAttr("__fwd")
+        // tolerance (pandas merge_asof supports it with nearest too) bounds
+        // BOTH carries before the distance tie-break, so a stale backward
+        // match can't beat an in-bound forward one.
+        def bounded(c: Expression, dist: Expression => Expression): Expression =
+          n.toleranceMicros.fold(c)(tol =>
+            If(And(IsNotNull(c), LessThanOrEqual(dist(c), Literal(tol))), c, nullP))
+        val b = bounded(carryAttr("__back"),
+          c => Subtract(UnixMicros(uTs), carryTsMicros(c)))
+        val f = bounded(carryAttr("__fwd"),
+          c => Subtract(carryTsMicros(c), UnixMicros(uTs)))
         CaseWhen(Seq(
-          (IsNull(b), f: Expression),
-          (IsNull(f), b: Expression),
+          (IsNull(b), f),
+          (IsNull(f), b),
           (LessThanOrEqual(Subtract(UnixMicros(uTs), carryTsMicros(b)),
-            Subtract(carryTsMicros(f), UnixMicros(uTs))), b: Expression)),
-          Some(f: Expression))
+            Subtract(carryTsMicros(f), UnixMicros(uTs))), b)),
+          Some(f))
     }
 
     // re-alias every output onto the node's declared exprIds (probe columns

@@ -80,6 +80,42 @@ class AsOfJoinPlanSpec extends SparkSpec {
       s"expected exactly ONE keyed exchange, got $exchanges:\n" + p.take(2000))
   }
 
+  test("nearest + tolerance bounds BOTH carries (matches brute force)") {
+    val tol = 30L * 60 * 1000000 // 30 min
+    val viaPlan = AsOf.join(purchases, clicks, "user_id", "ts", "click_ts",
+        "click_id", direction = AsOfJoin.Nearest, toleranceMicros = Some(tol))
+      .select(col("event_id").as("p_id"), col("click_id").as("near_click_id"))
+      .orderBy("p_id")
+    // brute force: per probe row, the in-bound click minimizing |Δt|, ties
+    // resolved backward then max click_id (the engine's tie convention)
+    val brute = purchases.alias("p")
+      .join(clicks.alias("c"), col("p.user_id") === col("c.user_id"), "left")
+      .withColumn("dt",
+        abs(unix_micros(col("p.ts")) - unix_micros(col("click_ts"))))
+      .withColumn("ok", col("dt").isNotNull && col("dt") <= tol)
+      .withColumn("back", (unix_micros(col("click_ts")) <= unix_micros(col("p.ts"))).cast("int"))
+      // equal dt + equal back ⇒ identical click_ts, so the residual tie is
+      // click_id only: max for backward (last-in-order), min for forward
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p.event_id"))
+          .orderBy(col("ok").desc, col("dt").asc, col("back").desc,
+            when(col("back") === 1, col("click_id"))
+              .otherwise(-col("click_id")).desc)))
+      .filter(col("rk") === 1)
+      .select(col("p.event_id").as("p_id"),
+        when(col("ok"), col("click_id")).as("near_click_id"))
+      .orderBy("p_id")
+    assert(rows(viaPlan) == rows(brute))
+    // and at least one row differs from unbounded nearest (bound is active)
+    val unbounded = AsOf.join(purchases, clicks, "user_id", "ts", "click_ts",
+        "click_id", direction = AsOfJoin.Nearest)
+      .select(col("event_id").as("p_id"), col("click_id").as("near_click_id"))
+      .orderBy("p_id")
+    assert(rows(viaPlan) != rows(unbounded),
+      "tolerance had no effect on this fixture — pick a tighter bound")
+  }
+
   test("factory validates the column contract") {
     val pr = purchases
     // colliding payload names
@@ -97,6 +133,16 @@ class AsOfJoinPlanSpec extends SparkSpec {
       AsOf.join(pr, clicks.withColumn("click_ts", unix_micros(col("click_ts"))),
         "user_id", "ts", "click_ts", "click_id"))
     assert(e3.getMessage.contains("TimestampType"))
+    // key aliased as the build ts / tie column (ADVICE r5: used to surface
+    // as an opaque GetStructField(-1) analysis failure)
+    val tsKeyed = clicks.select(col("click_ts").as("k"), col("click_id"))
+    val e4 = intercept[IllegalArgumentException](
+      AsOf.join(pr.select(col("ts").as("k"), col("event_id")), tsKeyed,
+        "k", "k", "k", "click_id"))
+    assert(e4.getMessage.contains("build ts column"))
+    val e5 = intercept[IllegalArgumentException](
+      AsOf.join(pr, clicks, "user_id", "ts", "click_ts", "user_id"))
+    assert(e5.getMessage.contains("build tie column"))
   }
 
   test("probe rows all survive; unmatched carry is null (left-join shape)") {
