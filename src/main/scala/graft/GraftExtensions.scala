@@ -16,6 +16,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(s => graft.plans.TtlEnforcement(s))
     ext.injectResolutionRule(s => graft.plans.AsOfJoinRewrite(s))
+    // SQL surface for the as-of plan node (§7.3): FROM asof_join('probe',
+    // 'build', 'key', 'probe_ts', 'build_ts', 'build_tie'[, direction
+    // [, tolerance_micros]]) — parses to UnresolvedAsOfJoin, which the
+    // AsOfJoinRewrite rule validates and expands once the named tables
+    // resolve.
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      new ExpressionInfo("graft.plans.UnresolvedAsOfJoin", "asof_join"),
+      (args: Seq[Expression]) => graft.plans.AsOfJoinTvf(args)))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.CosineSimilarity", "cosine_sim"),

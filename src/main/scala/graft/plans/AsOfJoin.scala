@@ -214,11 +214,88 @@ object AsOfJoin {
   }
 }
 
+/** SQL-surface form of the as-of join (SURVEY.md §7.3, VERDICT r5 ask #2):
+  * what the `asof_join(...)` table-valued function parses to. Children start
+  * as [[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation]]s (the SQL
+  * user names tables, not plans), so the column contract can't be validated
+  * at parse time; this node stays permanently unresolved (`output = Nil`)
+  * until [[AsOfJoinRewrite]] sees resolved children, runs the
+  * [[AsOfJoin.build]] validation, and expands in one step — parents
+  * (star-expansion included) only ever see the final expanded plan, never a
+  * half-built node whose exprIds could churn between fixed-point rounds.
+  */
+final case class UnresolvedAsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    keyCol: String,
+    leftTsCol: String,
+    rightTsCol: String,
+    rightTieCol: String,
+    direction: String,
+    toleranceMicros: Option[Long])
+  extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Argument parsing for the `asof_join` table-valued function, registered by
+  * [[graft.GraftExtensions]]:
+  *
+  * {{{
+  * SELECT * FROM asof_join(
+  *   'probe_table', 'build_table',       -- any resolvable table/view names
+  *   'key', 'probe_ts', 'build_ts', 'build_tie'
+  *   [, 'backward'|'forward'|'nearest'   -- default backward
+  *   [, <tolerance_micros>]])            -- integer literal, optional
+  * }}}
+  *
+  * Table names may be multipart (`db.tbl`). All contract violations raise at
+  * analysis with the same named errors as the Scala API ([[AsOfJoin.build]]).
+  */
+object AsOfJoinTvf {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+
+  def apply(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 6 && args.length <= 8,
+      "asof_join expects 6-8 arguments: probe, build, key, probe_ts, " +
+        s"build_ts, build_tie[, direction[, tolerance_micros]]; got ${args.length}")
+    def str(i: Int, what: String): String = args(i) match {
+      case Literal(v, StringType) if v != null => v.toString
+      case o => throw new IllegalArgumentException(
+        s"asof_join: $what (argument ${i + 1}) must be a string literal, got $o")
+    }
+    val direction = if (args.length >= 7) str(6, "direction") else AsOfJoin.Backward
+    require(AsOfJoin.Directions.contains(direction),
+      s"asof_join: direction must be one of " +
+        s"${AsOfJoin.Directions.mkString("/")}, got '$direction'")
+    val tol = if (args.length == 8) args(7) match {
+      case Literal(v, ByteType | ShortType | IntegerType | LongType) if v != null =>
+        Some(v.asInstanceOf[Number].longValue)
+      case o => throw new IllegalArgumentException(
+        s"asof_join: tolerance_micros (argument 8) must be an integer literal, got $o")
+    } else None
+    def rel(i: Int, what: String): LogicalPlan =
+      UnresolvedRelation(str(i, what).split('.').toSeq)
+    UnresolvedAsOfJoin(rel(0, "probe table"), rel(1, "build table"),
+      str(2, "key"), str(3, "probe_ts"), str(4, "build_ts"),
+      str(5, "build_tie"), direction, tol)
+  }
+}
+
 /** Resolution rule: expands every [[AsOfJoin]] node once its children are
-  * resolved. Registered by [[graft.GraftExtensions]].
+  * resolved, and validates-then-expands the SQL-surface
+  * [[UnresolvedAsOfJoin]] in one step. Registered by
+  * [[graft.GraftExtensions]].
   */
 final case class AsOfJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case n: AsOfJoin if n.childrenResolved => AsOfJoin.expand(n)
+    case u: UnresolvedAsOfJoin if u.childrenResolved =>
+      AsOfJoin.expand(AsOfJoin.build(u.left, u.right, u.keyCol, u.leftTsCol,
+        u.rightTsCol, u.rightTieCol, u.direction, u.toleranceMicros))
   }
 }

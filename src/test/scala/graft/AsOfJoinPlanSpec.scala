@@ -145,6 +145,53 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(e5.getMessage.contains("build tie column"))
   }
 
+  test("SQL TVF: asof_join(...) matches the Scala node and plans identically") {
+    purchases.createOrReplaceTempView("tvf_purchases")
+    clicks.createOrReplaceTempView("tvf_clicks")
+    val viaSql = spark.sql(
+      """SELECT event_id AS p_id, click_ts
+        |FROM asof_join('tvf_purchases', 'tvf_clicks',
+        |               'user_id', 'ts', 'click_ts', 'click_id')
+        |ORDER BY p_id""".stripMargin)
+    val viaScala = AsOf.join(purchases, clicks, "user_id", "ts", "click_ts", "click_id")
+      .select(col("event_id").as("p_id"), col("click_ts"))
+      .orderBy("p_id")
+    assert(rows(viaSql) == rows(viaScala))
+    // identical physical shape: strip per-run ids and compare operator spines
+    def spine(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case p => p.nodeName }
+    assert(spine(viaSql) == spine(viaScala),
+      s"SQL and Scala as-of must plan the same:\n${spine(viaSql)}\nvs\n${spine(viaScala)}")
+  }
+
+  test("SQL TVF: direction + tolerance arguments and validation") {
+    purchases.createOrReplaceTempView("tvf_purchases")
+    clicks.createOrReplaceTempView("tvf_clicks")
+    val tol = 2L * 3600 * 1000000
+    val viaSql = spark.sql(
+      s"""SELECT event_id AS p_id, click_ts
+         |FROM asof_join('tvf_purchases', 'tvf_clicks',
+         |               'user_id', 'ts', 'click_ts', 'click_id',
+         |               'backward', $tol)
+         |ORDER BY p_id""".stripMargin)
+    val viaScala = AsOf.join(purchases, clicks, "user_id", "ts", "click_ts",
+        "click_id", toleranceMicros = Some(tol))
+      .select(col("event_id").as("p_id"), col("click_ts"))
+      .orderBy("p_id")
+    assert(rows(viaSql) == rows(viaScala))
+    val badDir = intercept[Exception](spark.sql(
+      """SELECT * FROM asof_join('tvf_purchases', 'tvf_clicks',
+        |'user_id', 'ts', 'click_ts', 'click_id', 'sideways')""".stripMargin))
+    assert(badDir.getMessage.contains("direction"))
+    val badArity = intercept[Exception](
+      spark.sql("SELECT * FROM asof_join('tvf_purchases', 'tvf_clicks')"))
+    assert(badArity.getMessage.contains("6-8 arguments"))
+    val badCol = intercept[Exception](spark.sql(
+      """SELECT * FROM asof_join('tvf_purchases', 'tvf_clicks',
+        |'user_id', 'ts', 'nope', 'click_id')""".stripMargin))
+    assert(badCol.getMessage.contains("not found"))
+  }
+
   test("probe rows all survive; unmatched carry is null (left-join shape)") {
     val out = AsOf.join(purchases, clicks, "user_id", "ts", "click_ts", "click_id")
     assert(out.count() == purchases.count())
