@@ -689,6 +689,32 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // The declared 100-TB drop-in for the exact ladder above (SURVEY K45),
+    // now demonstrated: ONE pass over the corpus builds day-partial HLL
+    // sketches (datasketches binary, mergeable); every trailing window then
+    // rolls up from the |days| × window sketch table — the corpus is never
+    // re-fanned. That inverts the exact plan's cost: fanout is 7×/28× per
+    // DAY (a few KB of sketch each), not per user-day pair, and any new
+    // window length (90-day, quarter) reuses the SAME partials without
+    // touching raw data. No oracle (sketch estimates); AnalyticsOpsSpec
+    // pins merged == single-pass per window and ±5% vs the exact key.
+    "event_rolling_uniques_approx" -> ((s, dir) => {
+      val partials = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      val dau = partials.select(col("day"),
+        hll_sketch_estimate(col("sketch")).as("dau_approx"))
+      def trailing(w: Int, name: String) = partials
+        .select(col("sketch"),
+          explode(sequence(col("day"), date_add(col("day"), w - 1))).as("day"))
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as(name))
+      dau
+        .join(trailing(7, "wau7_approx"), "day")
+        .join(trailing(28, "mau28_approx"), "day")
+        .orderBy("day")
+    }),
+
     // Longest activity streak per user — the classic gaps-and-islands
     // identity: on the distinct user-day table, (day − row_number) is
     // constant exactly within a run of consecutive days, so streaks fall

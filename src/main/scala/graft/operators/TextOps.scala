@@ -243,6 +243,93 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The WHOLE corpus build as ONE declarative plan (VERDICT r5 ask #6) —
+    // every cleaning stage this engine ships, composed the way a real
+    // pre-training run chains them: exact dedup (min doc_id per content
+    // hash) → line-level near-dup gate (C4 boilerplate rule: drop docs
+    // keeping < 50% of their 12-token lines after corpus-wide keep-first)
+    // → quality gate (the prepare_corpus composite, ≥ 0.75) → reproducible
+    // 90/10 split → benchmark decontamination (drop train docs sharing an
+    // 8-gram with any surviving holdout doc) → per-source sequence packing
+    // of the clean train split (holdout rows carry a NULL bin). Scale
+    // shape: every stage keeps its standalone key's discipline — content
+    // hash / line key / gram hash equality exchanges, rank-1 windows, one
+    // per-shard packing window; Catalyst pipelines the gates between the
+    // exchanges, the corpus is never re-materialized between stages.
+    // Oracle-paired end to end (hashes stay engine-internal: only doc ids
+    // and derived stats cross the compare).
+    "pipeline_end_to_end" -> ((s, dir) => {
+      val lineW = 12L
+      val gramN = 8
+      val budget = 256.0
+      val stop = Seq("the", "a", "of", "and", "to")
+      val d = Tables.documents(s, dir)
+      // stage 1: exact dedup on the content hash
+      val keep = d.groupBy(xxhash64(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val d1 = d.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      // stage 2: line-level near-dup gate over the deduped corpus
+      val lines = d1
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("n", size(col("tk")).cast(LongType))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n") - 1L, lit(lineW))).as("off"),
+          col("tk"))
+        .select(col("doc_id"), col("off"),
+          concat_ws(" ", slice(col("tk"), (col("off") + 1L).cast(IntegerType),
+            lit(lineW.toInt))).as("line"))
+      val wl = Window.partitionBy("line").orderBy("doc_id", "off")
+      val keptFrac = lines.withColumn("rn", row_number().over(wl))
+        .groupBy("doc_id")
+        .agg((sum(when(col("rn") === 1, 1.0).otherwise(0.0)) / count(lit(1)))
+          .as("kf"))
+      // stage 3: quality gate; stage 4: split
+      val nTok = size(toks).cast(DoubleType)
+      val stopRatio =
+        size(filter(toks, t => stop.map(m => t === m).reduce(_ || _))) / nTok
+      val ttr = size(array_distinct(toks)).cast(DoubleType) / nTok
+      val quality = round(
+        when(nTok >= 20, 0.5).otherwise(0.0) +
+        when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
+        when(ttr > 0.3, 0.25).otherwise(0.0), 6)
+      val d3 = d1.join(keptFrac, Seq("doc_id"))
+        .filter(col("kf") >= 0.5)
+        .withColumn("quality", quality)
+        .filter(col("quality") >= 0.75)
+        .withColumn("split",
+          when(pmod(col("doc_id") * 2654435761L, lit(100L)) < 90, "train")
+            .otherwise("holdout"))
+        .select(col("doc_id"), col("source"), col("text"), col("split"),
+          col("quality"), round(col("kf"), 6).as("kept_frac"),
+          size(toks).cast(LongType).as("n_toks"))
+      // stage 5: decontaminate train against the surviving holdout's grams
+      val grams = d3.select(col("doc_id"), col("split"),
+        explode(when(size(split(col("text"), " ")) >= gramN,
+          transform(sequence(lit(0), size(split(col("text"), " ")) - gramN),
+            i => xxhash64(concat_ws(" ",
+              slice(split(col("text"), " "), i + 1, lit(gramN))))))
+          .otherwise(array(xxhash64(col("text"))))).as("g"))
+      val holdoutGrams = grams.filter(col("split") === "holdout")
+        .select("g").distinct()
+      val dirty = grams.filter(col("split") === "train")
+        .join(holdoutGrams, "g").select("doc_id").distinct()
+      val clean = d3.join(dirty, Seq("doc_id"), "left_anti")
+      // stage 6: pack the clean train split into per-source token bins
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val train = clean.filter(col("split") === "train")
+        .withColumn("cum_excl", coalesce(sum("n_toks").over(wp), lit(0L)))
+        .withColumn("bin", floor(col("cum_excl") / budget).cast(LongType))
+        .drop("cum_excl")
+      val holdout = clean.filter(col("split") === "holdout")
+        .withColumn("bin", lit(null).cast(LongType))
+      train.unionByName(holdout)
+        .select("doc_id", "source", "split", "n_toks", "quality",
+          "kept_frac", "bin")
+        .orderBy("doc_id")
+    }),
+
     // Global term frequency, top 30 terms (count desc, term asc tiebreak).
     "text_termfreq" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -901,6 +988,74 @@ object TextOps {
         |       CASE WHEN (doc_id * 2654435761) % 100 < 90
         |            THEN 'train' ELSE 'holdout' END AS split
         |FROM scored WHERE quality >= 0.75 ORDER BY doc_id""".stripMargin,
+    // stage-for-stage twin of the Spark composition; each CTE is the
+    // corresponding standalone key's oracle with the upstream survivors
+    // substituted for the raw corpus
+    "pipeline_end_to_end" ->
+      """WITH dedup AS (
+        |  SELECT * FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM dedup),
+        |x AS (SELECT doc_id, unnest(generate_series(0, n - 1, 12)) AS off, tk
+        |      FROM t),
+        |c AS (SELECT doc_id, off,
+        |             array_to_string(list_slice(tk, off + 1, off + 12), ' ') AS line
+        |      FROM x),
+        |r AS (SELECT doc_id,
+        |             row_number() OVER (PARTITION BY line ORDER BY doc_id, off) AS rn
+        |      FROM c),
+        |kf AS (SELECT doc_id,
+        |              sum(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END) / count(*) AS kf
+        |       FROM r GROUP BY doc_id),
+        |m AS (
+        |  SELECT d.doc_id, d.source, d.text, kf.kf,
+        |         len(tt) AS ntd,
+        |         len(list_filter(tt, x -> x IN ('the','a','of','and','to')))::DOUBLE
+        |           / len(tt) AS stop_ratio,
+        |         len(list_distinct(tt))::DOUBLE / len(tt) AS ttr
+        |  FROM (SELECT doc_id, source, text, string_split(text,' ') AS tt
+        |        FROM dedup) d
+        |  JOIN kf USING (doc_id)
+        |  WHERE kf.kf >= 0.5),
+        |scored AS (
+        |  SELECT doc_id, source, text, round(kf, 6) AS kept_frac,
+        |         CAST(ntd AS BIGINT) AS n_toks,
+        |         round((CASE WHEN ntd >= 20 THEN 0.5 ELSE 0.0 END
+        |              + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END
+        |              + CASE WHEN ttr > 0.3 THEN 0.25 ELSE 0.0 END)::DOUBLE, 6) AS quality,
+        |         CASE WHEN (doc_id * 2654435761) % 100 < 90
+        |              THEN 'train' ELSE 'holdout' END AS split
+        |  FROM m),
+        |d3 AS (SELECT * FROM scored WHERE quality >= 0.75),
+        |g AS (
+        |  SELECT doc_id, split,
+        |         unnest(CASE WHEN len(tt) >= 8
+        |           THEN list_transform(range(len(tt)-7),
+        |                  i -> hash(array_to_string(tt[i+1:i+8], ' ')))
+        |           ELSE [hash(text)] END) AS g
+        |  FROM (SELECT doc_id, split, text, string_split(text,' ') AS tt FROM d3)),
+        |dirty AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM g t JOIN (SELECT DISTINCT g FROM g WHERE split = 'holdout') q
+        |    USING (g)
+        |  WHERE t.split = 'train'),
+        |clean AS (
+        |  SELECT * FROM d3 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |packed AS (
+        |  SELECT doc_id, source, split, n_toks, quality, kept_frac,
+        |         CAST(floor(COALESCE(sum(n_toks) OVER (
+        |                PARTITION BY source ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              / 256.0) AS BIGINT) AS bin
+        |  FROM clean WHERE split = 'train'),
+        |hold AS (
+        |  SELECT doc_id, source, split, n_toks, quality, kept_frac,
+        |         CAST(NULL AS BIGINT) AS bin
+        |  FROM clean WHERE split = 'holdout')
+        |SELECT * FROM packed UNION ALL SELECT * FROM hold ORDER BY doc_id""".stripMargin,
     "text_termfreq" ->
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

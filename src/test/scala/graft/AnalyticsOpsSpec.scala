@@ -210,6 +210,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(merged == direct, "sketch merge must be lossless vs one pass")
   }
 
+  test("event_rolling_uniques_approx: merged window == single-pass; ±5% vs exact") {
+    val approx = SparkEntry.queries("event_rolling_uniques_approx")(spark, sf)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = SparkEntry.queries("event_rolling_uniques")(spark, sf)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet, "same observed-day spine")
+    for ((d, (dau, w7, m28)) <- exact) {
+      val (ad, a7, a28) = approx(d)
+      for (((a, e), tag) <- Seq((ad, dau), (a7, w7), (a28, m28))
+             .zip(Seq("dau", "wau7", "mau28")))
+        assert(math.abs(a - e.toDouble) <= 0.05 * e + 1, s"$d $tag: $a vs $e")
+    }
+    // mergeability is lossless: the 7-day rollup from day partials must
+    // equal the single-pass sketch over the same raw 7-day slice (spot-check
+    // the last observed day, the one with a full trailing window behind it)
+    val lastDay = exact.keys.max
+    val mergedLast = approx(lastDay)._2
+    val directLast = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .filter(col("day") > date_sub(lit(lastDay).cast("date"), 7)
+        && col("day") <= lit(lastDay).cast("date"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head().getLong(0)
+    assert(mergedLast == directLast,
+      s"day-partial merge must be lossless: $mergedLast vs $directLast")
+  }
+
   test("agg_count_min_sketch: merged day partials estimate within the eps bound") {
     import org.apache.spark.util.sketch.CountMinSketch
     val rows = SparkEntry.queries("agg_count_min_sketch")(spark, sf).collect()

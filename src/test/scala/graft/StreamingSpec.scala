@@ -556,6 +556,81 @@ class StreamingSpec extends SparkSpec {
       "recovery must have re-appended the uncommitted batch")
   }
 
+  test("streaming as-of: checkpoint crash-recovery converges on the uninterrupted run (G9)") {
+    // Same fault-injection seam as the archive() G8 test, applied to the
+    // STATEFUL operator: crash after a sink append but before the
+    // micro-batch commits, rebuild on a fresh session from the checkpoint
+    // (flatMapGroupsWithState state + file-source offsets both live there),
+    // drain, and require the deduped output to equal an uninterrupted
+    // control run AND the batch join_asof truth.
+    val base = Files.createTempDirectory("graft-asof-crash-").toString
+    val srcDir = s"$base/src"
+    new java.io.File(srcDir).mkdirs()
+    val eventsDf = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("user_id", "event_type", "event_id", "ts")
+    val schema = eventsDf.schema
+    val all = eventsDf.orderBy("ts", "event_id").collect()
+    // 4 ts-ordered chunk files with strictly increasing mod times: the file
+    // source lists by mod time, so with maxFilesPerTrigger=1 replay order
+    // equals event-time order (the archive replay contract)
+    all.grouped((all.length + 3) / 4).zipWithIndex.foreach { case (chunk, i) =>
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(chunk: _*), schema)
+      val tmp = s"$base/tmp$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, f"chunk-$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    def run(s: org.apache.spark.sql.SparkSession, out: String, ckpt: String,
+            crashAt: Option[Long]) = {
+      import s.implicits._
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .toDF("user_id", "event_type", "event_id", "ts")
+        .as[(Long, String, Long, Timestamp)]
+      graft.streaming.StateOps.streamingAsOf(src, watermark = "40 days")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[graft.streaming.StateOps.AsOfMatch],
+           bid: Long) =>
+            df.write.mode("append").parquet(out)
+            if (crashAt.contains(bid)) throw new RuntimeException("injected crash")
+        }
+        .start()
+    }
+    def canonical(out: String): Map[Long, Option[Timestamp]] =
+      spark.read.parquet(out).dropDuplicates("p_id").collect()
+        .map(r => r.getAs[Long]("p_id") ->
+          Option(r.getAs[Timestamp]("click_ts"))).toMap
+    val (outA, ckptA) = (s"$base/a", s"$base/ckptA")
+    val crashed = run(spark, outA, ckptA, crashAt = Some(1L))
+    val failed =
+      try { crashed.processAllAvailable(); false }
+      catch { case _: Exception => true }
+    assert(failed, "the injected crash must terminate the first run")
+    val s2 = spark.newSession()
+    val resumed = run(s2, outA, ckptA, crashAt = None)
+    try { resumed.processAllAvailable() } finally resumed.stop()
+    val (outB, ckptB) = (s"$base/b", s"$base/ckptB")
+    val control = run(spark, outB, ckptB, crashAt = None)
+    try { control.processAllAvailable() } finally control.stop()
+    assert(canonical(outA) == canonical(outB),
+      "post-recovery as-of output must equal the uninterrupted run")
+    val batch = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(canonical(outA) == batch,
+      "post-recovery as-of output must equal the batch join_asof truth")
+    // the crash exercised the at-least-once window: the replayed batch's
+    // rows appear at least twice in raw (pre-dedup) storage
+    assert(spark.read.parquet(outA).count() > spark.read.parquet(outB).count(),
+      "recovery must have re-appended the uncommitted batch")
+  }
+
   test("applyTtl drops nothing younger than 3 days and everything older") {
     val e = Tables.events(spark, sf)
     val kept = ArchiveStream.applyTtl(e.withColumnRenamed("event_id", "id"))
