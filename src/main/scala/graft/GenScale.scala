@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ramp data generator (round-6 scale evidence, VERDICT r5 ask #1):
+  * expands an existing testdata dir by an integer factor with the
+  * key-shifted-replica construction, so the engine's sf0.1→sf1 scaling can
+  * be MEASURED instead of argued from plan shape.
+  *
+  * `runMain graft.GenScale <inDir> <outDir> [replicas=10]`
+  *
+  * Construction (deterministic, seedless — replica index is the only
+  * randomness source, hashed where decorrelation is needed):
+  *  - fixed dims (`region`, `nation`) copy through unchanged;
+  *  - every entity key (custkey / orderkey / partkey / suppkey / user_id /
+  *    event_id / doc_id / vec_id) shifts by `replica * STRIDE` with the SAME
+  *    stride on both sides of every FK edge, so each replica is a
+  *    self-contained universe: join fan-outs, group sizes and selectivities
+  *    per key stay exactly sf0.1-shaped while global cardinality scales
+  *    linearly — the way a real corpus grows (more users, not hotter keys);
+  *  - timestamps are NOT shifted: N× the traffic over the same calendar —
+  *    per-day/window group COUNTS grow N× (the scale axis that stresses
+  *    aggregation), day cardinality stays constant;
+  *  - `documents.text` gets a per-replica token suffix (replica 0 verbatim),
+  *    so the near-dup structure replicates independently instead of turning
+  *    the corpus into one giant duplicate cluster (candidate pairs must
+  *    scale ~N, not N²);
+  *  - `embeddings.embedding` gets a per-(replica, dim) deterministic sign
+  *    flip: norms and within-replica geometry are preserved, cross-replica
+  *    cosines collapse toward 0 — again keeping near-neighbor counts ~N.
+  */
+object GenScale {
+  // larger than any key in any generated dir (sf1 would need ≥ 6M lineitem
+  // orderkeys; 100M leaves two orders of headroom and stays far from Long
+  // overflow at any plausible replica count)
+  val Stride = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val outDir = args(1)
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def in(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // one row per replica index, cross-joined in (broadcast — tiny)
+    val reps = spark.range(replicas).select(col("id").as("rep"))
+    def shifted(name: String, keyCols: Seq[String]): DataFrame = {
+      val base = in(name).crossJoin(broadcast(reps))
+      keyCols.foldLeft(base)((df, k) =>
+        df.withColumn(k, col(k) + col("rep") * Stride)).drop("rep")
+    }
+
+    write(in("region"), "region")
+    write(in("nation"), "nation")
+    write(shifted("customer", Seq("c_custkey")), "customer")
+    write(shifted("supplier", Seq("s_suppkey")), "supplier")
+    write(shifted("part", Seq("p_partkey")), "part")
+    write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
+    write(shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      "lineitem")
+    write(shifted("events", Seq("event_id", "user_id")), "events")
+
+    val docs = in("documents").crossJoin(broadcast(reps))
+      .withColumn("doc_id", col("doc_id") + col("rep") * Stride)
+      .withColumn("text",
+        when(col("rep") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("rep"))))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("rep")
+    write(docs, "documents")
+
+    val emb = in("embeddings").crossJoin(broadcast(reps))
+      .withColumn("vec_id", col("vec_id") + col("rep") * Stride)
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              d => pmod(xxhash64(col("rep"), d), lit(2L))),
+            (v, b) => when(b === 0L, v).otherwise(-v))))
+      .drop("rep")
+    write(emb, "embeddings")
+
+    println(s"GenScale: wrote ${replicas}x $inDir -> $outDir")
+    spark.stop()
+  }
+}

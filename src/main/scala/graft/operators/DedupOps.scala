@@ -172,6 +172,39 @@ object DedupOps {
   /** Retained = documents minus those with a verified duplicate of smaller id.
     * `pairs` must carry (a_id, b_id) with a_id < b_id.
     */
+  /** Verified near-dup pairs (a_id < b_id) via MinHash LSH over a shingled
+    * corpus: 64-permutation signature (ONE custom TypedImperativeAggregate,
+    * graft.functions.MinHashSignature — a long[64] sketch buffer updated in
+    * a tight loop with map-side partial aggregation, vs 64 independent
+    * min(hash) columns at 64× the hash work), 16 bands × 4 rows hashed to a
+    * band key, band-bucket equi-join proposes candidates, true shingle
+    * Jaccard ≥ 0.7 confirms. `bandCacheKey` persists the band table — the
+    * self-join below would otherwise run the signature aggregation once per
+    * side. Shared by dedup_minhash (probabilistic, rows-only) and
+    * dedup_minhash_planted (the deterministic exact-duplicate contract,
+    * oracle-paired).
+    */
+  private def minHashPairs(sh: DataFrame, bandCacheKey: String): DataFrame = {
+    val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sig = posts.groupBy("doc_id")
+      .agg(graft.functions.api.minHashSig(col("g")).as("sig"))
+    val bands = OpCache.cached(bandCacheKey, sig.select(col("doc_id"),
+        posexplode(array((0 until 16).map(b => xxhash64(
+          element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
+          element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4))): _*)))
+      .toDF("doc_id", "band", "bhash"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.7)
+      .select("a_id", "b_id")
+  }
+
   private def retain(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("b_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
@@ -281,33 +314,41 @@ object DedupOps {
     // over the pre-hashed shingle — with map-side partial aggregation, vs
     // 64 independent min(hash(k, g)) aggregate columns (64x the hash work
     // and a quadratic codegen surface).
-    "dedup_minhash" -> ((s, dir) => {
+    "dedup_minhash" -> ((s, dir) =>
       // Requires `objectHashAggregate.sortBased.fallbackThreshold` raised at
       // session construction (GraftSession.tuning — 512 B fixed sketch
       // buffers make the 128-group default absurdly conservative); set there,
       // not here, so builders never mutate shared session state.
-      val sh = shingled(s, dir)
-      val posts = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val sig = posts.groupBy("doc_id")
-        .agg(graft.functions.api.minHashSig(col("g")).as("sig"))
-      // persisted: the self-join below would otherwise run the signature
-      // computation once per side
-      val bands = OpCache.cached(dir + "#mh_bands", sig.select(col("doc_id"),
-          posexplode(array((0 until 16).map(b => xxhash64(
-            element_at(col("sig"), b * 4 + 1), element_at(col("sig"), b * 4 + 2),
-            element_at(col("sig"), b * 4 + 3), element_at(col("sig"), b * 4 + 4))): _*)))
-        .toDF("doc_id", "band", "bhash"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val verified = cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), Seq("a_id"))
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), Seq("b_id"))
-        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.7)
-        .select("a_id", "b_id")
-      retain(Tables.documents(s, dir), verified)
+      retain(Tables.documents(s, dir),
+        minHashPairs(shingled(s, dir), dir + "#mh_bands"))),
+
+    // The SQL-expressible slice of the MinHash contract (VERDICT r5 ask
+    // #7): LSH recall on NEAR-dups is probabilistic (hence dedup_minhash
+    // stays rows-only), but on EXACT duplicates it is deterministic —
+    // identical text ⇒ identical shingle set ⇒ identical 64-perm signature
+    // ⇒ all 16 bands collide ⇒ the pair is a candidate regardless of the
+    // hash constants, and Jaccard 1 ≥ 0.7 always verifies. So: PLANT an
+    // exact copy (doc_id + 1,000,000, larger than every original, so the
+    // copy is always the dropped b_id) of every doc_id ≡ 3 (mod 10), run
+    // the UNCHANGED LSH pipeline over the augmented corpus, and report
+    // each planted copy's dropped verdict. The oracle knows every verdict
+    // must be true — a recall regression anywhere in the shingle → sig →
+    // band → verify chain flips a row to false and hash-fails the key.
+    "dedup_minhash_planted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val planted = d.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val corpus = d.select("doc_id", "text")
+        .unionByName(planted.select("doc_id", "text"))
+      val sh = OpCache.cached(dir + "#mh_planted_sh",
+        corpus.select(col("doc_id"), shingles(col("text")).as("sh")))
+      val dropped = minHashPairs(sh, dir + "#mh_planted_bands")
+        .select(col("b_id").as("planted_id")).distinct()
+        .withColumn("hit", lit(true))
+      planted.select(col("doc_id").as("planted_id"))
+        .join(dropped, Seq("planted_id"), "left")
+        .select(col("planted_id"), coalesce(col("hit"), lit(false)).as("dropped"))
+        .orderBy("planted_id")
     }),
 
     // SimHash: 64-bit signature (per-bit majority over distinct-token
@@ -437,6 +478,15 @@ object DedupOps {
     // (dedup_ngram_jaccard: AllPairs prefix filtering, a completeness
     // THEOREM not a probability) is the oracle-paired guard of this family;
     // MinHashSpec + PropertySpec pin the signature math itself.
+    // dedup_minhash_planted carves out the DETERMINISTIC slice of that
+    // contract: exact duplicates always collide in every band (recall = 1
+    // by construction, not probability), so the oracle simply asserts every
+    // planted copy is dropped. The Spark side still runs the full LSH
+    // pipeline — a regression anywhere in it emits false and hash-fails.
+    "dedup_minhash_planted" ->
+      """SELECT doc_id + 1000000 AS planted_id, true AS dropped
+        |FROM documents WHERE doc_id % 10 = 3
+        |ORDER BY planted_id""".stripMargin,
     // Quadratic all-pairs oracle: run at sf0.01; skip in sf0.1 sweeps.
     "dedup_containment" ->
       """WITH sh AS (
