@@ -32,6 +32,15 @@ object GraftSession {
     "spark.sql.warehouse.dir" ->
       s"${System.getProperty("java.io.tmpdir")}/graft-warehouse",
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "100000",
+    // Spark 4's recursive-CTE guard rail defaults to 1M TOTAL rows across
+    // all iterations — a per-QUERY safety net, not a scale limit, and the
+    // round-6 sf1 ramp tripped it: sql_recursive's ancestor walk emits
+    // |customer| × ~12 depth rows (1.65M at sf1, growing linearly with
+    // data). 100M keeps the runaway-recursion protection (the LEVEL limit
+    // still applies) while letting row volume scale with the input; at
+    // cluster scale this is the conf a deployment sizes alongside
+    // shuffle.partitions.
+    "spark.sql.cteRecursionRowLimit" -> "100000000",
     "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.ui.enabled" -> "false")

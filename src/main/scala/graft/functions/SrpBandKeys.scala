@@ -19,7 +19,11 @@ import org.apache.spark.sql.types._
   * domain — Steele et al., as in [[MinHashSignature]]), ~16k mul-adds per
   * row inside codegen.
   */
-case class SrpBandKeys(child: Expression) extends UnaryExpression {
+case class SrpBandKeys(child: Expression, numBands: Int = SrpBandKeys.Bands)
+  extends UnaryExpression {
+
+  require(numBands >= 1 && numBands <= SrpBandKeys.Bands,
+    s"numBands must be in 1..${SrpBandKeys.Bands}, got $numBands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "srp_band_keys"
@@ -32,7 +36,7 @@ case class SrpBandKeys(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    new GenericArrayData(SrpBandKeys.compute(v))
+    new GenericArrayData(SrpBandKeys.compute(v, numBands))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -44,8 +48,8 @@ case class SrpBandKeys(child: Expression) extends UnaryExpression {
       val bits = ctx.freshName("bits"); val row = ctx.freshName("row")
       s"""
          |final int $n = $v.numElements();
-         |final long[] $out = new long[${SrpBandKeys.Bands}];
-         |for (int $b = 0; $b < ${SrpBandKeys.Bands}; $b++) {
+         |final long[] $out = new long[$numBands];
+         |for (int $b = 0; $b < $numBands; $b++) {
          |  long $bits = 0L;
          |  for (int $i = 0; $i < ${SrpBandKeys.Bits}; $i++) {
          |    final double[] $row = $planes[$b * ${SrpBandKeys.Bits} + $i];
@@ -67,11 +71,21 @@ case class SrpBandKeys(child: Expression) extends UnaryExpression {
 }
 
 object SrpBandKeys {
-  /** 32 bands x 8 bits; planes cover MaxDim dims (power of two — longer
+  /** 96 bands x 16 bits; planes cover MaxDim dims (power of two — longer
     * vectors wrap, the projection stays a valid LSH family).
+    *
+    * Geometry chosen for SCALE, not just recall: the round-6 sf1 ramp
+    * measured the previous 32x8 banding quadratic on a 20k isotropic corpus
+    * (random pairs collide per band with 2^-8, so expected false candidates
+    * are n^2/2 * 32/256 ~ n^2/16 — 25M pairs at sf1, x136 wall-clock).
+    * At 16 bits a random collision costs 2^-16 per band; 96 bands keep the
+    * true-pair miss at the 0.95 threshold BELOW the old bound
+    * ((1 - 0.899^16)^96 ~= 4e-9 vs 2e-8), so the oracle pairing stands,
+    * while false-candidate volume drops ~85x and the bucket keyspace grows
+    * to 96 * 65536 ~= 6.3M shuffle keys.
     */
-  val Bands = 32
-  val Bits = 8
+  val Bands = 96
+  val Bits = 16
   val MaxDim = 256
 
   /** JVM-static ±1 hyperplane matrix, identical on every executor. */
@@ -80,12 +94,16 @@ object SrpBandKeys {
       if ((MinHashSignature.splitmix64(
         p.toLong * 0x9E3779B97F4A7C15L + d) & 1L) == 1L) 1.0 else -1.0))
 
-  /** Interpreted-path twin of the generated loop (also the spec reference). */
-  def compute(v: ArrayData): Array[Long] = {
+  /** Interpreted-path twin of the generated loop (also the spec reference).
+    * `numBands` computes a prefix of the band array only — consumers that
+    * need a single coarse bucket (SimOps.lshBucket) skip 95/96ths of the
+    * projection work; the prefix is bit-identical to the full array's.
+    */
+  def compute(v: ArrayData, numBands: Int = Bands): Array[Long] = {
     val n = v.numElements()
-    val out = new Array[Long](Bands)
+    val out = new Array[Long](numBands)
     var b = 0
-    while (b < Bands) {
+    while (b < numBands) {
       var bits = 0L
       var i = 0
       while (i < Bits) {

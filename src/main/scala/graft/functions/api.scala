@@ -100,12 +100,18 @@ object api {
   def simHash64(text: Column): Column =
     graftBridge.column(SimHash64(graftBridge.expression(text)))
 
-  /** Codegen'd 32x8 sign-random-projection band keys of a double-array
+  /** Codegen'd 96x16 sign-random-projection band keys of a double-array
     * column — the LSH candidate key for embedding near-dup dedup.
     */
-  def srpBandKeys(v: Column): Column = {
+  def srpBandKeys(v: Column): Column = srpBandKeys(v, SrpBandKeys.Bands)
+
+  /** Prefix variant: compute only the first `numBands` bands — for
+    * consumers needing one coarse bucket (SimOps.lshBucket), not the full
+    * near-dup candidate key.
+    */
+  def srpBandKeys(v: Column, numBands: Int): Column = {
     val dd = ArrayType(DoubleType)
-    graftBridge.column(SrpBandKeys(graftBridge.expression(v.cast(dd))))
+    graftBridge.column(SrpBandKeys(graftBridge.expression(v.cast(dd)), numBands))
   }
 
   /** Codegen'd Unicode normalization of a text column — NFD + strip

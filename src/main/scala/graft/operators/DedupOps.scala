@@ -425,19 +425,23 @@ object DedupOps {
     // Banding math (public LSH theory, Charikar's SRP family): a random
     // hyperplane splits a pair at angle theta with prob theta/pi, so at the
     // cosine-0.95 threshold each sign bit agrees with p = 1 - acos(.95)/pi
-    // ~= 0.899. With 32 bands x 8 bits, a true dup pair misses EVERY band
-    // with prob (1 - p^8)^32 ~= 2e-8 — effectively deterministic recall,
+    // ~= 0.899. With 96 bands x 16 bits, a true dup pair misses EVERY band
+    // with prob (1 - p^16)^96 ~= 4e-9 — effectively deterministic recall,
     // which is why this key keeps the exact-threshold oracle (unlike
     // dedup_minhash, whose 16x4 banding has a real recall gap). False
     // band collisions are removed by the exact cosine verify.
     // Scale: the join key xxhash64(band, bandBits) spreads candidates over
-    // up to bands x 2^bits = 8192 buckets (vs ~10 labels before — the
-    // round-1 O(n^2/L) label shortcut is gone); at 100 TB the bucket id is
+    // up to bands x 2^bits ~= 6.3M buckets; at 100 TB the bucket id is
     // the shuffle key and candidate volume is driven by the data's true
-    // near-dup density, not by cluster sizes. The 256-projection signature
-    // is ONE codegen'd expression (functions/SrpBandKeys — a fused Java
-    // loop; the higher-order-function phrasing paid 256 interpreted array
-    // traversals per row), cached BEFORE the posexplode so Generate never
+    // near-dup density, not by cluster sizes. The band WIDTH matters as
+    // much as the count: the round-6 sf1 ramp measured the earlier 8-bit
+    // bands quadratic on an isotropic corpus (random pairs collide at
+    // 2^-8 per band -> n^2/16 false candidates, x136 wall-clock at 10x
+    // rows); 16-bit bands cut the random-collision rate 256x per band and
+    // the measured ratio to ~linear. The signature is ONE codegen'd
+    // expression (functions/SrpBandKeys — a fused Java loop; the
+    // higher-order-function phrasing paid per-element interpreted array
+    // traversals), cached BEFORE the posexplode so Generate never
     // recomputes it per output row.
     "dedup_embedding" -> ((s, dir) => {
       val e = OpCache.cached(dir + "#emb_v",
@@ -565,7 +569,7 @@ object DedupOps {
         |FROM documents d LEFT JOIN rep USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // Threshold-exact all-pairs oracle: the LSH candidate key is an
-    // implementation detail with ~2e-8 per-pair miss probability (see the
+    // implementation detail with ~4e-9 per-pair miss probability (see the
     // banding math above), so the oracle states the pure semantic — ANY
     // pair with cosine >= 0.95, no label shortcut.
     "dedup_embedding" ->

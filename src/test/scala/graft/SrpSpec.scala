@@ -34,14 +34,14 @@ class SrpSpec extends SparkSpec {
     val Seq(k1, k2, k3) = keysOf(Seq(v, v, near))
     assert(k1 == k2)
     assert(k1.zip(k3).exists { case (a, b) => a == b },
-      "near-duplicate must collide on at least one of 32 bands")
+      "near-duplicate must collide on at least one of the bands")
     assert(k1.length == SrpBandKeys.Bands)
   }
 
   test("generative recall: 200 near-dup pairs at cosine >= 0.95 all share a band") {
-    // empirical check of the (1 - p^8)^32 ~= 2e-8 per-pair miss bound the
+    // empirical check of the (1 - p^16)^96 ~= 4e-9 per-pair miss bound the
     // dedup_embedding oracle pairing rests on: even 200 deterministic
-    // random pairs give ~4e-6 total miss probability — a failure here means
+    // random pairs give ~1e-6 total miss probability — a failure here means
     // the banding math (or the plane matrix) broke, not bad luck
     val rnd = new scala.util.Random(123)
     val pairs = Seq.fill(200) {
