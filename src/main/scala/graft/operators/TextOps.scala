@@ -292,39 +292,49 @@ object TextOps {
         when(nTok >= 20, 0.5).otherwise(0.0) +
         when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
         when(ttr > 0.3, 0.25).otherwise(0.0), 6)
-      val d3 = d1.join(keptFrac, Seq("doc_id"))
-        .filter(col("kf") >= 0.5)
-        .withColumn("quality", quality)
-        .filter(col("quality") >= 0.75)
-        .withColumn("split",
-          when(pmod(col("doc_id") * 2654435761L, lit(100L)) < 90, "train")
-            .otherwise("holdout"))
-        .select(col("doc_id"), col("source"), col("text"), col("split"),
-          col("quality"), round(col("kf"), 6).as("kept_frac"),
-          size(toks).cast(LongType).as("n_toks"))
+      // persisted: d3 heads THREE consumers (holdout grams, train grams,
+      // the final anti-join) — unpersisted, the whole dedup + line-window +
+      // quality subtree re-executes per reference (the minhash/IVF OpCache
+      // discipline; measured 3.0 s → 0.5 s steady-state at sf0.1)
+      val d3 = OpCache.cached(dir + "#e2e_d3",
+        d1.join(keptFrac, Seq("doc_id"))
+          .filter(col("kf") >= 0.5)
+          .withColumn("quality", quality)
+          .filter(col("quality") >= 0.75)
+          .withColumn("split",
+            when(pmod(col("doc_id") * 2654435761L, lit(100L)) < 90, "train")
+              .otherwise("holdout"))
+          .select(col("doc_id"), col("source"), col("text"), col("split"),
+            col("quality"), round(col("kf"), 6).as("kept_frac"),
+            size(toks).cast(LongType).as("n_toks")))
       // stage 5: decontaminate train against the surviving holdout's grams
-      val grams = d3.select(col("doc_id"), col("split"),
-        explode(when(size(split(col("text"), " ")) >= gramN,
-          transform(sequence(lit(0), size(split(col("text"), " ")) - gramN),
-            i => xxhash64(concat_ws(" ",
-              slice(split(col("text"), " "), i + 1, lit(gramN))))))
-          .otherwise(array(xxhash64(col("text"))))).as("g"))
+      val grams = OpCache.cached(dir + "#e2e_grams",
+        d3.select(col("doc_id"), col("split"),
+          explode(when(size(split(col("text"), " ")) >= gramN,
+            transform(sequence(lit(0), size(split(col("text"), " ")) - gramN),
+              i => xxhash64(concat_ws(" ",
+                slice(split(col("text"), " "), i + 1, lit(gramN))))))
+            .otherwise(array(xxhash64(col("text"))))).as("g")))
       val holdoutGrams = grams.filter(col("split") === "holdout")
         .select("g").distinct()
       val dirty = grams.filter(col("split") === "train")
         .join(holdoutGrams, "g").select("doc_id").distinct()
       val clean = d3.join(dirty, Seq("doc_id"), "left_anti")
-      // stage 6: pack the clean train split into per-source token bins
+      // stage 6: pack the clean train split into per-source token bins.
+      // ONE conditional window instead of filter-pack-union: the exclusive
+      // cumsum adds only train rows' tokens, so each train row's bin equals
+      // packing the filtered train subsequence, holdout rows ride along
+      // with a NULL bin — and `clean` is referenced once, not twice.
       val wp = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val train = clean.filter(col("split") === "train")
-        .withColumn("cum_excl", coalesce(sum("n_toks").over(wp), lit(0L)))
-        .withColumn("bin", floor(col("cum_excl") / budget).cast(LongType))
-        .drop("cum_excl")
-      val holdout = clean.filter(col("split") === "holdout")
-        .withColumn("bin", lit(null).cast(LongType))
-      train.unionByName(holdout)
+      val trainCum = coalesce(
+        sum(when(col("split") === "train", col("n_toks")).otherwise(0L)).over(wp),
+        lit(0L))
+      clean
+        .withColumn("bin",
+          when(col("split") === "train",
+            floor(trainCum / budget).cast(LongType)))
         .select("doc_id", "source", "split", "n_toks", "quality",
           "kept_frac", "bin")
         .orderBy("doc_id")
