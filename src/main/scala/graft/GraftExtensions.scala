@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("asof_join"),
       new ExpressionInfo("graft.plans.UnresolvedAsOfJoin", "asof_join"),
       (args: Seq[Expression]) => graft.plans.AsOfJoinTvf(args)))
+    ext.injectResolutionRule(s => graft.plans.RangeJoinRewrite(s))
+    // SQL surface for the banded range join (point-in-interval without the
+    // nested-loop plan): FROM range_join('points', 'intervals', 'ts', 'lo',
+    // 'hi', band_micros[, 'key']) — parses to UnresolvedRangeJoin, which
+    // RangeJoinRewrite validates and expands once the named tables resolve.
+    ext.injectTableFunction((
+      FunctionIdentifier("range_join"),
+      new ExpressionInfo("graft.plans.UnresolvedRangeJoin", "range_join"),
+      (args: Seq[Expression]) => graft.plans.RangeJoinTvf(args)))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.CosineSimilarity", "cosine_sim"),

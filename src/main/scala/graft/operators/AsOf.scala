@@ -18,3 +18,19 @@ object AsOf {
     GraftSqlShim.ofRows(probe.sparkSession, node)
   }
 }
+
+/** DataFrame-level entry point for the plan-level banded range join
+  * (graft.plans.BandedRangeJoin — see its Scaladoc for semantics and the
+  * scale contract). `ts`/`lo`/`hi` must already be TimestampType; interval
+  * columns other than the key must not collide with point-side names.
+  */
+object RangeJoin {
+  def join(points: DataFrame, intervals: DataFrame, ts: String,
+           lo: String, hi: String, bandMicros: Long,
+           key: Option[String] = None): DataFrame = {
+    val node = graft.plans.BandedRangeJoin.build(
+      points.queryExecution.analyzed, intervals.queryExecution.analyzed,
+      ts, lo, hi, bandMicros, key)
+    GraftSqlShim.ofRows(points.sparkSession, node)
+  }
+}

@@ -110,6 +110,43 @@ object SqlOps {
           |FROM asof_join('graft_asof_purchases', 'graft_asof_clicks',
           |               'user_id', 'ts', 'click_ts', 'click_id')
           |ORDER BY p_id""".stripMargin)
+    }),
+
+    // The banded range join from pure SQL text: `range_join(...)`
+    // (GraftExtensions → plans.RangeJoinTvf) names the points/intervals
+    // views, the bound columns, and the band width; RangeJoinRewrite
+    // expands it to the explode-bands + equi-join + exact-filter plan — a
+    // SQL user writes the declarative point-in-interval join and can no
+    // longer get the broadcast-nested-loop plan the naive BETWEEN join
+    // produces. Fixture: the same 30-min-gap error-incident islands as
+    // `join_interval_bucketed` (same oracle), built here with SQL text so
+    // the whole path is spark.sql. Band = 1 hour, matching the incident
+    // duration scale; RangeJoinPlanSpec pins band-width invariance.
+    "sql_range_join" -> ((s, dir) => {
+      graft.Tables.events(s, dir).createOrReplaceTempView("graft_events")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW graft_rj_incidents AS
+              |WITH err AS (
+              |  SELECT CAST(ts AS DATE) AS d, ts, event_id,
+              |         lag(ts) OVER (PARTITION BY CAST(ts AS DATE)
+              |                       ORDER BY ts, event_id) AS prev
+              |  FROM graft_events WHERE event_type = 'error'),
+              |brk AS (
+              |  SELECT d, ts, event_id,
+              |         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTES
+              |              THEN 1 ELSE 0 END AS b
+              |  FROM err),
+              |isl AS (
+              |  SELECT d, ts,
+              |         CAST(sum(b) OVER (PARTITION BY d ORDER BY ts, event_id
+              |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS inc_n
+              |  FROM brk)
+              |SELECT d AS inc_day, inc_n, min(ts) AS inc_start, max(ts) AS inc_end
+              |FROM isl GROUP BY d, inc_n""".stripMargin)
+      s.sql(
+        """SELECT event_id, inc_day, inc_n, inc_start
+          |FROM range_join('graft_events', 'graft_rj_incidents',
+          |                'ts', 'inc_start', 'inc_end', 3600000000)
+          |ORDER BY event_id""".stripMargin)
     }))
 
   def oracle: Map[String, String] = Map(
@@ -158,5 +195,29 @@ object SqlOps {
         |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |    ON p.user_id = c.user_id AND c.ts <= p.ts
-        |) WHERE rn = 1 ORDER BY p_id""".stripMargin)
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    // same semantics as join_interval_bucketed ⇒ same oracle
+    "sql_range_join" ->
+      """WITH err AS (
+        |  SELECT CAST(ts AS DATE) AS d, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY CAST(ts AS DATE)
+        |                       ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type = 'error'),
+        |brk AS (
+        |  SELECT d, ts, event_id,
+        |         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM err),
+        |isl AS (
+        |  SELECT d, ts,
+        |         CAST(sum(b) OVER (PARTITION BY d ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS inc_n
+        |  FROM brk),
+        |inc AS (
+        |  SELECT d AS inc_day, inc_n, min(ts) AS inc_start, max(ts) AS inc_end
+        |  FROM isl GROUP BY d, inc_n)
+        |SELECT e.event_id, i.inc_day, i.inc_n, i.inc_start
+        |FROM events e JOIN inc i
+        |  ON e.ts BETWEEN i.inc_start AND i.inc_end
+        |ORDER BY e.event_id""".stripMargin)
 }
