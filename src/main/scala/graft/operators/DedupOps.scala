@@ -466,6 +466,53 @@ object DedupOps {
         .join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("label"), size(col("embedding")).cast(LongType).as("dim"))
         .orderBy("vec_id")
+    }),
+
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, public): cluster the
+    // embedding space, then search for near-duplicates ONLY within each
+    // cluster and keep the member closest to its cluster centroid — the
+    // cluster is the candidate limiter (no global LSH pass), and the
+    // representative choice is semantic (centroid proximity), not
+    // arbitrary-id. Clusters here are the deterministic 6-bit sign bucket of
+    // the first 6 dimensions so the DuckDB oracle can recompute them
+    // exactly; the 100-TB deployment swaps in the k-means cells the engine
+    // already trains (`ml_kmeans` / the IVF index build — cluster count
+    // grows with the corpus, holding cell sizes bounded), and everything
+    // downstream is unchanged. Drop rule (deterministic local dominance):
+    // drop v iff some same-cluster neighbor u with cos(u,v) >= 0.9 sits
+    // strictly closer to the centroid (6-dp tie broken by smaller vec_id).
+    // Scale shape: centroids are one (cluster,dim) aggregate collapsing
+    // map-side into a cluster × dim table (broadcast back); pairing is an
+    // equality self-join on the cluster id; nothing all-pairs ever runs.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val cl = OpCache.cached(dir + "#semdedup_cl",
+        e.withColumn("cluster",
+          (1 to 6).map(i => when(element_at(col("v"), i) >= 0,
+            lit(1L << (6 - i))).otherwise(lit(0L))).reduce(_ + _)))
+      val cent = cl.select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cluster", "i").agg(avg("x").as("ce"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("ce")))),
+          p => p.getField("ce")).as("cv"))
+      val sc = OpCache.cached(dir + "#semdedup_scored",
+        cl.join(broadcast(cent), Seq("cluster"))
+          .withColumn("cent_sim",
+            round(graft.functions.api.cosineSim(col("v"), col("cv")), 6))
+          .select("vec_id", "cluster", "cent_sim", "label", "v"))
+      val dominated = sc.as("x").join(sc.as("y"),
+          col("x.cluster") === col("y.cluster") &&
+            col("x.vec_id") =!= col("y.vec_id") &&
+            (col("x.cent_sim") > col("y.cent_sim") ||
+              (col("x.cent_sim") === col("y.cent_sim") &&
+                col("x.vec_id") < col("y.vec_id"))))
+        .filter(graft.functions.api.cosineSim(col("x.v"), col("y.v")) >= 0.9)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+      sc.join(dominated, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cluster"), col("cent_sim"), col("label"))
+        .orderBy("vec_id")
     }))
 
 
@@ -584,5 +631,44 @@ object DedupOps {
         |        >= 0.95)
         |SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim
         |FROM embeddings WHERE vec_id NOT IN (SELECT b_id FROM dups)
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin,
+    // The oracle recomputes the deterministic sign-bucket clusters, per-dim
+    // centroid means, 6-dp centroid cosines, and the local-dominance drop
+    // rule verbatim — cluster membership and centroid similarity are
+    // checked on every row even when the corpus contains no near-dups
+    // (NorthStarSpec plants the drop cases).
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id, label, v,
+        |        (CASE WHEN v[1] >= 0 THEN 32 ELSE 0 END
+        |       + CASE WHEN v[2] >= 0 THEN 16 ELSE 0 END
+        |       + CASE WHEN v[3] >= 0 THEN 8 ELSE 0 END
+        |       + CASE WHEN v[4] >= 0 THEN 4 ELSE 0 END
+        |       + CASE WHEN v[5] >= 0 THEN 2 ELSE 0 END
+        |       + CASE WHEN v[6] >= 0 THEN 1 ELSE 0 END)::BIGINT AS cluster
+        |      FROM e),
+        |el AS (SELECT vec_id, cluster, i, v[i] AS x
+        |       FROM c, range(1, 65) t(i)),
+        |cent AS (SELECT cluster, i, avg(x) AS ce FROM el GROUP BY cluster, i),
+        |cs AS (SELECT vec_id, cluster,
+        |              round(sum(x * ce) / (sqrt(sum(x * x)) * sqrt(sum(ce * ce))), 6)
+        |                AS cent_sim
+        |       FROM el JOIN cent USING (cluster, i)
+        |       GROUP BY vec_id, cluster),
+        |dropped AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM c x JOIN c y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+        |  JOIN cs sx ON sx.vec_id = x.vec_id
+        |  JOIN cs sy ON sy.vec_id = y.vec_id
+        |  WHERE list_dot_product(x.v, y.v)
+        |        / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |        >= 0.9
+        |    AND (sx.cent_sim > sy.cent_sim
+        |         OR (sx.cent_sim = sy.cent_sim AND x.vec_id < y.vec_id)))
+        |SELECT c.vec_id, c.cluster, cs.cent_sim, c.label
+        |FROM c JOIN cs ON cs.vec_id = c.vec_id
+        |WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY c.vec_id""".stripMargin)
 }

@@ -69,6 +69,16 @@ class NorthStarSpec extends SparkSpec {
     assert(kept == Seq(0L, 3L))
   }
 
+  test("dedup_semantic drops all planted near-dups, keeps one representative per group") {
+    // vecs 0/1/2/4 share the 6-bit sign cluster and are pairwise cos>=0.9:
+    // one semantic group. The survivor is the member closest to the cluster
+    // centroid (6-dp tie -> min vec_id), so exactly one of the group stays;
+    // the orthogonal vec 3 is alone in its cluster and untouched.
+    val kept = SparkEntry.queries("dedup_semantic")(spark, planted)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(0L, 3L), s"kept=$kept")
+  }
+
   test("sim_topk ranks the exact duplicate first for query 0") {
     val top = SparkEntry.queries("sim_topk")(spark, planted)
       .filter(col("q_id") === 0 && col("rk") === 1)
