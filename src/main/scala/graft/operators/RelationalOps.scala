@@ -561,6 +561,30 @@ object RelationalOps {
         .orderBy("day")
     }),
 
+    // ClickHouse `minMap`/`maxMap` analog — the extremes-by-key siblings
+    // of sumMap: merge maps keeping the per-key min/max. Same two-level
+    // algebra (the (day, type) extreme collapses map-side; the day-level
+    // reduce assembles the sorted-entry map) and the same JSON
+    // serialization contract. Values ride as integer CENTS
+    // (round(value·100)) so the JSON number rendering is byte-identical
+    // across engines — double-to-string formatting is the one place two
+    // engines legitimately disagree, so it never enters the hash.
+    "agg_minmax_map" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast(LongType)
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(min(cents).as("mn"), max(cents).as("mx"))
+        .groupBy("day")
+        .agg(
+          to_json(map_from_entries(sort_array(
+            collect_list(struct(col("event_type"), col("mn"))))))
+            .as("min_cents_json"),
+          to_json(map_from_entries(sort_array(
+            collect_list(struct(col("event_type"), col("mx"))))))
+            .as("max_cents_json"))
+        .orderBy("day")
+    }),
+
     // E10: distinct + per-group count distinct.
     "agg_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1235,6 +1259,20 @@ object RelationalOps {
         |                CAST(n AS VARCHAR), ',' ORDER BY event_type) || '}'
         |         AS counts_json,
         |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
+    "agg_minmax_map" ->
+      """WITH c AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         min(CAST(round(value * 100) AS BIGINT)) AS mn,
+        |         max(CAST(round(value * 100) AS BIGINT)) AS mx
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day,
+        |       '{' || string_agg('"' || event_type || '":' ||
+        |                CAST(mn AS VARCHAR), ',' ORDER BY event_type) || '}'
+        |         AS min_cents_json,
+        |       '{' || string_agg('"' || event_type || '":' ||
+        |                CAST(mx AS VARCHAR), ',' ORDER BY event_type) || '}'
+        |         AS max_cents_json
         |FROM c GROUP BY day ORDER BY day""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,

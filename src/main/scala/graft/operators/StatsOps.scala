@@ -242,15 +242,30 @@ object StatsOps {
     // (discipline of stat_welch_ttest); round(6) absorbs ulps.
     "stat_anova" -> ((s, dir) => {
       val v = col("value")
+      // Determinism at ANY scale (the sf1 scale-ramp lesson, SURVEY §9.1):
+      // (1) group sums accumulate in DECIMAL — `value` is 2-dp and v·v is
+      // 4-dp, so Σv / Σv² are EXACT under any partitioning (the double
+      // phrasing hit a 6th-decimal round boundary once sums grew 100×);
+      // (2) the one remaining inexact reduction, bsum = Σ_g s²/n over the
+      // ≤ k group rows, folds LEFT-TO-RIGHT over the event_type-sorted
+      // group array — a canonical order both engines reproduce, instead
+      // of partition-arrival order. nd/sd/qd stay order-free (whole
+      // counts / exact decimals).
       val g = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).cast(DoubleType).as("n"),
-          sum(v).as("s"), sum(v * v).as("q"))
+          sum(Tables.dec(v)).as("sDec"),
+          sum((v * v).cast("decimal(28,4)")).as("qDec"))
       g.groupBy("day")
         .agg(count(lit(1)).as("k_groups"),
-          sum("n").as("nd"), sum("s").as("sd"),
-          sum(col("s") * col("s") / col("n")).as("bsum"),
-          sum("q").as("qd"))
+          sum("n").as("nd"),
+          sum(col("sDec")).cast(DoubleType).as("sd"),
+          sum(col("qDec")).cast(DoubleType).as("qd"),
+          sort_array(collect_list(struct(col("event_type"),
+            col("sDec").cast(DoubleType).as("s"), col("n")))).as("gs"))
+        .withColumn("bsum", aggregate(col("gs"), lit(0.0),
+          (a, x) => a + x.getField("s") * x.getField("s") / x.getField("n")))
+        .drop("gs")
         .filter(col("k_groups") > 1 && col("nd") > col("k_groups"))
         .withColumn("ssb", col("bsum") - col("sd") * col("sd") / col("nd"))
         .withColumn("ssw", col("qd") - col("bsum"))
@@ -764,6 +779,56 @@ object StatsOps {
             / sqrt(col("sp2") * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6))
             .as("t_stat"),
           (col("n1") + col("n2") - 2).as("df"))
+        .orderBy("day")
+    }),
+
+    // Two-sample mean z-test per day (ClickHouse `meanZTest` analog) —
+    // completes the location-test family: Welch (per-day sample variances,
+    // unequal), Student (per-day pooled), and this — variances taken as
+    // KNOWN constants, the z-test's defining assumption (ClickHouse passes
+    // them as literal arguments; here they are the corpus-level population
+    // variances of each arm, computed once and broadcast). Per-day work is
+    // then one conditional-agg scan; z = (m1−m2)/√(σ1²/n1 + σ2²/n2), plus
+    // the 95% CI ClickHouse returns (z₀.₉₇₅ as the same 6-dp literal on
+    // both engines). Determinism: every full-corpus Σv / Σv² accumulates
+    // in DECIMAL — exact under any partitioning (the stat_anova sf1
+    // lesson, applied at birth); doubles appear only in the scalar tree
+    // downstream of exact sums.
+    "stat_mean_ztest" -> ((s, dir) => {
+      val v = col("value")
+      def g(t: String, e: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === t, e))
+      def cnt(t: String) = count(when(col("event_type") === t, 1))
+      val vDec = Tables.dec(v)
+      val qDec = (v * v).cast("decimal(28,4)")
+      val pop = Tables.events(s, dir).agg(
+          cnt("purchase").cast(DoubleType).as("pn1"),
+          g("purchase", vDec).cast(DoubleType).as("ps1"),
+          g("purchase", qDec).cast(DoubleType).as("pq1"),
+          cnt("click").cast(DoubleType).as("pn2"),
+          g("click", vDec).cast(DoubleType).as("ps2"),
+          g("click", qDec).cast(DoubleType).as("pq2"))
+        .select(
+          (col("pq1") / col("pn1")
+            - (col("ps1") / col("pn1")) * (col("ps1") / col("pn1"))).as("var1"),
+          (col("pq2") / col("pn2")
+            - (col("ps2") / col("pn2")) * (col("ps2") / col("pn2"))).as("var2"))
+      val z975 = lit(1.959964)
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(cnt("purchase").as("n1"),
+          g("purchase", vDec).cast(DoubleType).as("s1"),
+          cnt("click").as("n2"),
+          g("click", vDec).cast(DoubleType).as("s2"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .crossJoin(broadcast(pop))
+        .withColumn("diff", col("s1") / col("n1") - col("s2") / col("n2"))
+        .withColumn("se", sqrt(col("var1") / col("n1") + col("var2") / col("n2")))
+        .select(col("day"), col("n1"), col("n2"),
+          Tables.nz(round(col("diff"), 6)).as("mean_diff"),
+          Tables.nz(round(col("diff") / col("se"), 6)).as("z_stat"),
+          Tables.nz(round(col("diff") - z975 * col("se"), 6)).as("ci_lo"),
+          Tables.nz(round(col("diff") + z975 * col("se"), 6)).as("ci_hi"))
         .orderBy("day")
     }),
 
@@ -1428,6 +1493,42 @@ object StatsOps {
         |         AS t_stat,
         |       n1 + n2 - 2 AS df
         |FROM m ORDER BY day""".stripMargin,
+    "stat_mean_ztest" ->
+      """WITH pop AS (
+        |  SELECT CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) AS pn1,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              FILTER (event_type = 'purchase') AS DOUBLE) AS ps1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(28,4)))
+        |              FILTER (event_type = 'purchase') AS DOUBLE) AS pq1,
+        |         CAST(count(*) FILTER (event_type = 'click') AS DOUBLE) AS pn2,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              FILTER (event_type = 'click') AS DOUBLE) AS ps2,
+        |         CAST(sum(CAST(value * value AS DECIMAL(28,4)))
+        |              FILTER (event_type = 'click') AS DOUBLE) AS pq2
+        |  FROM events),
+        |pv AS (
+        |  SELECT pq1 / pn1 - (ps1 / pn1) * (ps1 / pn1) AS var1,
+        |         pq2 / pn2 - (ps2 / pn2) * (ps2 / pn2) AS var2
+        |  FROM pop),
+        |d AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         count(*) FILTER (event_type = 'purchase') AS n1,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              FILTER (event_type = 'purchase') AS DOUBLE) AS s1,
+        |         count(*) FILTER (event_type = 'click') AS n2,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              FILTER (event_type = 'click') AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, n1, n2, s1 / n1 - s2 / n2 AS diff,
+        |         sqrt(var1 / n1 + var2 / n2) AS se
+        |  FROM d CROSS JOIN pv WHERE n1 > 0 AND n2 > 0)
+        |SELECT day, n1, n2,
+        |       round(diff, 6) + 0 AS mean_diff,
+        |       round(diff / se, 6) + 0 AS z_stat,
+        |       round(diff - 1.959964 * se, 6) + 0 AS ci_lo,
+        |       round(diff + 1.959964 * se, 6) + 0 AS ci_hi
+        |FROM m ORDER BY day""".stripMargin,
     "stat_cramers_v_corrected" ->
       """WITH cells AS (
         |  SELECT event_type, isodow(ts) AS dow,
@@ -1573,11 +1674,17 @@ object StatsOps {
       """WITH g AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,
         |         CAST(count(*) AS DOUBLE) AS n,
-        |         sum(value) AS s, sum(value * value) AS q
+        |         sum(CAST(value AS DECIMAL(18,2))) AS sdec,
+        |         sum(CAST(value * value AS DECIMAL(28,4))) AS qdec
         |  FROM events GROUP BY 1, 2),
         |d AS (
-        |  SELECT day, count(*) AS k_groups, sum(n) AS nd, sum(s) AS sd,
-        |         sum(s * s / n) AS bsum, sum(q) AS qd
+        |  SELECT day, count(*) AS k_groups, sum(n) AS nd,
+        |         CAST(sum(sdec) AS DOUBLE) AS sd,
+        |         CAST(sum(qdec) AS DOUBLE) AS qd,
+        |         list_reduce(
+        |           list(CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE) / n
+        |                ORDER BY event_type),
+        |           (a, b) -> a + b) AS bsum
         |  FROM g GROUP BY day
         |  HAVING count(*) > 1 AND sum(n) > count(*)),
         |e AS (
