@@ -699,9 +699,15 @@ object EventOps {
     // touching raw data. No oracle (sketch estimates); AnalyticsOpsSpec
     // pins merged == single-pass per window and ±5% vs the exact key.
     "event_rolling_uniques_approx" -> ((s, dir) => {
-      val partials = Tables.events(s, dir)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+      // The |days|-row sketch partial table is referenced three times (DAU
+      // readout + both trailing windows) — persist it so the corpus is
+      // scanned ONCE and every downstream pass rolls up sketch rows (at
+      // scale the partials are the materialized MV the day's ingest job
+      // already wrote; PlanSpec pins the single-scan shape).
+      val partials = OpCache.cached(dir + "#hll_day_partials",
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sketch")))
       val dau = partials.select(col("day"),
         hll_sketch_estimate(col("sketch")).as("dau_approx"))
       def trailing(w: Int, name: String) = partials

@@ -264,4 +264,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "the plan-level as-of must never pair ranges:\n" + p.take(1500))
   }
+
+  test("sql_range_join: the TVF expands to the banded equi-join, never NLJ") {
+    val p = plan("sql_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range_join(...) must keep the interval join banded:\n" + p.take(1500))
+    assert(p.contains("Generate"),
+      "intervals must explode into bands via Generate:\n" + p.take(1500))
+  }
+
+  test("pipeline_end_to_end: six stages, zero nested loops, persisted shared stages") {
+    val p = plan("pipeline_end_to_end")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "every corpus-build stage join must stay equality-keyed:\n" + p.take(2000))
+    assert(p.contains("InMemoryTableScan"),
+      "multiply-referenced stages must persist, not recompute per branch:\n" + p.take(1500))
+  }
+
+  test("event_rolling_uniques_approx: sketch partials persisted, raw data never re-read") {
+    val p = plan("event_rolling_uniques_approx")
+    assert(p.contains("InMemoryTableScan"),
+      "the |days|-row sketch partial table must persist (all three readouts " +
+        "roll it up; the corpus is scanned once to fill it):\n" + p.take(1500))
+    // every Scan parquet in the tree string is the cached relation's fill
+    // plan reprinted under its InMemoryTableScan — no scan outside the cache
+    def n(needle: String) = p.sliding(needle.length).count(_ == needle)
+    assert(n("Scan parquet") == n("InMemoryRelation"),
+      "a raw events scan escaped the persisted partial table:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("dedup_minhash_planted: the planted contract runs the UNCHANGED banded LSH plan") {
+    val p = plan("dedup_minhash_planted")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the planted key must exercise the same equi-join pipeline:\n" + p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"no equi-join found in plan:\n" + p.take(1500))
+  }
+
+  test("dedup_semantic: centroids broadcast back; pairing is cluster-equality, no NLJ") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("BroadcastHashJoin"),
+      "the cluster x dim centroid table must broadcast:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidate pairs must come from the cluster-id equality join:\n" + p.take(1500))
+  }
 }
