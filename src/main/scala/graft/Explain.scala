@@ -18,7 +18,11 @@ object Explain {
     "event_interpolate", "agg_quantiles_multi",
     // round-5: plan-level as-of, in-plan ML, corpus line dedup, decay kernel
     "join_asof_plan", "ml_kmeans", "event_markov_attribution",
-    "pipeline_line_dedup", "window_time_decay", "embed_correlation")
+    "pipeline_line_dedup", "window_time_decay", "embed_correlation",
+    // round-6: SQL surfaces for both plan nodes, composed corpus build,
+    // sketch rolling uniques, semantic dedup
+    "sql_asof", "sql_range_join", "pipeline_end_to_end",
+    "event_rolling_uniques_approx", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

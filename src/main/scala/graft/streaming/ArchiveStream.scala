@@ -189,4 +189,44 @@ object ArchiveStream {
       .filter(col("ts") >= col("mx") - expr(s"INTERVAL $days DAYS"))
       .drop("mx")
   }
+
+  /** Incremental sketch-MV maintenance — the STREAMING producer of the
+    * day-partial HLL table that `agg_hll_merge` / `event_rolling_uniques_
+    * approx` consume: each micro-batch appends its OWN (day, partial) rows
+    * to the MV directory; readers roll any day range up with
+    * `hll_union_agg` without ever touching raw events.
+    *
+    * Replay safety is BY ALGEBRA, not by dedup: an HLL union is
+    * register-wise max, so merging a replayed identical partial is a
+    * no-op — the estimate after a duplicated append equals the estimate
+    * without it (the sketch analog of the archive's replace-by-key replay
+    * contract; StreamingSpec pins it). That is why the engine keeps NO
+    * streaming state here (no watermark store, nothing to checkpoint
+    * beyond source offsets): the MV directory is the state, it is
+    * mergeable, and at-least-once appends cannot corrupt it. Partial rows
+    * accumulate at |days|×batches and compact like any small-file sink.
+    */
+  def sketchPartials(events: DataFrame, outDir: String, checkpointDir: String,
+                     trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                     keyCol: String = "id"): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col(keyCol)).as("sketch"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** Reader side of the sketch MV: per-day distinct-key estimates from the
+    * accumulated partials alone.
+    */
+  def sketchRollup(spark: org.apache.spark.sql.SparkSession,
+                   mvDir: String): DataFrame =
+    spark.read.parquet(mvDir)
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_uniques"))
 }

@@ -239,6 +239,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketch-MV maintenance: incremental partials == single pass; replay is a union no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val mv = Files.createTempDirectory("graft-sketchmv-").toString
+    val ckpt = Files.createTempDirectory("graft-sketchmv-ckpt-").toString
+    val b1 = Seq(1L, 2L, 3L, 2L).map(u => (u, ts("2024-01-01 10:00:00")))
+    val b2 = Seq(3L, 4L, 5L).map(u => (u, ts("2024-01-01 11:00:00"))) ++
+      Seq(1L, 6L).map(u => (u, ts("2024-01-02 09:00:00")))
+    val q = ArchiveStream.sketchPartials(mem.toDF().toDF("id", "ts"), mv, ckpt)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rollup = ArchiveStream.sketchRollup(spark, mv)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    // two batches touched day 1 -> two partial rows rolled up; equals the
+    // single-pass estimate over the union of both batches
+    val singlePass = (b1 ++ b2).toDF("id", "ts")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("id"))).as("e"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val first = rollup
+    assert(first == singlePass, s"merged=$first single=$singlePass")
+    // at-least-once replay: append the SAME batch's partial again — the
+    // register-wise-max union absorbs the duplicate, estimates unchanged
+    val mem2 = MemoryStream[(Long, Timestamp)]
+    val q2 = ArchiveStream.sketchPartials(
+      mem2.toDF().toDF("id", "ts"), mv,
+      Files.createTempDirectory("graft-sketchmv-ckpt2-").toString)
+    try {
+      mem2.addData(b1: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(rollup == first, "replayed partial changed the estimate")
+    // and the MV really did grow by one more day-1 partial row (no dedup
+    // happened — the ALGEBRA absorbed it)
+    assert(spark.read.parquet(mv).filter(col("day") === "2024-01-01").count() == 3)
+  }
+
   test("flatMapGroupsWithState streaming funnel: levels equal the batch event_funnel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
