@@ -1032,15 +1032,28 @@ object EventOps {
       val p = Window.partitionBy("user_id")
       val o = p.orderBy(col("ts"), col("event_id"))
       val cumW = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Determinism at any scale (sf1 ramp lesson, twice over): (1) the
+      // whole-partition Σv / Σv² accumulate in DECIMAL — a double window
+      // sum has no defined order and its ulps shift mu across engines;
+      // (2) the running drift NEVER accumulates doubles at all:
+      // cum_i = S_i − i·mu, where S_i is the EXACT decimal running sum —
+      // a double cumsum of (v − mu) diverges between engines even on
+      // identical inputs because windowed summation association differs
+      // (sequential here, pairwise segment-tree in DuckDB). Both identities
+      // are algebra, not approximation; every double below derives from
+      // bit-identical inputs by the same scalar tree.
+      val sDec = sum(Tables.dec(col("value"))).over(p).cast(DoubleType)
+      val qDec = sum((col("value") * col("value")).cast("decimal(28,4)"))
+        .over(p).cast(DoubleType)
       val base = Tables.events(s, dir)
         .withColumn("n", count(lit(1)).over(p))
         .filter(col("n") > 1)
-        .withColumn("mu", sum(col("value")).over(p) / col("n"))
+        .withColumn("mu", sDec / col("n"))
         .withColumn("sd", sqrt(
-          (sum(col("value") * col("value")).over(p)
-            - sum(col("value")).over(p) * sum(col("value")).over(p) / col("n"))
-            / (col("n") - 1)))
-        .withColumn("cum", sum(col("value") - col("mu")).over(cumW))
+          (qDec - sDec * sDec / col("n")) / (col("n") - 1)))
+        .withColumn("cum",
+          sum(Tables.dec(col("value"))).over(cumW).cast(DoubleType)
+            - row_number().over(o).cast(DoubleType) * col("mu"))
         // the running min must include the EMPTY prefix (cum_0 = 0), or an
         // all-positive drift series never resets to the textbook s_1
         .withColumn("cusum",
@@ -2736,8 +2749,10 @@ object EventOps {
       """WITH b AS (
         |  SELECT user_id, ts, event_id, value,
         |         count(*) OVER (PARTITION BY user_id) AS n,
-        |         sum(value) OVER (PARTITION BY user_id) AS s,
-        |         sum(value * value) OVER (PARTITION BY user_id) AS q
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY user_id) AS DOUBLE) AS s,
+        |         CAST(sum(CAST(value * value AS DECIMAL(28,4)))
+        |              OVER (PARTITION BY user_id) AS DOUBLE) AS q
         |  FROM events),
         |c AS (
         |  SELECT user_id, ts, event_id, value, n, s / n AS mu,
@@ -2745,8 +2760,11 @@ object EventOps {
         |  FROM b WHERE n > 1),
         |d AS (
         |  SELECT user_id, ts, event_id, sd,
-        |         sum(value - mu) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |         CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         - CAST(row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS DOUBLE) * mu AS cum
         |  FROM c),
         |e AS (
         |  SELECT user_id, sd,
