@@ -782,6 +782,50 @@ object StatsOps {
         .orderBy("day")
     }),
 
+    // Chi-squared goodness-of-fit per day: does the day's event-type mix
+    // deviate from the corpus-level distribution? Completes the
+    // categorical-test family next to the two-way tests (Cramér's V /
+    // contingency) with the one-way GOF every monitoring pipeline runs on
+    // composition drift. Expected counts e = n_day · p_type with p_type
+    // from the WHOLE corpus (integer counts — exact on both engines);
+    // days missing a type contribute o = 0 against e > 0 via the dense
+    // day × type grid (the gap-fill discipline: the grid is days × 5
+    // rows, broadcast — the fact table is touched once). The ≤ k-element
+    // χ² reduction folds LEFT-TO-RIGHT over the type-sorted term array
+    // (the stat_anova determinism lesson, applied at birth). Verdict
+    // flags pin the dof-4 critical values as 6-dp literals, NULL for any
+    // other dof so a fixture type-set change fails loudly here.
+    "stat_chi2_gof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val typeTot = e.groupBy("event_type").agg(count(lit(1)).as("c"))
+      val pt = typeTot
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("nn"))))
+        .select(col("event_type"),
+          col("c").cast(DoubleType) / col("nn").cast(DoubleType) as "p")
+      val daily = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+      val dayTot = daily.groupBy("day").agg(sum("o").as("n_day"))
+      val grid = dayTot.crossJoin(broadcast(pt))
+      val terms = grid.join(daily, Seq("day", "event_type"), "left")
+        .na.fill(0L, Seq("o"))
+        .withColumn("e", col("n_day").cast(DoubleType) * col("p"))
+        .withColumn("t",
+          (col("o").cast(DoubleType) - col("e")) * (col("o").cast(DoubleType) - col("e"))
+            / col("e"))
+      terms.groupBy("day")
+        .agg(count(lit(1)).as("k"), max("n_day").as("n_day"),
+          sort_array(collect_list(struct(col("event_type"), col("t")))).as("ts_"))
+        .withColumn("chi2", aggregate(col("ts_"), lit(0.0),
+          (a, x) => a + x.getField("t")))
+        .select(col("day"), col("n_day"), (col("k") - 1).as("dof"),
+          round(col("chi2"), 6).as("chi2"),
+          when(col("k") === 5, round(col("chi2"), 6) > lit(9.487729))
+            .as("reject_05"),
+          when(col("k") === 5, round(col("chi2"), 6) > lit(13.276704))
+            .as("reject_01"))
+        .orderBy("day")
+    }),
+
     // Two-sample mean z-test per day (ClickHouse `meanZTest` analog) —
     // completes the location-test family: Welch (per-day sample variances,
     // unequal), Student (per-day pooled), and this — variances taken as
@@ -1493,6 +1537,34 @@ object StatsOps {
         |         AS t_stat,
         |       n1 + n2 - 2 AS df
         |FROM m ORDER BY day""".stripMargin,
+    "stat_chi2_gof" ->
+      """WITH tt AS (
+        |  SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+        |pt AS (
+        |  SELECT event_type,
+        |         CAST(c AS DOUBLE) / CAST((SELECT sum(c) FROM tt) AS DOUBLE) AS p
+        |  FROM tt),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |dt AS (SELECT day, sum(o) AS n_day FROM daily GROUP BY day),
+        |terms AS (
+        |  SELECT dt.day, dt.n_day, pt.event_type,
+        |         COALESCE(d.o, 0) AS o, CAST(dt.n_day AS DOUBLE) * pt.p AS e
+        |  FROM dt CROSS JOIN pt
+        |  LEFT JOIN daily d ON d.day = dt.day AND d.event_type = pt.event_type),
+        |f AS (
+        |  SELECT day, CAST(max(n_day) AS BIGINT) AS n_day, count(*) AS k,
+        |         list_reduce(
+        |           list((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |                ORDER BY event_type),
+        |           (a, b) -> a + b) AS chi2
+        |  FROM terms GROUP BY day)
+        |SELECT day, n_day, CAST(k - 1 AS BIGINT) AS dof,
+        |       round(chi2, 6) AS chi2,
+        |       CASE WHEN k = 5 THEN round(chi2, 6) > 9.487729 END AS reject_05,
+        |       CASE WHEN k = 5 THEN round(chi2, 6) > 13.276704 END AS reject_01
+        |FROM f ORDER BY day""".stripMargin,
     "stat_mean_ztest" ->
       """WITH pop AS (
         |  SELECT CAST(count(*) FILTER (event_type = 'purchase') AS DOUBLE) AS pn1,

@@ -871,6 +871,46 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Top-n-gram concentration (the OTHER Gopher repetition rule —
+    // `text_repetition` measures how much of the gram population is
+    // duplicated; this measures how much of the TEXT one single gram
+    // covers): fraction of characters inside the most frequent word
+    // 2-gram, keep-gate at the Gopher 0.20 threshold. Needs per-gram
+    // counts (not just distinct totals), so unlike the fused
+    // NgramDupStats pass it explodes grams and aggregates on
+    // (doc_id, gram) — a high-cardinality well-spread shuffle key — then
+    // one WindowGroupLimit-able rank per doc. Tokens materialize as a
+    // column BEFORE the gram lambda so element_at indexes a bound array
+    // (the NgramDupStats pathology was the lambda re-splitting the
+    // document per emitted gram). Tie → lexicographically smallest gram,
+    // pinned on both engines.
+    "text_top_ngram_frac" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("grams", transform(
+          sequence(lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      val top = docs
+        .select(col("doc_id"), length(col("text")).as("len"),
+          explode(col("grams")).as("gram"))
+        .groupBy("doc_id", "len", "gram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("n").desc, col("gram"))))
+        .filter(col("rk") === 1)
+        .withColumn("frac", round(
+          col("n").cast(DoubleType) * length(col("gram")).cast(DoubleType)
+            / col("len"), 6))
+      Tables.documents(s, dir)
+        .join(top.select(col("doc_id"), col("gram").as("top_gram"),
+          col("n").as("top_n"), col("frac")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("top_gram"), col("top_n"),
+          coalesce(col("frac"), lit(0.0)).as("top_gram_char_frac"),
+          (coalesce(col("frac"), lit(0.0)) <= 0.2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling polynomial fingerprint over token codes, mod 1e9+7 — a
     // deterministic document signature (content-defined, order-sensitive).
     "text_fingerprint" -> ((s, dir) => {
@@ -1434,6 +1474,25 @@ object TextOps {
         |  round(CASE WHEN len(g3) > 0
         |    THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END, 6) AS dup_3gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_top_ngram_frac" ->
+      """WITH f AS (SELECT doc_id, length(text) AS len,
+        |                  string_split(text,' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, len, unnest(list_transform(range(len(t)-1),
+        |           i -> t[i+1] || ' ' || t[i+2])) AS gram
+        |  FROM f WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, len, gram, count(*) AS n FROM g GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT doc_id, gram AS top_gram, n AS top_n,
+        |         round(CAST(n AS DOUBLE) * length(gram) / len, 6) AS frac
+        |  FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                             ORDER BY n DESC, gram) = 1)
+        |SELECT d.doc_id, top.top_gram, top.top_n,
+        |       COALESCE(top.frac, 0.0) AS top_gram_char_frac,
+        |       COALESCE(top.frac, 0.0) <= 0.2 AS keep
+        |FROM documents d LEFT JOIN top ON top.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce(

@@ -402,4 +402,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: plan-level banded range join equals the naive BETWEEN join at any band width") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def tsOf(offSec: Long): Timestamp = new Timestamp(base + offSec * 1000L)
+    for (i <- 1 to 8) {
+      val rnd = new scala.util.Random(i)
+      val points = (0 until 30 + rnd.nextInt(120))
+        .map(k => (k.toLong, tsOf(rnd.nextInt(2 * 24 * 3600).toLong)))
+        .toDF("p_id", "ts")
+      val intervals = (0 until 5 + rnd.nextInt(30)).map { k =>
+        val lo = rnd.nextInt(2 * 24 * 3600).toLong
+        // some negative lengths -> degenerate intervals the node must drop
+        val len = rnd.nextInt(6 * 3600).toLong - 1800L
+        (k.toLong, tsOf(lo), tsOf(lo + len))
+      }.toDF("iv_id", "lo", "hi")
+      // band width is semantics-free: exercise three decades of it
+      val band = Seq(60L, 3600L, 86400L)(rnd.nextInt(3)) * 1000000L
+      val viaPlan = graft.operators.RangeJoin
+        .join(points, intervals, "ts", "lo", "hi", band)
+        .select("p_id", "iv_id").orderBy("p_id", "iv_id")
+        .collect().map(_.toSeq).toSeq
+      val naive = points
+        .join(intervals, col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select("p_id", "iv_id").orderBy("p_id", "iv_id")
+        .collect().map(_.toSeq).toSeq
+      assert(viaPlan == naive, s"seed=$i band=$band")
+    }
+  }
 }
