@@ -57,17 +57,27 @@ object GenScale {
         df.withColumn(k, col(k) + col("rep") * Stride)).drop("rep")
     }
 
-    write(in("region"), "region")
-    write(in("nation"), "nation")
-    write(shifted("customer", Seq("c_custkey")), "customer")
-    write(shifted("supplier", Seq("s_suppkey")), "supplier")
-    write(shifted("part", Seq("p_partkey")), "part")
-    write(shifted("orders", Seq("o_orderkey", "o_custkey")), "orders")
-    write(shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
-      "lineitem")
-    write(shifted("events", Seq("event_id", "user_id")), "events")
+    // optional 4th arg: comma-separated table subset (dev tooling — a
+    // sf10+ ramp point for the scale families needs events/documents/
+    // embeddings but not the 60M-row lineitem replica)
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet
+      else Set("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+    def writeIf(name: String)(df: => DataFrame): Unit =
+      if (only.contains(name)) write(df, name)
 
-    val docs = in("documents").crossJoin(broadcast(reps))
+    writeIf("region")(in("region"))
+    writeIf("nation")(in("nation"))
+    writeIf("customer")(shifted("customer", Seq("c_custkey")))
+    writeIf("supplier")(shifted("supplier", Seq("s_suppkey")))
+    writeIf("part")(shifted("part", Seq("p_partkey")))
+    writeIf("orders")(shifted("orders", Seq("o_orderkey", "o_custkey")))
+    writeIf("lineitem")(
+      shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    writeIf("events")(shifted("events", Seq("event_id", "user_id")))
+
+    lazy val docs = in("documents").crossJoin(broadcast(reps))
       .withColumn("doc_id", col("doc_id") + col("rep") * Stride)
       .withColumn("text",
         when(col("rep") === 0, col("text")).otherwise(
@@ -75,9 +85,9 @@ object GenScale {
             t => concat(t, lit("_"), col("rep"))))))
       .withColumn("n_chars", length(col("text")))
       .drop("rep")
-    write(docs, "documents")
+    writeIf("documents")(docs)
 
-    val emb = in("embeddings").crossJoin(broadcast(reps))
+    lazy val emb = in("embeddings").crossJoin(broadcast(reps))
       .withColumn("vec_id", col("vec_id") + col("rep") * Stride)
       .withColumn("embedding",
         when(col("rep") === 0, col("embedding")).otherwise(
@@ -86,9 +96,9 @@ object GenScale {
               d => pmod(xxhash64(col("rep"), d), lit(2L))),
             (v, b) => when(b === 0L, v).otherwise(-v))))
       .drop("rep")
-    write(emb, "embeddings")
+    writeIf("embeddings")(emb)
 
-    println(s"GenScale: wrote ${replicas}x $inDir -> $outDir")
+    println(s"GenScale: wrote ${replicas}x $inDir -> $outDir (${only.mkString(",")})")
     spark.stop()
   }
 }

@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => graft.functions.NgramDupStats(children.head,
         children(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("top_ngram"),
+      new ExpressionInfo("graft.functions.TopNgram", "top_ngram"),
+      (children: Seq[Expression]) => graft.functions.TopNgram(children.head,
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("srp_band_keys"),
       new ExpressionInfo("graft.functions.SrpBandKeys", "srp_band_keys"),
       (children: Seq[Expression]) => graft.functions.SrpBandKeys(children.head)))

@@ -94,6 +94,12 @@ object api {
   def ngramDupStats(text: Column, k: Int): Column =
     graftBridge.column(NgramDupStats(graftBridge.expression(text), k))
 
+  /** Codegen'd most-frequent word k-gram `(gram, n)` of a text column —
+    * single fused pass, count-desc/gram-asc tie rule (see [[TopNgram]]).
+    */
+  def topNgram(text: Column, k: Int): Column =
+    graftBridge.column(TopNgram(graftBridge.expression(text), k))
+
   /** Codegen'd 64-bit SimHash of a text column — map-side scalar
     * signature (see [[SimHash64]]).
     */

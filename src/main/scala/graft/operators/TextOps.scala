@@ -875,39 +875,27 @@ object TextOps {
     // `text_repetition` measures how much of the gram population is
     // duplicated; this measures how much of the TEXT one single gram
     // covers): fraction of characters inside the most frequent word
-    // 2-gram, keep-gate at the Gopher 0.20 threshold. Needs per-gram
-    // counts (not just distinct totals), so unlike the fused
-    // NgramDupStats pass it explodes grams and aggregates on
-    // (doc_id, gram) — a high-cardinality well-spread shuffle key — then
-    // one WindowGroupLimit-able rank per doc. Tokens materialize as a
-    // column BEFORE the gram lambda so element_at indexes a bound array
-    // (the NgramDupStats pathology was the lambda re-splitting the
-    // document per emitted gram). Tie → lexicographically smallest gram,
-    // pinned on both engines.
+    // 2-gram, keep-gate at the Gopher 0.20 threshold. The per-doc argmax
+    // runs as ONE fused codegen pass (functions/TopNgram, the
+    // NgramDupStats discipline measured a third time): the compositional
+    // explode + groupBy(doc, gram) + per-doc rank shuffled every gram
+    // occurrence just to discard all but one row per document — 3.7 s at
+    // sf0.1, the suite's slowest key — where the fused map-only pass is
+    // 0.2 s and NOTHING shuffles. Tie → binary-smallest gram, pinned on
+    // both engines.
     "text_top_ngram_frac" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("grams", transform(
-          sequence(lit(1), greatest(size(col("toks")) - 1, lit(0))),
-          i => concat_ws(" ",
-            element_at(col("toks"), i), element_at(col("toks"), i + 1))))
-      val top = docs
-        .select(col("doc_id"), length(col("text")).as("len"),
-          explode(col("grams")).as("gram"))
-        .groupBy("doc_id", "len", "gram")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
-          .orderBy(col("n").desc, col("gram"))))
-        .filter(col("rk") === 1)
-        .withColumn("frac", round(
-          col("n").cast(DoubleType) * length(col("gram")).cast(DoubleType)
-            / col("len"), 6))
+      val tn = graft.functions.api.topNgram(col("text"), 2)
       Tables.documents(s, dir)
-        .join(top.select(col("doc_id"), col("gram").as("top_gram"),
-          col("n").as("top_n"), col("frac")), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("top_gram"), col("top_n"),
-          coalesce(col("frac"), lit(0.0)).as("top_gram_char_frac"),
-          (coalesce(col("frac"), lit(0.0)) <= 0.2).as("keep"))
+        .select(col("doc_id"), tn.as("tn"), length(col("text")).as("len"))
+        .select(col("doc_id"),
+          col("tn").getField("gram").as("top_gram"),
+          when(col("tn").getField("gram").isNotNull,
+            col("tn").getField("n")).as("top_n"),
+          coalesce(round(
+            col("tn").getField("n").cast(DoubleType)
+              * length(col("tn").getField("gram")).cast(DoubleType)
+              / col("len"), 6), lit(0.0)).as("top_gram_char_frac"))
+        .withColumn("keep", col("top_gram_char_frac") <= 0.2)
         .orderBy("doc_id")
     }),
 
