@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.plans.UnresolvedAsOfJoin", "asof_join"),
       (args: Seq[Expression]) => graft.plans.AsOfJoinTvf(args)))
     ext.injectResolutionRule(s => graft.plans.RangeJoinRewrite(s))
+    // Physical as-of join: under spark.graft.asofImpl=exec the AsOfJoin
+    // node survives resolution and this strategy plans it as the dedicated
+    // merge operator (plans/AsOfJoinExec) instead of the window expansion.
+    ext.injectPlannerStrategy(s => graft.plans.AsOfJoinStrategy(s))
     // SQL surface for the banded range join (point-in-interval without the
     // nested-loop plan): FROM range_join('points', 'intervals', 'ts', 'lo',
     // 'hi', band_micros[, 'key']) — parses to UnresolvedRangeJoin, which

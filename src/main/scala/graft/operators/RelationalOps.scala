@@ -255,6 +255,31 @@ object RelationalOps {
         .orderBy("p_id")
     }),
 
+    // E7, (c)-tier: the SAME as-of contract through the dedicated physical
+    // merge operator (plans/AsOfJoinExec — spark.graft.asofImpl=exec keeps
+    // the AsOfJoin node alive to the planner, AsOfJoinStrategy plans the
+    // per-partition forward merge instead of the union-tag-sort window).
+    // The conf gates ANALYSIS only: once the node is in the plan, the
+    // strategy fires regardless, so the finally-unset never races the
+    // deferred execution. Same oracle as join_asof_plan — one contract,
+    // two physical implementations, both driver-gated.
+    "join_asof_exec" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      s.conf.set("spark.graft.asofImpl", "exec")
+      try {
+        AsOf.join(purchases, clicks, key = "user_id",
+            probeTs = "ts", buildTs = "click_ts", buildTie = "click_id")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("click_ts").as("asof_click_ts"))
+          .orderBy("p_id")
+      } finally s.conf.unset("spark.graft.asofImpl")
+    }),
+
     // E8: cross join (tiny×tiny only — a guard rail, not a pattern).
     // Market-basket association — support/confidence/lift for part pairs
     // co-purchased in the same order (the "customers who bought A also
@@ -1082,6 +1107,17 @@ object RelationalOps {
         |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
     // plan-level operator, same semantics ⇒ same oracle as join_asof
     "join_asof_plan" ->
+      """SELECT p_id, p_user, p_ts, asof_click_ts FROM (
+        |  SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+        |         c.ts AS asof_click_ts,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts
+        |) WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    // identical contract through the physical merge operator ⇒ same oracle
+    "join_asof_exec" ->
       """SELECT p_id, p_user, p_ts, asof_click_ts FROM (
         |  SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
         |         c.ts AS asof_click_ts,

@@ -54,6 +54,18 @@ final case class AsOfJoin(
     if (childrenResolved) left.output.map(_.withNullability(true)) ++ carriedOut
     else Nil
 
+  // the carried build-payload attrs are MINTED here, not read from the
+  // children — declare them produced or CheckAnalysis flags the node as
+  // referencing missing attributes when it survives to the planner
+  // (spark.graft.asofImpl=exec)
+  override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
+
+  // the node addresses child columns by NAME (key/ts/tie strings), which
+  // Catalyst cannot see — declare every child column referenced, or
+  // ColumnPruning strips the children down to nothing when the node
+  // survives to the planner
+  override def references: AttributeSet = AttributeSet(children.flatMap(_.output))
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -290,12 +302,21 @@ object AsOfJoinTvf {
   * resolved, and validates-then-expands the SQL-surface
   * [[UnresolvedAsOfJoin]] in one step. Registered by
   * [[graft.GraftExtensions]].
+  *
+  * Under `spark.graft.asofImpl=exec` the node is NOT expanded: it rides
+  * resolved through the optimizer and [[AsOfJoinStrategy]] plans it as the
+  * dedicated merge operator [[AsOfJoinExec]]. The SQL-surface node is
+  * still validated/built here either way, so both implementations share
+  * one contract-error surface.
   */
 final case class AsOfJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  private def physical: Boolean =
+    spark.conf.get("spark.graft.asofImpl", "window") == "exec"
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case n: AsOfJoin if n.childrenResolved => AsOfJoin.expand(n)
+    case n: AsOfJoin if n.childrenResolved && !physical => AsOfJoin.expand(n)
     case u: UnresolvedAsOfJoin if u.childrenResolved =>
-      AsOfJoin.expand(AsOfJoin.build(u.left, u.right, u.keyCol, u.leftTsCol,
-        u.rightTsCol, u.rightTieCol, u.direction, u.toleranceMicros))
+      val built = AsOfJoin.build(u.left, u.right, u.keyCol, u.leftTsCol,
+        u.rightTsCol, u.rightTieCol, u.direction, u.toleranceMicros)
+      if (physical) built else AsOfJoin.expand(built)
   }
 }
