@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
   * domain — Steele et al., as in [[MinHashSignature]]), ~16k mul-adds per
   * row inside codegen.
   */
-case class SrpBandKeys(child: Expression, numBands: Int = SrpBandKeys.Bands)
+case class SrpBandKeys(child: Expression, numBands: Int = SrpBandKeys.Bands,
+    numBits: Int = SrpBandKeys.Bits)
   extends UnaryExpression {
 
   require(numBands >= 1 && numBands <= SrpBandKeys.Bands,
     s"numBands must be in 1..${SrpBandKeys.Bands}, got $numBands")
+  require(numBits >= 1 && numBits <= SrpBandKeys.MaxBits,
+    s"numBits must be in 1..${SrpBandKeys.MaxBits}, got $numBits")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "srp_band_keys"
@@ -36,7 +39,7 @@ case class SrpBandKeys(child: Expression, numBands: Int = SrpBandKeys.Bands)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    new GenericArrayData(SrpBandKeys.compute(v, numBands))
+    new GenericArrayData(SrpBandKeys.compute(v, numBands, numBits))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -51,8 +54,8 @@ case class SrpBandKeys(child: Expression, numBands: Int = SrpBandKeys.Bands)
          |final long[] $out = new long[$numBands];
          |for (int $b = 0; $b < $numBands; $b++) {
          |  long $bits = 0L;
-         |  for (int $i = 0; $i < ${SrpBandKeys.Bits}; $i++) {
-         |    final double[] $row = $planes[$b * ${SrpBandKeys.Bits} + $i];
+         |  for (int $i = 0; $i < $numBits; $i++) {
+         |    final double[] $row = $planes[$b * ${SrpBandKeys.MaxBits} + $i];
          |    double $s = 0.0;
          |    for (int $d = 0; $d < $n; $d++) {
          |      if (!$v.isNullAt($d)) $s += $v.getDouble($d) * $row[$d & ${SrpBandKeys.MaxDim - 1}];
@@ -86,11 +89,23 @@ object SrpBandKeys {
     */
   val Bands = 96
   val Bits = 16
+  /** Band WIDTH ceiling — width must grow with corpus size (bits ≳ log₂ n,
+    * the round-6 sf1 ramp lesson): random pairs collide per band at 2^-bits,
+    * so a fixed width goes quadratic once n outgrows 2^bits. Callers pick
+    * `numBits` per corpus (dedup_embedding: ceil(log₂ n) + 4, clamped to
+    * [Bits, MaxBits]); 24 bits covers ~10^6-row corpora per partition-free
+    * band math while the true-pair miss at the 0.95 threshold stays
+    * ≤ (1 − 0.899²⁴)^96 ≈ 4e-4 — and at that width a miss requires the
+    * pair to disagree on ≥1 of 24 planes in EVERY one of 96 bands.
+    */
+  val MaxBits = 24
   val MaxDim = 256
 
-  /** JVM-static ±1 hyperplane matrix, identical on every executor. */
+  /** JVM-static ±1 hyperplane matrix, identical on every executor
+    * (row stride MaxBits — a band's first `numBits` rows are its planes,
+    * so narrower widths use a prefix of the same geometry). */
   lazy val planes: Array[Array[Double]] =
-    Array.tabulate(Bands * Bits)(p => Array.tabulate(MaxDim)(d =>
+    Array.tabulate(Bands * MaxBits)(p => Array.tabulate(MaxDim)(d =>
       if ((MinHashSignature.splitmix64(
         p.toLong * 0x9E3779B97F4A7C15L + d) & 1L) == 1L) 1.0 else -1.0))
 
@@ -99,15 +114,15 @@ object SrpBandKeys {
     * need a single coarse bucket (SimOps.lshBucket) skip 95/96ths of the
     * projection work; the prefix is bit-identical to the full array's.
     */
-  def compute(v: ArrayData, numBands: Int = Bands): Array[Long] = {
+  def compute(v: ArrayData, numBands: Int = Bands, numBits: Int = Bits): Array[Long] = {
     val n = v.numElements()
     val out = new Array[Long](numBands)
     var b = 0
     while (b < numBands) {
       var bits = 0L
       var i = 0
-      while (i < Bits) {
-        val row = planes(b * Bits + i)
+      while (i < numBits) {
+        val row = planes(b * MaxBits + i)
         var s = 0.0
         var d = 0
         while (d < n) {

@@ -120,6 +120,16 @@ object api {
     graftBridge.column(SrpBandKeys(graftBridge.expression(v.cast(dd)), numBands))
   }
 
+  /** Corpus-sized variant: band WIDTH must grow with corpus size
+    * (bits ≳ log₂ n — see [[SrpBandKeys.MaxBits]]); callers pass the width
+    * they sized from their row count (dedup_embedding).
+    */
+  def srpBandKeys(v: Column, numBands: Int, numBits: Int): Column = {
+    val dd = ArrayType(DoubleType)
+    graftBridge.column(
+      SrpBandKeys(graftBridge.expression(v.cast(dd)), numBands, numBits))
+  }
+
   /** Codegen'd Unicode normalization of a text column — NFD + strip
     * combining marks + lowercase + whitespace collapse (see [[NormalizeText]]).
     */

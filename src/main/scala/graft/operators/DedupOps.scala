@@ -280,7 +280,7 @@ object DedupOps {
     // duplicates are dedup_exact's job, not this key's.
     "dedup_incremental" -> ((s, dir) => {
       val sh = shingled(s, dir)
-        .withColumn("is_new", pmod(col("doc_id") * 2654435761L, lit(100L)) >= 90)
+        .withColumn("is_new", pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)) >= 90)
       val idx = sh.filter(!col("is_new"))
       val inc = sh.filter(col("is_new"))
       val idxPosts = OpCache.cached(dir + "#inc_index",
@@ -448,8 +448,22 @@ object DedupOps {
         Tables.embeddings(s, dir)
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast(DoubleType)).as("v")))
+      // band WIDTH sized to the corpus (bits = ceil(log2 n) + 4, clamped):
+      // random pairs collide per band at 2^-bits, so a fixed width goes
+      // quadratic once n outgrows it — the sf1 ramp measured exactly that
+      // (x136 at 8 bits), and a fixed 16 re-breaks at sf10's 500k vectors.
+      // The count() reads the persisted base (one cheap action); at cluster
+      // scale n comes from table stats. Recall at the 0.95 threshold stays
+      // effectively 1 at every width ≤ MaxBits (≤ 4e-4 miss; oracle
+      // pairing at the driver gate uses 16 bits where it is 4e-9).
+      val n = e.count()
+      val bits = math.min(graft.functions.SrpBandKeys.MaxBits,
+        math.max(graft.functions.SrpBandKeys.Bits,
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 4))
       val sigs = OpCache.cached(dir + "#emb_bands",
-        e.select(col("vec_id"), graft.functions.api.srpBandKeys(col("v")).as("bk")))
+        e.select(col("vec_id"),
+          graft.functions.api.srpBandKeys(col("v"),
+            graft.functions.SrpBandKeys.Bands, bits).as("bk")))
       val bands = sigs.select(col("vec_id"),
           posexplode(col("bk")).as(Seq("band", "bkey")))
         .select(col("vec_id"), xxhash64(col("band"), col("bkey")).as("bkey"))
@@ -556,7 +570,7 @@ object DedupOps {
     // sf0.01; skip in sf0.1 sweeps.
     "dedup_incremental" ->
       """WITH d AS (
-        |  SELECT *, (doc_id * 2654435761) % 100 >= 90 AS is_new FROM documents),
+        |  SELECT *, ((doc_id % 2147483648) * 2654435761) % 100 >= 90 AS is_new FROM documents),
         |sh AS (
         |  SELECT doc_id, is_new, CASE WHEN len(toks) >= 3
         |           THEN list_distinct(list_transform(range(len(toks)-2),

@@ -314,7 +314,7 @@ object FunctionOps {
     // a concat, the subnet test is integer masking — identical portable
     // arithmetic on both engines, synthesized deterministically here.
     "fn_ip" -> ((s, dir) => {
-      val ip = pmod(col("event_id") * 2654435761L, lit(1L << 32))
+      val ip = pmod(pmod(col("event_id"), lit(2147483648L)) * 2654435761L, lit(1L << 32))
       val oct = (k: Int) => pmod(shiftright(ip, k * 8), lit(256L))
       val ipStr = concat_ws(".",
         oct(3).cast(StringType), oct(2).cast(StringType),
@@ -461,7 +461,7 @@ object FunctionOps {
     "fn_ip" ->
       """WITH x AS (
         |  SELECT event_id,
-        |         (event_id * 2654435761) % 4294967296 AS ip
+        |         ((event_id % 2147483648) * 2654435761) % 4294967296 AS ip
         |  FROM events)
         |SELECT event_id,
         |       ip AS ip_num,

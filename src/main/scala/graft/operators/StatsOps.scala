@@ -81,7 +81,7 @@ object StatsOps {
         .otherwise(10L)
       Tables.events(s, dir)
         .withColumn("rate", rate)
-        .filter(pmod(col("event_id") * 2654435761L, lit(100L)) < col("rate"))
+        .filter(pmod(pmod(col("event_id"), lit(2147483648L)) * 2654435761L, lit(100L)) < col("rate"))
         .select(col("event_id"), col("event_type"),
           round(lit(100.0) / col("rate"), 6).as("weight"))
         .orderBy("event_id")
@@ -100,7 +100,7 @@ object StatsOps {
     // both engines). Here: the 8 exemplar events of each event_type.
     "sample_bottomk" -> ((s, dir) => {
       val w = Window.partitionBy("event_type")
-        .orderBy(pmod(col("event_id") * 2654435761L, lit(1000000007L)),
+        .orderBy(pmod(pmod(col("event_id"), lit(2147483648L)) * 2654435761L, lit(1000000007L)),
           col("event_id"))
       Tables.events(s, dir)
         .select(col("event_type"), col("event_id"), col("user_id"),
@@ -1281,14 +1281,14 @@ object StatsOps {
         |  FROM events)
         |SELECT event_id, event_type,
         |       round(CAST(100 AS DOUBLE) / rate, 6) AS weight
-        |FROM r WHERE (event_id * 2654435761) % 100 < rate
+        |FROM r WHERE ((event_id % 2147483648) * 2654435761) % 100 < rate
         |ORDER BY event_id""".stripMargin,
     "sample_bottomk" ->
       """SELECT event_type, event_id, user_id, rk FROM (
         |  SELECT event_type, event_id, user_id,
         |         CAST(row_number() OVER (
         |           PARTITION BY event_type
-        |           ORDER BY (event_id * 2654435761) % 1000000007, event_id)
+        |           ORDER BY ((event_id % 2147483648) * 2654435761) % 1000000007, event_id)
         |           AS BIGINT) AS rk
         |  FROM events)
         |WHERE rk <= 8 ORDER BY event_type, rk""".stripMargin,

@@ -52,7 +52,7 @@ object TextOps {
     // membership on every retry. Map-only: no shuffle, no state.
     "split_holdout" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(100L)))
+        .withColumn("bucket", pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)))
         .select(col("doc_id"), col("lang"),
           when(col("bucket") < 90, "train").otherwise("holdout").as("split"))
         .orderBy("doc_id")
@@ -100,7 +100,7 @@ object TextOps {
       val n = 8
       val docs = Tables.documents(s, dir)
         .withColumn("is_test",
-          pmod(col("doc_id") * 2654435761L, lit(100L)) >= 90)
+          pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)) >= 90)
       val grams = OpCache.cached(dir + "#decontam_grams",
         docs.select(col("doc_id"), col("is_test"),
           explode(when(size(toks) >= n,
@@ -236,7 +236,7 @@ object TextOps {
       d.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         .withColumn("quality", quality)
         .filter(col("quality") >= 0.75)
-        .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(100L)))
+        .withColumn("bucket", pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)))
         .select(col("doc_id"), col("lang"),
           size(toks).cast(LongType).as("n_toks"), col("quality"),
           when(col("bucket") < 90, "train").otherwise("holdout").as("split"))
@@ -302,7 +302,7 @@ object TextOps {
           .withColumn("quality", quality)
           .filter(col("quality") >= 0.75)
           .withColumn("split",
-            when(pmod(col("doc_id") * 2654435761L, lit(100L)) < 90, "train")
+            when(pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)) < 90, "train")
               .otherwise("holdout"))
           .select(col("doc_id"), col("source"), col("text"), col("split"),
             col("quality"), round(col("kf"), 6).as("kept_frac"),
@@ -913,7 +913,7 @@ object TextOps {
   def oracle: Map[String, String] = Map(
     "split_holdout" ->
       """SELECT doc_id, lang,
-        |       CASE WHEN (doc_id * 2654435761) % 100 < 90
+        |       CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90
         |            THEN 'train' ELSE 'holdout' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
@@ -930,7 +930,7 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin,
     "pipeline_decontaminate" ->
       """WITH d AS (
-        |  SELECT *, (doc_id * 2654435761) % 100 >= 90 AS is_test FROM documents),
+        |  SELECT *, ((doc_id % 2147483648) * 2654435761) % 100 >= 90 AS is_test FROM documents),
         |g AS (
         |  SELECT doc_id, is_test,
         |         unnest(CASE WHEN len(toks) >= 8
@@ -1023,7 +1023,7 @@ object TextOps {
         |              + CASE WHEN ttr > 0.3 THEN 0.25 ELSE 0.0 END)::DOUBLE, 6) AS quality
         |  FROM m)
         |SELECT doc_id, lang, n_toks, quality,
-        |       CASE WHEN (doc_id * 2654435761) % 100 < 90
+        |       CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90
         |            THEN 'train' ELSE 'holdout' END AS split
         |FROM scored WHERE quality >= 0.75 ORDER BY doc_id""".stripMargin,
     // stage-for-stage twin of the Spark composition; each CTE is the
@@ -1064,7 +1064,7 @@ object TextOps {
         |         round((CASE WHEN ntd >= 20 THEN 0.5 ELSE 0.0 END
         |              + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END
         |              + CASE WHEN ttr > 0.3 THEN 0.25 ELSE 0.0 END)::DOUBLE, 6) AS quality,
-        |         CASE WHEN (doc_id * 2654435761) % 100 < 90
+        |         CASE WHEN ((doc_id % 2147483648) * 2654435761) % 100 < 90
         |              THEN 'train' ELSE 'holdout' END AS split
         |  FROM m),
         |d3 AS (SELECT * FROM scored WHERE quality >= 0.75),
