@@ -53,6 +53,39 @@ case class NgramDupStats(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All-k sibling of [[NgramDupStats]]: `(n, n_distinct)` for EVERY
+  * k = 1..maxK in one pass — tokenize and hash each token ONCE, then one
+  * combine+sort per k over the shared token-hash array. `text_repetition`
+  * needs k = 1, 2, 3; three separate NgramDupStats calls each re-split and
+  * re-hash the document (the dominant cost at 500k-document scale —
+  * measured at the sf10 ramp), where this pays tokenization once.
+  * Returns `array<struct<n, n_distinct>>` indexed k-1.
+  */
+case class NgramDupProfile(child: Expression, maxK: Int) extends UnaryExpression {
+  require(maxK >= 1, "maxK must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "ngram_dup_profile"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramDupStats.computeProfile(input.asInstanceOf[UTF8String], maxK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NgramDupStats.computeProfile($v, $maxK);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NgramDupStats {
 
   /** (total grams, distinct grams) for word k-grams under single-space
@@ -83,5 +116,45 @@ object NgramDupStats {
       i += 1
     }
     new GenericInternalRow(Array[Any](m.toLong, distinct.toLong))
+  }
+
+  /** One (n, n_distinct) row per k = 1..maxK, sharing ONE tokenize+hash
+    * pass (see [[NgramDupProfile]]). Identical per-k results to
+    * [[compute]] — same tokenizer, same combine, same sort-count.
+    */
+  def computeProfile(text: UTF8String,
+      maxK: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.split(UTF8String.fromString(" "), -1)
+    val n = toks.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = ShingleHashes.tokenHash(toks(i)); i += 1 }
+    val out = new Array[Any](maxK)
+    var k = 1
+    while (k <= maxK) {
+      val m = n - k + 1
+      if (m <= 0) out(k - 1) = new GenericInternalRow(Array[Any](0L, 0L))
+      else {
+        val gh = new Array[Long](m)
+        i = 0
+        while (i < m) {
+          var h = th(i)
+          var j = 1
+          while (j < k) { h = ShingleHashes.combine(h, th(i + j)); j += 1 }
+          gh(i) = h
+          i += 1
+        }
+        java.util.Arrays.sort(gh)
+        var distinct = 1
+        i = 1
+        while (i < m) {
+          if (gh(i) != gh(i - 1)) distinct += 1
+          i += 1
+        }
+        out(k - 1) = new GenericInternalRow(Array[Any](m.toLong, distinct.toLong))
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

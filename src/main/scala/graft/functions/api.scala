@@ -100,6 +100,12 @@ object api {
   def topNgram(text: Column, k: Int): Column =
     graftBridge.column(TopNgram(graftBridge.expression(text), k))
 
+  /** All-k dup stats `array<(n, n_distinct)>` for k = 1..maxK sharing one
+    * tokenize+hash pass (see [[NgramDupProfile]]).
+    */
+  def ngramDupProfile(text: Column, maxK: Int): Column =
+    graftBridge.column(NgramDupProfile(graftBridge.expression(text), maxK))
+
   /** Codegen'd 64-bit SimHash of a text column — map-side scalar
     * signature (see [[SimHash64]]).
     */

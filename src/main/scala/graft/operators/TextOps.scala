@@ -857,17 +857,20 @@ object TextOps {
     // ShingleHashes pathology, re-measured here). Map-only: no explode, no
     // shuffle, nothing but the two counts per (doc, k) leaves the pass.
     "text_repetition" -> ((s, dir) => {
-      def dupFrac(k: Int): Column = {
-        val st = graft.functions.api.ngramDupStats(col("text"), k)
+      // ONE tokenize+hash pass for all three k (functions/NgramDupProfile)
+      // — three separate NgramDupStats calls re-split and re-hash the
+      // document each, the dominant cost at 500k-doc scale (sf10 ramp).
+      def dupFrac(st: Column): Column =
         round(when(st.getField("n") > 0,
           lit(1.0) - st.getField("n_distinct").cast(DoubleType) / st.getField("n"))
           .otherwise(0.0), 6)
-      }
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          dupFrac(1).as("dup_tok_frac"),
-          dupFrac(2).as("dup_2gram_frac"),
-          dupFrac(3).as("dup_3gram_frac"))
+          graft.functions.api.ngramDupProfile(col("text"), 3).as("pf"))
+        .select(col("doc_id"),
+          dupFrac(element_at(col("pf"), 1)).as("dup_tok_frac"),
+          dupFrac(element_at(col("pf"), 2)).as("dup_2gram_frac"),
+          dupFrac(element_at(col("pf"), 3)).as("dup_3gram_frac"))
         .orderBy("doc_id")
     }),
 
