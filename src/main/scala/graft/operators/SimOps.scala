@@ -476,7 +476,10 @@ object SimOps {
       val iters = 3
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val e = vecs(s, dir)
+      // persisted: each Lloyd round is a collect ACTION, so an unpersisted
+      // base re-scans the parquet + recasts per round (+ once more for the
+      // final assignment) — 5 scans for 3 rounds
+      val e = OpCache.cached(dir + "#kmeans_v", vecs(s, dir))
       var cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k)
         .select("v").collect().map(_.getSeq[Double](0)).toSeq
       for (_ <- 1 to iters) {
