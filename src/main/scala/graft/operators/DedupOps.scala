@@ -499,13 +499,25 @@ object DedupOps {
     // map-side into a cluster × dim table (broadcast back); pairing is an
     // equality self-join on the cluster id; nothing all-pairs ever runs.
     "dedup_semantic" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val e = OpCache.cached(dir + "#semdedup_v",
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast(DoubleType)).as("v")))
+      // cluster COUNT sized to the corpus (bits = ceil(log2 n) − 7, clamped
+      // to [6, 12] ⇒ cells target ~128 vectors): within-cell pairing is
+      // quadratic in cell size, so a fixed 64-way split re-grows cells
+      // linearly with the corpus — the same lesson as the SRP band width,
+      // applied to the cluster granularity. Integer ceil-log2 on both
+      // engines (floats only touch integer boundaries at exact powers of
+      // two, where IEEE log2 is exact). At the driver gate (n=500) this
+      // clamps to the original 6 bits, so cluster ids are unchanged there.
+      val n = e.count()
+      val bits = math.min(12, math.max(6,
+        (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) - 7))
       val cl = OpCache.cached(dir + "#semdedup_cl",
         e.withColumn("cluster",
-          (1 to 6).map(i => when(element_at(col("v"), i) >= 0,
-            lit(1L << (6 - i))).otherwise(lit(0L))).reduce(_ + _)))
+          (1 to bits).map(i => when(element_at(col("v"), i) >= 0,
+            lit(1L << (bits - i))).otherwise(lit(0L))).reduce(_ + _)))
       val cent = cl.select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cluster", "i").agg(avg("x").as("ce"))
         .groupBy("cluster")
@@ -655,14 +667,15 @@ object DedupOps {
       """WITH e AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> x::DOUBLE) AS v
         |           FROM embeddings),
+        |bb AS (SELECT least(12, greatest(6,
+        |                CAST(ceil(log2(count(*))) AS INT) - 7)) AS bits
+        |       FROM embeddings),
         |c AS (SELECT vec_id, label, v,
-        |        (CASE WHEN v[1] >= 0 THEN 32 ELSE 0 END
-        |       + CASE WHEN v[2] >= 0 THEN 16 ELSE 0 END
-        |       + CASE WHEN v[3] >= 0 THEN 8 ELSE 0 END
-        |       + CASE WHEN v[4] >= 0 THEN 4 ELSE 0 END
-        |       + CASE WHEN v[5] >= 0 THEN 2 ELSE 0 END
-        |       + CASE WHEN v[6] >= 0 THEN 1 ELSE 0 END)::BIGINT AS cluster
-        |      FROM e),
+        |        CAST(list_sum(list_transform(range(1, bits + 1),
+        |               i -> CASE WHEN v[i] >= 0
+        |                         THEN 2 ** (bits - i) ELSE 0 END))
+        |             AS BIGINT) AS cluster
+        |      FROM e CROSS JOIN bb),
         |el AS (SELECT vec_id, cluster, i, v[i] AS x
         |       FROM c, range(1, 65) t(i)),
         |cent AS (SELECT cluster, i, avg(x) AS ce FROM el GROUP BY cluster, i),
