@@ -92,11 +92,19 @@ object SimOps {
     scala.collection.mutable.Map.empty[String, (String, Seq[Seq[Double]])]
 
   private def ivfIndex(s: SparkSession, dir: String): (String, Seq[Seq[Double]]) =
+    ivfIndexOf(s, dir, vecs(s, dir))
+
+  /** Index builder over an arbitrary corpus frame (memo key `key`):
+    * `sim_topk_ivf` indexes the scale dir's embeddings; `sim_ivf_planted`
+    * runs the UNCHANGED build over corpus + planted copies.
+    */
+  private def ivfIndexOf(s: SparkSession, key: String,
+      corpus: DataFrame): (String, Seq[Seq[Double]]) =
     synchronized {
-      ivfIndexes.getOrElseUpdate(dir, {
+      ivfIndexes.getOrElseUpdate(key, {
         val k = 16
         val lloydIters = 5
-        val e = vecs(s, dir).select("vec_id", "v")
+        val e = corpus.select("vec_id", "v")
         val seeds: Seq[Seq[Double]] = e.orderBy(xxhash64(col("vec_id"))).limit(k)
           .select("v").collect().map(_.getSeq[Double](0)).toSeq
         // training sample: deterministic hash-ordered draw, persisted once
@@ -128,7 +136,7 @@ object SimOps {
           }
         } finally { sample.unpersist(); () }
         val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf/" +
-          OpCache.pathKey(dir)
+          OpCache.pathKey(key)
         e.withColumn("cell", nearestCell(col("v"), cents))
           .write.mode("overwrite").partitionBy("cell").parquet(path)
         (path, cents)
@@ -346,6 +354,39 @@ object SimOps {
         .withColumn("rk", row_number().over(w).cast(LongType))
         .filter(col("rk") <= 10)
         .orderBy("q_id", "rk")
+    }),
+
+    // The DETERMINISTIC slice of the IVF contract, oracle-paired (the
+    // dedup_minhash_planted discipline applied to ANN): identical vectors
+    // quantize to the same Voronoi cell under ANY centroids, so for a
+    // planted exact copy the probe CANNOT miss — recall = 1 by geometry,
+    // not probability. 50 copies are planted (vec_id + 1e6), the UNCHANGED
+    // index build + probe pipeline runs over corpus ∪ copies, and each
+    // planted query's top-1 must be its original at cosine 1.0 — a
+    // regression anywhere in the assignment, the partitioned index, the
+    // probe-cell explode, or the ranking surfaces as a hash mismatch. The
+    // probabilistic remainder of the contract (recall on NEAR-dups under
+    // nprobe) stays rows-only with the NorthStarSpec recall floor.
+    "sim_ivf_planted" -> ((s, dir) => {
+      val base = vecs(s, dir).select("vec_id", "v")
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+      val (path, cents) = ivfIndexOf(s, dir + "#ivf_planted",
+        base.unionByName(planted))
+      val idx = s.read.parquet(path)
+      val probes = idx.filter(col("vec_id") >= 1000000L)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          explode(nearestCells(col("v"), cents, 2)).as("cell"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      idx.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id").as("planted_id"), col("vec_id").as("top1_id"),
+          col("cos").as("top_cos"))
+        .orderBy("planted_id")
     }),
 
     // Per-class centroid (prototype) vectors and every vector's cosine to
@@ -575,6 +616,15 @@ object SimOps {
     }))
 
   def oracle: Map[String, String] = Map(
+    // The planted slice asserts the geometric certainty only: identical
+    // vectors share a cell, so each planted copy's top-1 is its original
+    // at cosine 1.0 (no other corpus vector reaches 1.0 at the gate
+    // scale — isotropic fixture, no natural exact dups).
+    "sim_ivf_planted" ->
+      """SELECT vec_id + 1000000 AS planted_id, vec_id AS top1_id,
+        |       1.0 AS top_cos
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY planted_id""".stripMargin,
     "sim_cosine" ->
       """WITH e AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> x::DOUBLE) AS v
