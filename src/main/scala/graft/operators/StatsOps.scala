@@ -169,6 +169,47 @@ object StatsOps {
         .orderBy("l_returnflag")
     }),
 
+    // Declarative data-quality constraint check (the dbt-tests / Deequ
+    // surface — the QA gate every warehouse load and every training-data
+    // refresh runs before publishing): one row PER CONSTRAINT with its
+    // violation count, so the downstream gate is `max(violations) == 0`.
+    // Five constraint families over the TPC-H tables: primary-key
+    // uniqueness (count − distinct), referential integrity (anti-join
+    // counts, lineitem→orders and orders→customer), non-null, value-range,
+    // and an accepted-values set check. Scale shape: each check is one
+    // aggregate or one equality anti-join on the FK — no constraint ever
+    // scans another's table, and the union of 1-row results is free.
+    // Constraint names are the sort key, so output order is stable.
+    "qa_constraints" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      def one(name: String, v: org.apache.spark.sql.DataFrame) =
+        v.select(lit(name).as("constraint_name"),
+          col("violations").cast(LongType).as("violations"))
+      val pkDup = one("orders_pk_unique",
+        ord.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations")))
+      val fkLi = one("lineitem_orderkey_in_orders",
+        li.join(ord.select(col("o_orderkey").as("l_orderkey")),
+            Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations")))
+      val fkOrd = one("orders_custkey_in_customer",
+        ord.join(cust.select(col("c_custkey").as("o_custkey")),
+            Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations")))
+      val nn = one("lineitem_shipdate_not_null",
+        li.agg(count(when(col("l_shipdate").isNull, 1)).as("violations")))
+      val rng = one("lineitem_discount_in_range",
+        li.agg(count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+          .as("violations")))
+      val accepted = one("lineitem_returnflag_accepted",
+        li.agg(count(when(!col("l_returnflag").isin("A", "N", "R"), 1))
+          .as("violations")))
+      pkDup.unionByName(fkLi).unionByName(fkOrd).unionByName(nn)
+        .unionByName(rng).unionByName(accepted)
+        .orderBy("constraint_name")
+    }),
+
     // One-pass table profiler — the first query anyone runs on an unknown
     // 100 TB archive: per-column row/non-null/distinct counts and min/max.
     // ONE scan: all 17 aggregates run in a single groupBy-less aggregate
@@ -1537,6 +1578,32 @@ object StatsOps {
         |         AS t_stat,
         |       n1 + n2 - 2 AS df
         |FROM m ORDER BY day""".stripMargin,
+    "qa_constraints" ->
+      """WITH checks AS (
+        |  SELECT 'orders_pk_unique' AS constraint_name,
+        |         count(*) - count(DISTINCT o_orderkey) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_in_orders',
+        |         count(*) FILTER (o_orderkey IS NULL)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders_custkey_in_customer',
+        |         count(*) FILTER (c_custkey IS NULL)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem_shipdate_not_null',
+        |         count(*) FILTER (l_shipdate IS NULL) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_in_range',
+        |         count(*) FILTER (l_discount < 0 OR l_discount > 0.1)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_returnflag_accepted',
+        |         count(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R'))
+        |  FROM lineitem)
+        |SELECT constraint_name, CAST(violations AS BIGINT) AS violations
+        |FROM checks ORDER BY constraint_name""".stripMargin,
     "stat_chi2_gof" ->
       """WITH tt AS (
         |  SELECT event_type, count(*) AS c FROM events GROUP BY 1),
