@@ -59,6 +59,20 @@ object Tables {
     */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Overflow-safe Knuth multiplicative split hash: `(id % 2³¹)·K % m`.
+    * `id·K` alone overflows Long once id > ~3.46e9 — ANSI Spark (and
+    * DuckDB) ERROR instead of wrapping, which the sf10 ramp hit on every
+    * split/sample key. The `% 2³¹` pre-reduction keeps the product under
+    * 2⁶³ and is the identity for every id below 2³¹, so all existing
+    * driver-gate values are unchanged. Every Spark split/sample/bucket
+    * site routes through this ONE definition; the oracle twin is the
+    * literal SQL `((x % 2147483648) * 2654435761) % m`.
+    */
+  def splitHash(c: Column, m: Long): Column = {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    pmod(pmod(c, lit(2147483648L)) * 2654435761L, lit(m))
+  }
+
   /** Negative-zero normalizer for rounded double outputs. `round(x, 6)` of a
     * tiny negative value yields IEEE `-0.0`, which bit-compares (and so
     * driver-hash-compares) unequal to `+0.0` even though `==` says equal —

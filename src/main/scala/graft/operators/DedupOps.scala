@@ -280,7 +280,7 @@ object DedupOps {
     // duplicates are dedup_exact's job, not this key's.
     "dedup_incremental" -> ((s, dir) => {
       val sh = shingled(s, dir)
-        .withColumn("is_new", pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)) >= 90)
+        .withColumn("is_new", Tables.splitHash(col("doc_id"), 100L) >= 90)
       val idx = sh.filter(!col("is_new"))
       val inc = sh.filter(col("is_new"))
       val idxPosts = OpCache.cached(dir + "#inc_index",
@@ -518,8 +518,15 @@ object DedupOps {
         e.withColumn("cluster",
           (1 to bits).map(i => when(element_at(col("v"), i) >= 0,
             lit(1L << (bits - i))).otherwise(lit(0L))).reduce(_ + _)))
+      // centroid components ROUND to 6 dp before any cosine (the ml_kmeans
+      // per-round discipline): avg() partials merge in partition-arrival
+      // order, so raw centroids differ by ulps across engines and every
+      // downstream cent_sim would inherit that noise at its own round(6)
+      // boundary — quantizing here makes both engines' cosine INPUTS
+      // identical, leaving only the fixed-length dot product's association
+      // order (the residual every accepted key carries)
       val cent = cl.select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cluster", "i").agg(avg("x").as("ce"))
+        .groupBy("cluster", "i").agg(round(avg("x"), 6).as("ce"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("ce")))),
           p => p.getField("ce")).as("cv"))
@@ -678,7 +685,8 @@ object DedupOps {
         |      FROM e CROSS JOIN bb),
         |el AS (SELECT vec_id, cluster, i, v[i] AS x
         |       FROM c, range(1, 65) t(i)),
-        |cent AS (SELECT cluster, i, avg(x) AS ce FROM el GROUP BY cluster, i),
+        |cent AS (SELECT cluster, i, round(avg(x), 6) AS ce
+        |         FROM el GROUP BY cluster, i),
         |cs AS (SELECT vec_id, cluster,
         |              round(sum(x * ce) / (sqrt(sum(x * x)) * sqrt(sum(ce * ce))), 6)
         |                AS cent_sim

@@ -314,7 +314,7 @@ object FunctionOps {
     // a concat, the subnet test is integer masking — identical portable
     // arithmetic on both engines, synthesized deterministically here.
     "fn_ip" -> ((s, dir) => {
-      val ip = pmod(pmod(col("event_id"), lit(2147483648L)) * 2654435761L, lit(1L << 32))
+      val ip = Tables.splitHash(col("event_id"), 1L << 32)
       val oct = (k: Int) => pmod(shiftright(ip, k * 8), lit(256L))
       val ipStr = concat_ws(".",
         oct(3).cast(StringType), oct(2).cast(StringType),

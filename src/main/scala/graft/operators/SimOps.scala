@@ -374,7 +374,11 @@ object SimOps {
       val (path, cents) = ivfIndexOf(s, dir + "#ivf_planted",
         base.unionByName(planted))
       val idx = s.read.parquet(path)
-      val probes = idx.filter(col("vec_id") >= 1000000L)
+      // probe EXACTLY the minted id range, not an open >= bound — a corpus
+      // whose natural vec_ids reach 1e6 (GenScale replicas) must never
+      // have its own rows drafted as probes (the key is gate-scale by
+      // design; see the ledger note on natural cosine-1.0 ties)
+      val probes = idx.filter(col("vec_id").between(1000000L, 1000049L))
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           explode(nearestCells(col("v"), cents, 2)).as("cell"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))

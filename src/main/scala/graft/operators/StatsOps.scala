@@ -81,7 +81,7 @@ object StatsOps {
         .otherwise(10L)
       Tables.events(s, dir)
         .withColumn("rate", rate)
-        .filter(pmod(pmod(col("event_id"), lit(2147483648L)) * 2654435761L, lit(100L)) < col("rate"))
+        .filter(Tables.splitHash(col("event_id"), 100L) < col("rate"))
         .select(col("event_id"), col("event_type"),
           round(lit(100.0) / col("rate"), 6).as("weight"))
         .orderBy("event_id")
@@ -100,7 +100,7 @@ object StatsOps {
     // both engines). Here: the 8 exemplar events of each event_type.
     "sample_bottomk" -> ((s, dir) => {
       val w = Window.partitionBy("event_type")
-        .orderBy(pmod(pmod(col("event_id"), lit(2147483648L)) * 2654435761L, lit(1000000007L)),
+        .orderBy(Tables.splitHash(col("event_id"), 1000000007L),
           col("event_id"))
       Tables.events(s, dir)
         .select(col("event_type"), col("event_id"), col("user_id"),
@@ -837,14 +837,19 @@ object StatsOps {
     // flags pin the dof-4 critical values as 6-dp literals, NULL for any
     // other dof so a fixture type-set change fails loudly here.
     "stat_chi2_gof" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-      val typeTot = e.groupBy("event_type").agg(count(lit(1)).as("c"))
-      val pt = typeTot
-        .crossJoin(broadcast(e.agg(count(lit(1)).as("nn"))))
+      // ONE corpus scan: the (day, type) count table is days×types rows and
+      // everything else — corpus type proportions, day totals, the dense
+      // grid — derives from it (integer sums, so p_type is bit-identical
+      // to a direct corpus count). Persisted because three readouts
+      // reference it.
+      val daily = OpCache.cached(dir + "#chi2_daily",
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("o")))
+      val pt = daily.groupBy("event_type").agg(sum("o").as("c"))
+        .crossJoin(broadcast(daily.agg(sum("o").as("nn"))))
         .select(col("event_type"),
           col("c").cast(DoubleType) / col("nn").cast(DoubleType) as "p")
-      val daily = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(count(lit(1)).as("o"))
       val dayTot = daily.groupBy("day").agg(sum("o").as("n_day"))
       val grid = dayTot.crossJoin(broadcast(pt))
       val terms = grid.join(daily, Seq("day", "event_type"), "left")

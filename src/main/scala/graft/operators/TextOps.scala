@@ -52,7 +52,7 @@ object TextOps {
     // membership on every retry. Map-only: no shuffle, no state.
     "split_holdout" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .withColumn("bucket", pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)))
+        .withColumn("bucket", Tables.splitHash(col("doc_id"), 100L))
         .select(col("doc_id"), col("lang"),
           when(col("bucket") < 90, "train").otherwise("holdout").as("split"))
         .orderBy("doc_id")
@@ -100,7 +100,7 @@ object TextOps {
       val n = 8
       val docs = Tables.documents(s, dir)
         .withColumn("is_test",
-          pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)) >= 90)
+          Tables.splitHash(col("doc_id"), 100L) >= 90)
       val grams = OpCache.cached(dir + "#decontam_grams",
         docs.select(col("doc_id"), col("is_test"),
           explode(when(size(toks) >= n,
@@ -236,7 +236,7 @@ object TextOps {
       d.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
         .withColumn("quality", quality)
         .filter(col("quality") >= 0.75)
-        .withColumn("bucket", pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)))
+        .withColumn("bucket", Tables.splitHash(col("doc_id"), 100L))
         .select(col("doc_id"), col("lang"),
           size(toks).cast(LongType).as("n_toks"), col("quality"),
           when(col("bucket") < 90, "train").otherwise("holdout").as("split"))
@@ -302,19 +302,25 @@ object TextOps {
           .withColumn("quality", quality)
           .filter(col("quality") >= 0.75)
           .withColumn("split",
-            when(pmod(pmod(col("doc_id"), lit(2147483648L)) * 2654435761L, lit(100L)) < 90, "train")
+            when(Tables.splitHash(col("doc_id"), 100L) < 90, "train")
               .otherwise("holdout"))
           .select(col("doc_id"), col("source"), col("text"), col("split"),
             col("quality"), round(col("kf"), 6).as("kept_frac"),
             size(toks).cast(LongType).as("n_toks")))
-      // stage 5: decontaminate train against the surviving holdout's grams
+      // stage 5: decontaminate train against the surviving holdout's grams.
+      // Tokens materialize as a column BEFORE the gram lambda: slice(split
+      // (text)) INSIDE the interpreted transform re-splits the document per
+      // emitted gram — the exact O(tokens²) pathology the TopNgram /
+      // ShingleHashes expressions exist to avoid; binding the array first
+      // makes the lambda a per-gram slice of an already-built array.
       val grams = OpCache.cached(dir + "#e2e_grams",
-        d3.select(col("doc_id"), col("split"),
-          explode(when(size(split(col("text"), " ")) >= gramN,
-            transform(sequence(lit(0), size(split(col("text"), " ")) - gramN),
-              i => xxhash64(concat_ws(" ",
-                slice(split(col("text"), " "), i + 1, lit(gramN))))))
-            .otherwise(array(xxhash64(col("text"))))).as("g")))
+        d3.withColumn("tk", split(col("text"), " "))
+          .select(col("doc_id"), col("split"),
+            explode(when(size(col("tk")) >= gramN,
+              transform(sequence(lit(0), size(col("tk")) - gramN),
+                i => xxhash64(concat_ws(" ",
+                  slice(col("tk"), i + 1, lit(gramN))))))
+              .otherwise(array(xxhash64(col("text"))))).as("g")))
       val holdoutGrams = grams.filter(col("split") === "holdout")
         .select("g").distinct()
       val dirty = grams.filter(col("split") === "train")

@@ -112,6 +112,7 @@ case class AsOfJoinExec(
         private var carry: InternalRow = _
         private var carryKey: Any = _
         private var carryTs = 0L
+        private var carryTsNull = false
         // forward candidate: first not-yet-consumed build row
         private var peek: InternalRow = _
 
@@ -120,28 +121,41 @@ case class AsOfJoinExec(
           peek != null
         }
 
-        /** Move the build cursor for probe (pk, pts): rows of earlier keys
-          * are dropped; in-bound rows of pk become the carry
-          * (backward/nearest: ts <= pts, inclusive) or are dropped
-          * (forward: only ts < pts — a build row AT the probe ts is the
-          * inclusive forward match and must stay peeked).
+        /** Move the build cursor for probe (pk, pts, ptsNull): rows of
+          * earlier keys are dropped; in-bound rows of pk become the carry
+          * (backward/nearest: ts <= pts inclusive, with NULL ts sorting
+          * before everything — the window expansion's nulls-first union
+          * order) or are dropped (forward: only ts strictly before the
+          * probe in that order — a row AT the probe ts is the inclusive
+          * forward match and must stay peeked).
           */
-        private def advance(pk: Any, pts: Long): Unit = {
+        private def advance(pk: Any, pts: Long, ptsNull: Boolean): Unit = {
           var go = true
           while (go && peekNext()) {
             val bk = peek.get(rKeyIdx, keyType)
             val c = cmpKeys(bk, pk)
-            val inBound = c == 0 && {
-              val bts = peek.getLong(rTsIdx)
-              if (dir == AsOfJoin.Forward) bts < pts else bts <= pts
-            }
             if (c < 0) peek = null
-            else if (inBound) {
-              if (dir != AsOfJoin.Forward) {
-                carry = peek; carryKey = bk; carryTs = peek.getLong(rTsIdx)
-              }
-              peek = null
-            } else go = false
+            else if (c > 0) go = false
+            else {
+              val btsNull = peek.isNullAt(rTsIdx)
+              // "before the probe" in nulls-first order:
+              //   null build ts  -> before any non-null probe ts;
+              //                     AT a null probe ts (kinds break the tie)
+              //   non-null build -> after a null probe ts
+              val strictlyBefore = !ptsNull && (btsNull || {
+                val bts = peek.getLong(rTsIdx)
+                if (dir == AsOfJoin.Forward) bts < pts else bts <= pts
+              })
+              val atNullProbe = ptsNull && btsNull
+              if (strictlyBefore || (atNullProbe && dir != AsOfJoin.Forward)) {
+                if (dir != AsOfJoin.Forward) {
+                  carry = peek; carryKey = bk
+                  carryTsNull = btsNull
+                  carryTs = if (btsNull) 0L else peek.getLong(rTsIdx)
+                }
+                peek = null
+              } else go = false
+            }
           }
         }
 
@@ -150,22 +164,32 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val probe = lIt.next()
           val pk = probe.get(lKeyIdx, keyType)
-          val pts = probe.getLong(lTsIdx)
-          advance(pk, pts)
+          val ptsNull = probe.isNullAt(lTsIdx)
+          val pts = if (ptsNull) 0L else probe.getLong(lTsIdx)
+          advance(pk, pts, ptsNull)
 
+          // tolerance involving a NULL ts compares NULL in the expansion ->
+          // no match; without tolerance a null-ts carry/peek matches with
+          // its null ts carried through
           val backOk = dir != AsOfJoin.Forward &&
             carry != null && cmpKeys(carryKey, pk) == 0 &&
-            tol.forall(t => pts - carryTs <= t)
-          val fwdOk = dir != AsOfJoin.Backward &&
-            peek != null && cmpKeys(peek.get(rKeyIdx, keyType), pk) == 0 &&
-            tol.forall(t => peek.getLong(rTsIdx) - pts <= t)
+            tol.forall(t => !carryTsNull && !ptsNull && pts - carryTs <= t)
+          val peekKeyOk = peek != null && cmpKeys(peek.get(rKeyIdx, keyType), pk) == 0
+          val peekTsNull = peekKeyOk && peek.isNullAt(rTsIdx)
+          val fwdOk = dir != AsOfJoin.Backward && peekKeyOk &&
+            tol.forall(t => !peekTsNull && !ptsNull &&
+              peek.getLong(rTsIdx) - pts <= t)
 
           val chosen: InternalRow =
             if (dir == AsOfJoin.Backward) { if (backOk) carry else null }
             else if (dir == AsOfJoin.Forward) { if (fwdOk) peek else null }
-            else { // nearest: min distance, exact tie resolves backward
+            else { // nearest: min distance, exact tie resolves backward;
+              // a NULL distance on either side loses (the expansion's
+              // CaseWhen falls through to the forward carry on NULL)
               if (backOk && fwdOk) {
-                if (pts - carryTs <= peek.getLong(rTsIdx) - pts) carry else peek
+                if (carryTsNull || ptsNull || peekTsNull) peek // NULL distance -> fwd
+                else if (pts - carryTs <= peek.getLong(rTsIdx) - pts) carry
+                else peek
               } else if (backOk) carry
               else if (fwdOk) peek
               else null

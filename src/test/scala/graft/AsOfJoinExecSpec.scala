@@ -90,12 +90,16 @@ class AsOfJoinExecSpec extends SparkSpec {
       // tiny key space + coarse ts grid force same-(key,ts) ties on both
       // sides — the exact spot where carry overwrite order and the
       // min/max-tie rules can silently diverge between implementations
+      // ~8% NULL ts on both sides: the expansion's nulls-first union order
+      // gives null-ts rows defined (if exotic) semantics, and the merge
+      // operator must reproduce them exactly — not crash, not epoch-0 them
+      def maybeNullTs(): Timestamp =
+        if (rnd.nextInt(12) == 0) null else tsOf(rnd.nextInt(50) * 60L)
       val probes = (0 until 40 + rnd.nextInt(80))
-        .map(i => (rnd.nextInt(6).toLong, i.toLong, tsOf(rnd.nextInt(50) * 60L)))
+        .map(i => (rnd.nextInt(6).toLong, i.toLong, maybeNullTs()))
         .toDF("user_id", "event_id", "ts")
       val builds = (0 until 30 + rnd.nextInt(60))
-        .map(i => (rnd.nextInt(6).toLong, tsOf(rnd.nextInt(50) * 60L),
-          (1000 + i).toLong))
+        .map(i => (rnd.nextInt(6).toLong, maybeNullTs(), (1000 + i).toLong))
         .toDF("user_id", "click_ts", "click_id")
       for ((dir, tol) <- cases) {
         def run0 = rows(AsOf.join(probes, builds, "user_id", "ts",
