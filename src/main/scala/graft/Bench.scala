@@ -103,7 +103,22 @@ object Bench {
     val protocol = if (warmDir.isDefined) "steady-state" else "cold"
     val extra = if (reps > 1) s""","queries_first":${toJson(ok.map(t => (t._1, t._3)))}""" else ""
     val errJson = errs.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"build_sec":$buildSec,"reps":$reps,"queries":$qs$extra,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"build_sec":$buildSec,"reps":$reps,"queries":$qs$extra,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout with a length cap — BENCH_r06.json kept
+    // only a 64-key tail of the 254-key map (VERDICT r6 ask #2). The FULL
+    // artifact is also written to a file so round-over-round regression
+    // analysis always has every key; override the path with
+    // SPARK_GRAFT_BENCH_OUT, commit the round's copy.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

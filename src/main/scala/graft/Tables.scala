@@ -67,6 +67,12 @@ object Tables {
     * driver-gate values are unchanged. Every Spark split/sample/bucket
     * site routes through this ONE definition; the oracle twin is the
     * literal SQL `((x % 2147483648) * 2654435761) % m`.
+    *
+    * Precondition: ids must be NON-NEGATIVE (ADVICE r6 #4). This side uses
+    * `pmod` (always >= 0) while the SQL twin uses `%` with DuckDB's
+    * sign-of-dividend semantics — the two definitions agree for every
+    * id >= 0 (all engine tables and every GenScale expansion mint
+    * non-negative ids) and would diverge for negative ids.
     */
   def splitHash(c: Column, m: Long): Column = {
     import org.apache.spark.sql.functions.{lit, pmod}

@@ -336,13 +336,60 @@ object DedupOps {
     // band → verify chain flips a row to false and hash-fails the key.
     "dedup_minhash_planted" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // planted ids start at max(doc_id)+1, computed from the corpus (the
+      // ADVICE r6 #2 discipline, applied uniformly to every planted
+      // contract): no corpus size can collide minted ids with natural ones,
+      // and every copy sorts after its original so it is always the
+      // dropped b_id. One scalar aggregate = bounded driver metadata.
+      val plantBase = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
       val planted = d.filter(pmod(col("doc_id"), lit(10L)) === 3L)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("doc_id", col("doc_id") + lit(plantBase))
       val corpus = d.select("doc_id", "text")
         .unionByName(planted.select("doc_id", "text"))
       val sh = OpCache.cached(dir + "#mh_planted_sh",
         corpus.select(col("doc_id"), shingles(col("text")).as("sh")))
       val dropped = minHashPairs(sh, dir + "#mh_planted_bands")
+        .select(col("b_id").as("planted_id")).distinct()
+        .withColumn("hit", lit(true))
+      planted.select(col("doc_id").as("planted_id"))
+        .join(dropped, Seq("planted_id"), "left")
+        .select(col("planted_id"), coalesce(col("hit"), lit(false)).as("dropped"))
+        .orderBy("planted_id")
+    }),
+
+    // The deterministic slice of the SimHash contract, oracle-paired
+    // (VERDICT r6 ask #3 — the dedup_minhash_planted discipline): identical
+    // text hashes to the identical 64-bit signature under ANY token hash,
+    // so for a planted exact copy all four bands collide and the
+    // popcount-0 verify cannot fail — recall = 1 by construction. Copies
+    // of every doc_id ≡ 4 (mod 10) are planted at max(doc_id)+1, the
+    // UNCHANGED dedup_simhash band/verify chain runs over the augmented
+    // corpus, and each copy's dropped verdict is reported; the oracle
+    // knows every verdict must be true. A regression anywhere in the
+    // signature, banding, or Hamming verify flips a row and hash-fails.
+    "dedup_simhash_planted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val plantBase = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      val planted = d.filter(pmod(col("doc_id"), lit(10L)) === 4L)
+        .withColumn("doc_id", col("doc_id") + lit(plantBase))
+      val corpus = d.select("doc_id", "text")
+        .unionByName(planted.select("doc_id", "text"))
+      val sim = OpCache.cached(dir + "#sh_planted_sig",
+        corpus.select(col("doc_id"),
+          graft.functions.api.simHash64(col("text")).as("sig")))
+      val bands = sim.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+        .toDF("doc_id", "band", "bval")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val dropped = cand
+        .join(sim.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), Seq("a_id"))
+        .join(sim.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
+        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
         .select(col("b_id").as("planted_id")).distinct()
         .withColumn("hit", lit(true))
       planted.select(col("doc_id").as("planted_id"))
@@ -456,6 +503,14 @@ object DedupOps {
       // scale n comes from table stats. Recall at the 0.95 threshold stays
       // effectively 1 at every width ≤ MaxBits (≤ 4e-4 miss; oracle
       // pairing at the driver gate uses 16 bits where it is 4e-9).
+      // FLAKE BOUND for exact-oracle sweeps (ADVICE r6 #5): this path is
+      // probabilistic while the DuckDB oracle is exact all-pairs cosine, so
+      // a hash sweep can flake with probability ≤ (#true pairs at ≥ 0.95) ×
+      // per-pair miss. Adaptive widths keep that per-pair miss ≤ ~5e-6 at
+      // sf1 (bits=20) and ≤ 4e-9 at the 16-bit driver gate; with the
+      // synthetic corpora's O(100) qualifying pairs the sweep-level flake
+      // stays < 1e-3 per decade — recorded beside the sweep config in
+      // tools/scale_ramp.
       val n = e.count()
       val bits = math.min(graft.functions.SrpBandKeys.MaxBits,
         math.max(graft.functions.SrpBandKeys.Bits,
@@ -568,8 +623,20 @@ object DedupOps {
     // planted copy is dropped. The Spark side still runs the full LSH
     // pipeline — a regression anywhere in it emits false and hash-fails.
     "dedup_minhash_planted" ->
-      """SELECT doc_id + 1000000 AS planted_id, true AS dropped
+      """SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS planted_id,
+        |       true AS dropped
         |FROM documents WHERE doc_id % 10 = 3
+        |ORDER BY planted_id""".stripMargin,
+    // dedup_simhash_planted: the same deterministic carve-out for the
+    // SimHash family (VERDICT r6 ask #3) — identical text ⇒ identical
+    // 64-bit signature ⇒ all four 16-bit bands collide ⇒ candidate, and
+    // XOR popcount 0 <= 3 always verifies, regardless of the token hash
+    // constants. The Spark side runs the UNCHANGED band + popcount-verify
+    // pipeline; the oracle asserts every planted copy is dropped.
+    "dedup_simhash_planted" ->
+      """SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS planted_id,
+        |       true AS dropped
+        |FROM documents WHERE doc_id % 10 = 4
         |ORDER BY planted_id""".stripMargin,
     // Quadratic all-pairs oracle: run at sf0.01; skip in sf0.1 sweeps.
     "dedup_containment" ->

@@ -256,13 +256,12 @@ object RelationalOps {
     }),
 
     // E7, (c)-tier: the SAME as-of contract through the dedicated physical
-    // merge operator (plans/AsOfJoinExec — spark.graft.asofImpl=exec keeps
-    // the AsOfJoin node alive to the planner, AsOfJoinStrategy plans the
-    // per-partition forward merge instead of the union-tag-sort window).
-    // The conf gates ANALYSIS only: once the node is in the plan, the
-    // strategy fires regardless, so the finally-unset never races the
-    // deferred execution. Same oracle as join_asof_plan — one contract,
-    // two physical implementations, both driver-gated.
+    // merge operator (plans/AsOfJoinExec). The impl choice is an explicit
+    // `AsOf.join` parameter baked into the plan node at build time — no
+    // session-conf mutation, so concurrent as-of analyses in the same
+    // session can't switch implementation mid-flight (ADVICE r6 #1 closed).
+    // Same oracle as join_asof_plan — one contract, two physical
+    // implementations, both driver-gated.
     "join_asof_exec" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -270,14 +269,12 @@ object RelationalOps {
       val clicks = e.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
           col("event_id").as("click_id"))
-      s.conf.set("spark.graft.asofImpl", "exec")
-      try {
-        AsOf.join(purchases, clicks, key = "user_id",
-            probeTs = "ts", buildTs = "click_ts", buildTie = "click_id")
-          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-            col("ts").as("p_ts"), col("click_ts").as("asof_click_ts"))
-          .orderBy("p_id")
-      } finally s.conf.unset("spark.graft.asofImpl")
+      AsOf.join(purchases, clicks, key = "user_id",
+          probeTs = "ts", buildTs = "click_ts", buildTie = "click_id",
+          impl = Some(graft.plans.AsOfJoin.ImplExec))
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"), col("click_ts").as("asof_click_ts"))
+        .orderBy("p_id")
     }),
 
     // E8: cross join (tiny×tiny only — a guard rail, not a pattern).

@@ -324,6 +324,36 @@ object SimOps {
         .orderBy("q_id", "rk")
     }),
 
+    // The DETERMINISTIC slice of the LSH-bucket ANN contract, oracle-paired
+    // (VERDICT r6 ask #3 — the sim_ivf_planted discipline applied to the
+    // SRP bucket path): identical vectors project to the identical sign
+    // pattern under ANY hyperplanes, so a planted exact copy always lands
+    // in its original's bucket and the original is always in the copy's
+    // candidate set — top-1 at cosine 1.0 by geometry, not probability.
+    // 50 copies planted at max(vec_id)+1, the UNCHANGED bucket + top-k
+    // pipeline runs over corpus ∪ copies with the copies as queries. The
+    // probabilistic remainder (recall on NEAR neighbors across buckets)
+    // stays rows-only on sim_topk_lsh with the NorthStarSpec floor.
+    "sim_lsh_planted" -> ((s, dir) => {
+      val base = vecs(s, dir).select("vec_id", "v")
+      val plantBase = base.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val planted = base.filter(col("vec_id") < 50)
+        .select((col("vec_id") + plantBase).as("vec_id"), col("v"))
+      val e = base.unionByName(planted).withColumn("bucket", lshBucket(col("v")))
+      val q = e.filter(col("vec_id").between(plantBase, plantBase + 49L))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("q_id").as("planted_id"), col("vec_id").as("top1_id"),
+          col("cos").as("top_cos"))
+        .orderBy("planted_id")
+    }),
+
     // IVF-Flat ANN (the index family behind FAISS-style vector search,
     // public literature): partition the corpus into K Voronoi cells around
     // data-dependent centroids, search only the query's nprobe nearest
@@ -369,16 +399,20 @@ object SimOps {
     // nprobe) stays rows-only with the NorthStarSpec recall floor.
     "sim_ivf_planted" -> ((s, dir) => {
       val base = vecs(s, dir).select("vec_id", "v")
+      // planted ids start at max(vec_id)+1 — COMPUTED from the corpus, not
+      // a fixed 1e6 offset, so a corpus of any size (GenScale replicas
+      // reach 9.9e9) can never have natural rows drafted as probes or
+      // collide with minted ids (ADVICE r6 #2). One scalar aggregate =
+      // bounded driver metadata; the oracle computes the same base with
+      // the same integer max.
+      val plantBase = base.agg(max(col("vec_id"))).head.getLong(0) + 1L
       val planted = base.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+        .select((col("vec_id") + plantBase).as("vec_id"), col("v"))
       val (path, cents) = ivfIndexOf(s, dir + "#ivf_planted",
         base.unionByName(planted))
       val idx = s.read.parquet(path)
-      // probe EXACTLY the minted id range, not an open >= bound — a corpus
-      // whose natural vec_ids reach 1e6 (GenScale replicas) must never
-      // have its own rows drafted as probes (the key is gate-scale by
-      // design; see the ledger note on natural cosine-1.0 ties)
-      val probes = idx.filter(col("vec_id").between(1000000L, 1000049L))
+      // probe EXACTLY the minted id range, not an open >= bound
+      val probes = idx.filter(col("vec_id").between(plantBase, plantBase + 49L))
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           explode(nearestCells(col("v"), cents, 2)).as("cell"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
@@ -625,8 +659,16 @@ object SimOps {
     // at cosine 1.0 (no other corpus vector reaches 1.0 at the gate
     // scale — isotropic fixture, no natural exact dups).
     "sim_ivf_planted" ->
-      """SELECT vec_id + 1000000 AS planted_id, vec_id AS top1_id,
-        |       1.0 AS top_cos
+      """SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS planted_id,
+        |       vec_id AS top1_id, 1.0 AS top_cos
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY planted_id""".stripMargin,
+    // sim_lsh_planted: same planted-copy geometry through the SRP bucket
+    // path — identical vector ⇒ identical bucket ⇒ the original is always
+    // a candidate and wins top-1 at cosine 1.0.
+    "sim_lsh_planted" ->
+      """SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS planted_id,
+        |       vec_id AS top1_id, 1.0 AS top_cos
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY planted_id""".stripMargin,
     "sim_cosine" ->

@@ -44,11 +44,15 @@ final case class AsOfJoin(
     rightTieCol: String,
     direction: String,
     toleranceMicros: Option[Long],
+    impl: String,                 // "window" | "exec" — carried ON the node so
+                                  // concurrent analyses can't race a session conf
     carriedOut: Seq[Attribute])   // pre-minted output attrs for the build payload
   extends BinaryNode {
 
   require(AsOfJoin.Directions.contains(direction),
     s"direction must be one of ${AsOfJoin.Directions.mkString("/")}, got $direction")
+  require(AsOfJoin.Impls.contains(impl),
+    s"impl must be one of ${AsOfJoin.Impls.mkString("/")}, got $impl")
 
   override def output: Seq[Attribute] =
     if (childrenResolved) left.output.map(_.withNullability(true)) ++ carriedOut
@@ -76,6 +80,16 @@ object AsOfJoin {
   val Forward = "forward"
   val Nearest = "nearest"
   val Directions: Set[String] = Set(Backward, Forward, Nearest)
+  // implementation choice: resolved ONCE at node-build time (explicit
+  // parameter, or the session default below read in the caller's thread)
+  // and then carried on the node — the resolution rule and the planner
+  // strategy only ever look at the node field, never at mutable session
+  // state, so two queries analyzed concurrently in one SparkSession can
+  // use different implementations without interference (ADVICE r6 #1).
+  val ImplWindow = "window"
+  val ImplExec = "exec"
+  val Impls: Set[String] = Set(ImplWindow, ImplExec)
+  val ImplConf = "spark.graft.asofImpl"
 
   /** Factory: validates the column contract against ANALYZED children and
     * mints the carried-output attributes once, so plan copies
@@ -83,7 +97,8 @@ object AsOfJoin {
     */
   def build(left: LogicalPlan, right: LogicalPlan, keyCol: String,
             leftTsCol: String, rightTsCol: String, rightTieCol: String,
-            direction: String, toleranceMicros: Option[Long]): AsOfJoin = {
+            direction: String, toleranceMicros: Option[Long],
+            impl: String = ImplWindow): AsOfJoin = {
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
@@ -114,7 +129,7 @@ object AsOfJoin {
         "columns — rename before joining")
     val carried = payload.map(a => AttributeReference(a.name, a.dataType, nullable = true)())
     AsOfJoin(left, right, keyCol, leftTsCol, rightTsCol, rightTieCol,
-      direction, toleranceMicros, carried)
+      direction, toleranceMicros, impl, carried)
   }
 
   /** Expand to the union-tag-sort window composition — pure catalyst nodes,
@@ -244,7 +259,8 @@ final case class UnresolvedAsOfJoin(
     rightTsCol: String,
     rightTieCol: String,
     direction: String,
-    toleranceMicros: Option[Long])
+    toleranceMicros: Option[Long],
+    impl: String)                 // captured at parse time, same as AsOfJoin
   extends BinaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
@@ -292,9 +308,15 @@ object AsOfJoinTvf {
     } else None
     def rel(i: Int, what: String): LogicalPlan =
       UnresolvedRelation(str(i, what).split('.').toSeq)
+    // impl is captured HERE — the TVF builder runs synchronously inside the
+    // calling query's own analysis, so this conf read reflects the caller's
+    // session setting at submission time; the rewrite rule below never
+    // consults the conf again (no cross-query race window).
+    val impl = scala.util.Try(SparkSession.active.conf
+      .get(AsOfJoin.ImplConf, AsOfJoin.ImplWindow)).getOrElse(AsOfJoin.ImplWindow)
     UnresolvedAsOfJoin(rel(0, "probe table"), rel(1, "build table"),
       str(2, "key"), str(3, "probe_ts"), str(4, "build_ts"),
-      str(5, "build_tie"), direction, tol)
+      str(5, "build_tie"), direction, tol, impl)
   }
 }
 
@@ -303,20 +325,23 @@ object AsOfJoinTvf {
   * [[UnresolvedAsOfJoin]] in one step. Registered by
   * [[graft.GraftExtensions]].
   *
-  * Under `spark.graft.asofImpl=exec` the node is NOT expanded: it rides
-  * resolved through the optimizer and [[AsOfJoinStrategy]] plans it as the
-  * dedicated merge operator [[AsOfJoinExec]]. The SQL-surface node is
-  * still validated/built here either way, so both implementations share
-  * one contract-error surface.
+  * Under `impl = exec` (carried ON the node — set explicitly via
+  * [[graft.operators.AsOf.join]]'s `impl` parameter, or captured from
+  * `spark.graft.asofImpl` when the node was built) the node is NOT
+  * expanded: it rides resolved through the optimizer and
+  * [[AsOfJoinStrategy]] plans it as the dedicated merge operator
+  * [[AsOfJoinExec]]. The rule itself is STATELESS with respect to the
+  * session — concurrent analyses with different impls cannot interfere
+  * (ADVICE r6 #1). The SQL-surface node is still validated/built here
+  * either way, so both implementations share one contract-error surface.
   */
 final case class AsOfJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
-  private def physical: Boolean =
-    spark.conf.get("spark.graft.asofImpl", "window") == "exec"
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case n: AsOfJoin if n.childrenResolved && !physical => AsOfJoin.expand(n)
+    case n: AsOfJoin if n.childrenResolved && n.impl != AsOfJoin.ImplExec =>
+      AsOfJoin.expand(n)
     case u: UnresolvedAsOfJoin if u.childrenResolved =>
       val built = AsOfJoin.build(u.left, u.right, u.keyCol, u.leftTsCol,
-        u.rightTsCol, u.rightTieCol, u.direction, u.toleranceMicros)
-      if (physical) built else AsOfJoin.expand(built)
+        u.rightTsCol, u.rightTieCol, u.direction, u.toleranceMicros, u.impl)
+      if (u.impl == AsOfJoin.ImplExec) built else AsOfJoin.expand(built)
   }
 }

@@ -36,6 +36,15 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * intervals covering it. Pick the band near the TYPICAL interval length —
   * results are identical for any band width (spec-pinned), only the
   * explode/collision balance moves.
+  *
+  * Guard rail (ADVICE r6 #3): a single pathological interval (a sentinel
+  * far-future `hi`) would make `sequence()` blow past Spark's array limit
+  * and fail the query with an opaque error deep in the explode. Interval
+  * lengths are data, so the bound can't be checked at analysis; instead the
+  * expansion plants a per-interval assertion that raises a NAMED error
+  * (`MaxBandsPerInterval` = 2²⁰ bands ≈ 32 MB of exploded rows for one
+  * interval — already far beyond any sane length/band ratio) telling the
+  * user to widen `bandMicros` or clip sentinel intervals.
   */
 final case class BandedRangeJoin(
     left: LogicalPlan,            // probe side (points)
@@ -59,6 +68,13 @@ final case class BandedRangeJoin(
 }
 
 object BandedRangeJoin {
+
+  /** Max `(hi-lo)/bandMicros` bands one interval may explode into before the
+    * query raises a named error instead of dying inside `sequence()`. 2²⁰
+    * bands per interval is already a pathological length/band ratio (the
+    * design point is O(1)-O(100) bands per interval).
+    */
+  val MaxBandsPerInterval: Int = 1 << 20
 
   /** Factory: validates the column contract against ANALYZED children and
     * mints the carried-output attributes once (the [[AsOfJoin.build]]
@@ -127,8 +143,21 @@ object BandedRangeJoin {
 
     val nonDegenerate = Filter(LessThanOrEqual(rLo, rHi), right0)
     val bandAttr = AttributeReference("__rj_band", LongType, nullable = false)()
+    // per-interval band-count guard (ADVICE r6 #3): raise a named,
+    // actionable error BEFORE sequence() materializes an absurd array. The
+    // guard is a scalar compare per interval — free next to the explode.
+    val loB = band(rLo)
+    val hiB = band(rHi)
+    val guardMsg = Literal(
+      s"range_join: an interval spans more than $MaxBandsPerInterval bands " +
+        s"at bandMicros=${n.bandMicros} — widen bandMicros toward the typical " +
+        "interval length, or clip open-ended sentinel intervals before joining " +
+        "(banding cost is O(length/band) exploded rows per interval)")
+    val hiGuarded = If(
+      LessThan(Subtract(hiB, loB), Literal(MaxBandsPerInterval.toLong)),
+      hiB, Cast(new RaiseError(guardMsg), LongType))
     val intervals = Generate(
-      Explode(new Sequence(band(rLo), band(rHi), Literal(1L))),
+      Explode(new Sequence(loB, hiGuarded, Literal(1L))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(bandAttr), child = nonDegenerate)
 

@@ -112,6 +112,47 @@ class AsOfJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("impl parameter overrides the session default without touching conf") {
+    // explicit param beats the (unset) session default…
+    val pe = AsOf.join(purchases, clicks, "user_id", "ts", "click_ts",
+      "click_id", impl = Some("exec")).queryExecution.executedPlan.toString
+    assert(pe.contains("AsOfJoin ") && !pe.contains("Window"), pe.take(1200))
+    // …and a user-set session value is left exactly as the user set it
+    spark.conf.set("spark.graft.asofImpl", "exec")
+    try {
+      val pw = AsOf.join(purchases, clicks, "user_id", "ts", "click_ts",
+        "click_id", impl = Some("window")).queryExecution.executedPlan.toString
+      assert(pw.contains("Window") && !pw.contains("AsOfJoin "), pw.take(1200))
+      assert(spark.conf.get("spark.graft.asofImpl") == "exec",
+        "explicit impl must not clobber the user's session setting")
+    } finally spark.conf.unset("spark.graft.asofImpl")
+  }
+
+  test("impl is race-free: concurrent analyses with different impls keep their shapes") {
+    // ADVICE r6 #1: the old conf-set/finally-unset pattern let a
+    // concurrently-analyzed as-of silently switch implementation. The impl
+    // now rides on the plan node, so interleaved analyses are independent —
+    // hammer both paths from two threads and pin each plan's shape.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = (1 to 12).map { _ =>
+      val fe = Future(AsOf.join(purchases, clicks, "user_id", "ts",
+        "click_ts", "click_id", impl = Some("exec"))
+        .queryExecution.executedPlan.toString)
+      val fw = Future(AsOf.join(purchases, clicks, "user_id", "ts",
+        "click_ts", "click_id", impl = Some("window"))
+        .queryExecution.executedPlan.toString)
+      (Await.result(fe, 120.seconds), Await.result(fw, 120.seconds))
+    }
+    results.foreach { case (pe, pw) =>
+      assert(pe.contains("AsOfJoin ") && !pe.contains("Window"),
+        "exec analysis lost its physical node under concurrency:\n" + pe.take(1200))
+      assert(pw.contains("Window") && !pw.contains("AsOfJoin "),
+        "window analysis picked up the exec impl under concurrency:\n" + pw.take(1200))
+    }
+  }
+
   test("exec: SQL TVF path plans the physical operator and matches the window result") {
     purchases.createOrReplaceTempView("tvf_purchases")
     clicks.createOrReplaceTempView("tvf_clicks")

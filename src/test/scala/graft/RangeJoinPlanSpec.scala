@@ -75,6 +75,31 @@ class RangeJoinPlanSpec extends SparkSpec {
       "fixture sanity: the naive BETWEEN join should be the nested-loop shape")
   }
 
+  test("sentinel interval raises the named band-cap error, not an opaque sequence failure") {
+    import spark.implicits._
+    // one open-ended "active" interval with a far-future hi: at a 1-second
+    // band it spans ~2.4e11 bands — without the guard, sequence() dies with
+    // an internal array-size error; with it (ADVICE r6 #3) the query raises
+    // a named error telling the user to widen bandMicros.
+    val sentinel = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+       java.sql.Timestamp.valueOf("9999-12-31 00:00:00"), 1L))
+      .toDF("inc_start", "inc_end", "inc_id")
+    val ex = intercept[Exception] {
+      RangeJoin.join(points, sentinel, "ts", "inc_start", "inc_end", 1000000L)
+        .count()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages(ex).contains("widen bandMicros"),
+      "guard must surface the actionable range_join error: " + messages(ex).take(800))
+    // the same interval at a sane band width (30 days) joins fine
+    val ok = RangeJoin.join(points, sentinel, "ts", "inc_start", "inc_end",
+      30L * DayUs)
+    assert(ok.count() == points.count())
+  }
+
   test("optional equality key: per-user day spans, matches the keyed naive join") {
     val spans = events.groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(min("ts").as("span_lo"), max("ts").as("span_hi"))
