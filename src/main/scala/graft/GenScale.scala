@@ -61,9 +61,19 @@ object GenScale {
     // sf10+ ramp point for the scale families needs events/documents/
     // embeddings but not the 60M-row lineitem replica)
     val only: Set[String] =
-      if (args.length > 3) args(3).split(",").toSet
+      if (args.length > 3 && args(3) != "-") args(3).split(",").toSet
       else Set("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
+    // optional 5th arg `hotline=<frac>`: plant a fixed 12-token boilerplate
+    // line at the START of ~frac of all documents (deterministic doc_id
+    // split), line-aligned at off=0 — the hot-key fixture for the
+    // line-dedup skew experiment (VERDICT r6 ask #4): at frac=0.1 one line
+    // key holds 10% of the corpus's line rows, the straggler case a
+    // rank-1 window cannot split across tasks.
+    val hotFrac: Option[Double] = args.collectFirst {
+      case a if a.startsWith("hotline=") => a.stripPrefix("hotline=").toDouble
+    }
+    val HotLine = (1 to 12).map(i => s"boiler$i").mkString(" ")
     def writeIf(name: String)(df: => DataFrame): Unit =
       if (only.contains(name)) write(df, name)
 
@@ -77,14 +87,21 @@ object GenScale {
       shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")))
     writeIf("events")(shifted("events", Seq("event_id", "user_id")))
 
-    lazy val docs = in("documents").crossJoin(broadcast(reps))
-      .withColumn("doc_id", col("doc_id") + col("rep") * Stride)
-      .withColumn("text",
-        when(col("rep") === 0, col("text")).otherwise(
-          concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit("_"), col("rep"))))))
-      .withColumn("n_chars", length(col("text")))
-      .drop("rep")
+    lazy val docs = {
+      val base = in("documents").crossJoin(broadcast(reps))
+        .withColumn("doc_id", col("doc_id") + col("rep") * Stride)
+        .withColumn("text",
+          when(col("rep") === 0, col("text")).otherwise(
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("rep"))))))
+        .drop("rep")
+      hotFrac.fold(base) { f =>
+        val m = math.max(1L, math.round(1.0 / f))
+        base.withColumn("text",
+          when(pmod(xxhash64(col("doc_id")), lit(m)) === 0L,
+            concat(lit(HotLine + " "), col("text"))).otherwise(col("text")))
+      }.withColumn("n_chars", length(col("text")))
+    }
     writeIf("documents")(docs)
 
     lazy val emb = in("embeddings").crossJoin(broadcast(reps))

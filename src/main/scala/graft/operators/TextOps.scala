@@ -213,6 +213,50 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // The SKEW-PROOF twin of pipeline_line_dedup (VERDICT r6 ask #4). The
+    // rank-1 window above has the classic hot-key hazard: a boilerplate
+    // line at p% corpus frequency puts p% of ALL line rows into ONE window
+    // partition — a window cannot split a key across tasks, so one task
+    // drags the stage (measured: see the §8 ledger hot-line experiment).
+    // The keep-first semantic doesn't need a window at all — it is an
+    // ASSOCIATIVE MIN: the kept occurrence of a line is min(doc_id, off),
+    // so the salted two-phase pattern applies with Spark's own partial
+    // aggregation as phase 1 (every map task emits at most ONE candidate
+    // per distinct line — the input partition plays the salt) and the
+    // final hash aggregate as phase 2 (merges ≤ #tasks candidates per
+    // line, O(tasks) not O(corpus) on the hot key). Per-doc kept counts
+    // then read straight off the keeper table (one row per distinct line —
+    // the keeper's doc gets the credit), never joining back to the skewed
+    // line rows. Same outputs row-for-row (spec-pinned + same oracle
+    // shape); at 100 TB this is the shape that survives boilerplate.
+    "pipeline_line_dedup_salted" -> ((s, dir) => {
+      val win = 12L
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .withColumn("n", size(col("tk")).cast(LongType))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n") - 1L, lit(win))).as("off"),
+          col("tk"))
+        .select(col("doc_id"), col("off"),
+          concat_ws(" ",
+            slice(col("tk"), (col("off") + 1L).cast(IntegerType), lit(win.toInt)))
+            .as("line"))
+      // phase 1+2: partial-then-final min per line (keep-first = min struct)
+      val keepers = chunks
+        .groupBy("line")
+        .agg(min(struct(col("doc_id"), col("off"))).as("k"))
+      // credit each line's keeper occurrence to its document
+      val kept = keepers.groupBy(col("k.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_kept"))
+      val lines = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      lines.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .withColumn("kept_frac",
+          round(col("n_kept").cast(DoubleType) / col("n_lines"), 6))
+        .orderBy("doc_id")
+    }),
+
     // The composed corpus-preparation pipeline — the three stages a
     // training corpus actually passes through, as ONE declarative plan:
     // exact dedup (keep min doc_id per text) → quality gate (the
@@ -995,6 +1039,31 @@ object TextOps {
     // same generate_series chunking as pipeline_chunk_documents; keep-first
     // rule is the identical rank-1 window on both engines
     "pipeline_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, unnest(generate_series(0, n - 1, 12)) AS off, tk
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, off,
+        |         array_to_string(list_slice(tk, off + 1, off + 12), ' ') AS line
+        |  FROM x),
+        |r AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, off) AS rn
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_lines,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS kept_frac
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the skew-proof twin computes the identical keep-first result via the
+    // associative min — the oracle states the same semantic with the same
+    // window (DuckDB needn't care about Spark's skew; equality of the two
+    // keys' oracles IS the semantic-equivalence statement)
+    "pipeline_line_dedup_salted" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS tk,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -276,6 +276,25 @@ class StreamingSpec extends SparkSpec {
     // and the MV really did grow by one more day-1 partial row (no dedup
     // happened — the ALGEBRA absorbed it)
     assert(spark.read.parquet(mv).filter(col("day") === "2024-01-01").count() == 3)
+    // compaction (VERDICT r6 ask #6): union-merge the partials down to one
+    // row per day — the rollup is unchanged because the compaction IS the
+    // rollup's own associative union, then keep streaming into the
+    // compacted MV and verify new appends still merge in.
+    val (nBefore, nAfter) = ArchiveStream.compactSketchPartials(spark, mv)
+    assert(nBefore == 4L && nAfter == 2L, s"expected 4 partials -> 2, got $nBefore -> $nAfter")
+    assert(spark.read.parquet(mv).count() == 2)
+    assert(rollup == first, "compaction changed the rollup")
+    val mem3 = MemoryStream[(Long, Timestamp)]
+    val q3 = ArchiveStream.sketchPartials(
+      mem3.toDF().toDF("id", "ts"), mv,
+      Files.createTempDirectory("graft-sketchmv-ckpt3-").toString)
+    try {
+      mem3.addData((7L, ts("2024-01-02 10:00:00"))); q3.processAllAvailable()
+    } finally q3.stop()
+    val withNew = rollup
+    assert(withNew("2024-01-01") == first("2024-01-01") &&
+      withNew("2024-01-02") == first("2024-01-02") + 1,
+      s"post-compaction append lost: $withNew vs $first")
   }
 
   test("flatMapGroupsWithState streaming funnel: levels equal the batch event_funnel") {
