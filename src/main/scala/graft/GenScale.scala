@@ -57,25 +57,33 @@ object GenScale {
         df.withColumn(k, col(k) + col("rep") * Stride)).drop("rep")
     }
 
-    // optional 4th arg: comma-separated table subset (dev tooling — a
-    // sf10+ ramp point for the scale families needs events/documents/
-    // embeddings but not the 60M-row lineitem replica)
+    // optional 4th arg: comma-separated table subset to SCALE (dev tooling —
+    // a sf10+ ramp point for the scale families needs events/documents/
+    // embeddings but not the 60M-row lineitem replica). Tables outside the
+    // subset copy through at base scale (r7: previously they were omitted,
+    // which limited subset decades to hand-picked key lists — a complete
+    // dir lets the FULL oracle sweep run, with non-subset families simply
+    // re-verified at base size on the same consistent dir).
+    val allTables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val only: Set[String] =
       if (args.length > 3 && args(3) != "-") args(3).split(",").toSet
-      else Set("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-    // optional 5th arg `hotline=<frac>`: plant a fixed 12-token boilerplate
-    // line at the START of ~frac of all documents (deterministic doc_id
-    // split), line-aligned at off=0 — the hot-key fixture for the
-    // line-dedup skew experiment (VERDICT r6 ask #4): at frac=0.1 one line
-    // key holds 10% of the corpus's line rows, the straggler case a
-    // rank-1 window cannot split across tasks.
+      else allTables
+    // optional 5th arg `hotline=<x>`: plant a fixed 12-token boilerplate
+    // line at the START of documents, line-aligned at off=0 — the hot-key
+    // fixture for the line-dedup skew experiment (VERDICT r6 ask #4).
+    // x <= 1: one copy in ~x of all docs (deterministic doc_id split);
+    // x > 1: round(x) stacked copies in EVERY doc — at x=10 on ~115-token
+    // docs the one line key holds ~half of all line rows, the
+    // heavy-boilerplate web case a rank-1 window cannot split across
+    // tasks.
     val hotFrac: Option[Double] = args.collectFirst {
       case a if a.startsWith("hotline=") => a.stripPrefix("hotline=").toDouble
     }
     val HotLine = (1 to 12).map(i => s"boiler$i").mkString(" ")
     def writeIf(name: String)(df: => DataFrame): Unit =
       if (only.contains(name)) write(df, name)
+      else write(in(name), name) // base-scale copy-through
 
     writeIf("region")(in("region"))
     writeIf("nation")(in("nation"))
@@ -96,10 +104,16 @@ object GenScale {
               t => concat(t, lit("_"), col("rep"))))))
         .drop("rep")
       hotFrac.fold(base) { f =>
-        val m = math.max(1L, math.round(1.0 / f))
-        base.withColumn("text",
-          when(pmod(xxhash64(col("doc_id")), lit(m)) === 0L,
-            concat(lit(HotLine + " "), col("text"))).otherwise(col("text")))
+        if (f > 1.0) {
+          val k = math.round(f).toInt
+          val prefix = Seq.fill(k)(HotLine).mkString(" ") + " "
+          base.withColumn("text", concat(lit(prefix), col("text")))
+        } else {
+          val m = math.max(1L, math.round(1.0 / f))
+          base.withColumn("text",
+            when(pmod(xxhash64(col("doc_id")), lit(m)) === 0L,
+              concat(lit(HotLine + " "), col("text"))).otherwise(col("text")))
+        }
       }.withColumn("n_chars", length(col("text")))
     }
     writeIf("documents")(docs)
