@@ -1314,18 +1314,31 @@ object EventOps {
     // `WITH FILL ... INTERPOLATE` analog and the step past gap-fill
     // (zeros) and forward-fill (staircase): missing hours get the value
     // the line between their known neighbors passes through. Known points
-    // are hourly decimal-exact averages; the four neighbor carries (value
-    // and timestamp, both directions) ride ONE event_type window exchange
-    // over the broadcast-grid left join; the blend ratio is a quotient of
-    // exact integer second deltas, so both engines compute identical
-    // doubles before round(6). Edge hours with only one known side stay
-    // null — fabricating a flat extrapolation would be a lie the
-    // monitoring consumer can't detect.
+    // are hourly decimal-exact averages; the four neighbor carries ride
+    // ONE event_type window exchange over the broadcast-grid left join.
+    // DETERMINISM (r7 — the sf1 sweep caught a 6th-decimal cell where the
+    // TRUE hourly average sits EXACTLY on a 6-dp half, 43.4728125: Spark's
+    // BigDecimal-on-the-binary-double round and DuckDB's multiply-then-
+    // round disagree on the same double at true halves, the documented
+    // residual risk of round(x,6) on doubles). Fix: never round a double.
+    // Every output value here is a RATIONAL of exact integers — the known
+    // average is cents/(100·c) and the interpolated value is
+    //   [S_p·c_n·(n−k) + S_n·c_p·k] / (c_p·c_n·n·100)
+    // with k/n integer HOUR deltas — so HALF-UP rounding to 6 dp is done
+    // EXACTLY in integer space on both engines:
+    //   round6(p/q) = (2·p·10⁶ + q) div (2·q)   (p, q > 0)
+    // then one long→double conversion + /1e6 (both correctly rounded and
+    // engine-independent). The interp numerator·10⁶ can reach ~10²² so the
+    // div runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB). Edge hours
+    // with only one known side stay null — fabricating a flat
+    // extrapolation would be a lie the monitoring consumer can't detect.
     "event_interpolate" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val known = e
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-        .agg((sum(dec(col("value"))).cast(DoubleType) / count(lit(1))).as("v"))
+        .agg(sum(dec(col("value"))).as("S"), count(lit(1)).as("c"))
+        .select(col("hr"), col("event_type"),
+          (col("S") * 100).cast(LongType).as("sc"), col("c"))
       val hours = e
         .agg(min(date_trunc("hour", col("ts"))).as("h_min"),
           max(date_trunc("hour", col("ts"))).as("h_max"))
@@ -1335,22 +1348,28 @@ object EventOps {
       val ord = Window.partitionBy("event_type").orderBy("hr")
       val prec = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val folw = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val knownHr = when(col("v").isNotNull, col("hr"))
+      val knownHr = when(col("sc").isNotNull, col("hr"))
+      val kH = expr("timestampdiff(HOUR, pt, hr)")
+      val nH = expr("timestampdiff(HOUR, pt, nt)")
       hours.crossJoin(broadcast(types))
         .join(known, Seq("hr", "event_type"), "left")
-        .withColumn("pv", last(col("v"), ignoreNulls = true).over(prec))
+        .withColumn("psc", last(col("sc"), ignoreNulls = true).over(prec))
+        .withColumn("pcn", last(col("c"), ignoreNulls = true).over(prec))
         .withColumn("pt", last(knownHr, ignoreNulls = true).over(prec))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(folw))
+        .withColumn("nsc", first(col("sc"), ignoreNulls = true).over(folw))
+        .withColumn("ncn", first(col("c"), ignoreNulls = true).over(folw))
         .withColumn("nt", first(knownHr, ignoreNulls = true).over(folw))
-        .select(col("hr"), col("event_type"), round(col("v"), 6).as("v"),
-          round(
-            when(col("v").isNotNull, col("v"))
-              .when(col("pv").isNotNull && col("nv").isNotNull,
-                col("pv") + (col("nv") - col("pv")) *
-                  (unix_timestamp(col("hr")) - unix_timestamp(col("pt")))
-                    .cast(DoubleType) /
-                  (unix_timestamp(col("nt")) - unix_timestamp(col("pt")))),
-            6).as("interp"))
+        .withColumn("num",
+          col("psc") * col("ncn") * (nH - kH) + col("nsc") * col("pcn") * kH)
+        .withColumn("den", col("pcn") * col("ncn") * nH * lit(100L))
+        .withColumn("v6",
+          expr("(2 * sc * 10000 + c) div (2 * c)").cast(DoubleType) / 1e6)
+        .withColumn("i6",
+          expr("(2 * CAST(num AS DECIMAL(38,0)) * 1000000 + den) div (2 * den)")
+            .cast(DoubleType) / 1e6)
+        .select(col("hr"), col("event_type"), col("v6").as("v"),
+          when(col("sc").isNotNull, col("v6"))
+            .when(col("num").isNotNull, col("i6")).as("interp"))
         .orderBy("hr", "event_type")
     }),
 
@@ -1843,10 +1862,16 @@ object EventOps {
         |       count(DISTINCT CASE WHEN w - cohort_week = 3 THEN user_id END) AS w3
         |FROM acts JOIN c USING (user_id)
         |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
+    // every value is an exact integer rational; half-up 6-dp rounding runs
+    // in integer space — round6(p/q) = (2p·10⁶ + q) // (2q) — so no double
+    // is ever rounded (see the builder comment: true 6-dp halves occur in
+    // the data and the engines' double-round implementations disagree on
+    // them)
     "event_interpolate" ->
       """WITH known AS (
         |  SELECT date_trunc('hour', ts) AS hr, event_type,
-        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sc,
+        |         count(*) AS c
         |  FROM events GROUP BY 1, 2),
         |bounds AS (
         |  SELECT min(date_trunc('hour', ts)) AS h_min,
@@ -1856,25 +1881,35 @@ object EventOps {
         |  FROM bounds),
         |types AS (SELECT DISTINCT event_type FROM events),
         |g AS (
-        |  SELECT hr, event_type, v,
-        |         last_value(v IGNORE NULLS) OVER w AS pv,
-        |         last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |  SELECT hr, event_type, sc, c,
+        |         last_value(sc IGNORE NULLS) OVER w AS psc,
+        |         last_value(c IGNORE NULLS) OVER w AS pcn,
+        |         last_value(CASE WHEN sc IS NOT NULL THEN hr END IGNORE NULLS)
         |           OVER w AS pt,
-        |         first_value(v IGNORE NULLS) OVER wf AS nv,
-        |         first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+        |         first_value(sc IGNORE NULLS) OVER wf AS nsc,
+        |         first_value(c IGNORE NULLS) OVER wf AS ncn,
+        |         first_value(CASE WHEN sc IS NOT NULL THEN hr END IGNORE NULLS)
         |           OVER wf AS nt
         |  FROM hours CROSS JOIN types LEFT JOIN known USING (hr, event_type)
         |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |         wf AS (PARTITION BY event_type ORDER BY hr
-        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT hr, event_type, round(v, 6) AS v,
-        |       round(CASE WHEN v IS NOT NULL THEN v
-        |                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-        |                    pv + (nv - pv) * CAST(epoch(hr) - epoch(pt) AS DOUBLE)
-        |                         / (epoch(nt) - epoch(pt))
-        |             END, 6) AS interp
-        |FROM g ORDER BY hr, event_type""".stripMargin,
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |h AS (
+        |  SELECT hr, event_type, sc, c,
+        |         psc * ncn * (date_diff('hour', pt, nt) - date_diff('hour', pt, hr))
+        |           + nsc * pcn * date_diff('hour', pt, hr) AS num,
+        |         pcn * ncn * date_diff('hour', pt, nt) * 100 AS den
+        |  FROM g)
+        |SELECT hr, event_type,
+        |       CAST((2 * sc * 10000 + c) // (2 * c) AS DOUBLE) / 1000000 AS v,
+        |       CASE WHEN sc IS NOT NULL THEN
+        |              CAST((2 * sc * 10000 + c) // (2 * c) AS DOUBLE) / 1000000
+        |            WHEN num IS NOT NULL THEN
+        |              CAST((2 * CAST(num AS HUGEINT) * 1000000 + den) // (2 * den)
+        |                   AS DOUBLE) / 1000000
+        |       END AS interp
+        |FROM h ORDER BY hr, event_type""".stripMargin,
     "window_ema" -> {
       val num = (0 until 8).map(j =>
         s"CASE WHEN l$j IS NOT NULL THEN 0.3 * power(0.7, $j) * l$j ELSE 0.0 END")

@@ -690,6 +690,13 @@ object StatsOps {
     // Abramowitz–Stegun erfc polynomial (the stat_fdr_bh literals):
     // identical scalar trees on both engines, so the ≈1.5e-7 poly error
     // cancels in the comparison. Day mean/sd from raw sums.
+    // DOMAIN CLAMP (r7 — the sf1 sweep caught it): at |z| ≳ 8 the poly CDF
+    // saturates to EXACTLY 1.0 in double, so ln(1−p) is ln(0) — DuckDB
+    // raises, Spark's log() silently NULLs the term and sum() drops it,
+    // both wrong. Φ is clamped into [1e-15, 1−1e-15] with identical
+    // literals on both engines (the textbook tail-saturation guard; the
+    // clamp error is below the polynomial's own 1.5e-7 bound's effect on
+    // the statistic at any realistic n).
     "stat_anderson_darling" -> ((s, dir) => {
       val byDay = Window.partitionBy("day")
       val ord = Window.partitionBy("day").orderBy("value", "event_id")
@@ -712,7 +719,9 @@ object StatsOps {
             / (col("n") - 1)))
         .filter(col("n") > 7 && col("sd") > 0)
         .withColumn("i", row_number().over(ord))
-        .withColumn("p", phi((col("value") - col("mu")) / col("sd")))
+        .withColumn("p", least(greatest(
+          phi((col("value") - col("mu")) / col("sd")),
+          lit(1e-15)), lit(0.999999999999999)))
         .withColumn("term",
           (lit(2.0) * col("i") - 1) * log(col("p"))
             + (lit(2.0) * col("n") - lit(2.0) * col("i") + 1)
@@ -1500,7 +1509,9 @@ object StatsOps {
         |  FROM z WHERE sd > 0),
         |p AS (
         |  SELECT day, n, i,
-        |         CASE WHEN zz >= 0 THEN 1.0 - erfc / 2 ELSE erfc / 2 END AS p
+        |         least(greatest(CASE WHEN zz >= 0 THEN 1.0 - erfc / 2
+        |                             ELSE erfc / 2 END,
+        |                        1e-15), 0.999999999999999) AS p
         |  FROM (SELECT *,
         |               ((((1.061405429 * t + -1.453152027) * t
         |                  + 1.421413741) * t + -0.284496736) * t

@@ -168,6 +168,8 @@ def main():
                     help="comma-separated key subset (dev loop)")
     ap.add_argument("--no-bench", action="store_true",
                     help="sweep correctness only")
+    ap.add_argument("--no-sweep", action="store_true",
+                    help="bench ratios only (skip Verify + oracle compare)")
     ap.add_argument("--force-gen", action="store_true",
                     help="regenerate decade data even if present")
     args = ap.parse_args()
@@ -220,19 +222,20 @@ def main():
                 gs_args.append(tables)
             dec["gen_sec"] = java_main("graft.GenScale", gs_args, env,
                                        log=str(work / f"gen_{name}.log"))
-        vdir = work / f"verify_{name}"
-        v_args = [str(dec_dir), str(vdir)]
-        if only:
-            v_args.append(",".join(sorted(only)))
-        dec["verify_sec"] = java_main("graft.Verify", v_args, env,
-                                      log=str(work / f"verify_{name}.log"))
-        dec["oracle"] = oracle_sweep(str(dec_dir), str(vdir), args.timeout,
-                                     skip, only)
-        counts = {}
-        for v in dec["oracle"].values():
-            counts[v["status"]] = counts.get(v["status"], 0) + 1
-        dec["oracle_counts"] = counts
-        print(f"== {name} oracle counts: {counts}", flush=True)
+        if not args.no_sweep:
+            vdir = work / f"verify_{name}"
+            v_args = [str(dec_dir), str(vdir)]
+            if only:
+                v_args.append(",".join(sorted(only)))
+            dec["verify_sec"] = java_main("graft.Verify", v_args, env,
+                                          log=str(work / f"verify_{name}.log"))
+            dec["oracle"] = oracle_sweep(str(dec_dir), str(vdir), args.timeout,
+                                         skip, only)
+            counts = {}
+            for v in dec["oracle"].values():
+                counts[v["status"]] = counts.get(v["status"], 0) + 1
+            dec["oracle_counts"] = counts
+            print(f"== {name} oracle counts: {counts}", flush=True)
 
         if not args.no_bench:
             bpath = work / f"bench_{name}.json"
