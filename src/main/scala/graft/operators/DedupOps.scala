@@ -377,20 +377,16 @@ object DedupOps {
       val sim = OpCache.cached(dir + "#sh_planted_sig",
         corpus.select(col("doc_id"),
           graft.functions.api.simHash64(col("text")).as("sig")))
-      val bands = sim.select(col("doc_id"),
+      // verify-inside-the-band-join shape, same as dedup_simhash (r7)
+      val bands = sim.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-        .toDF("doc_id", "band", "bval")
-      val cand = bands.as("x").join(bands.as("y"),
+        .toDF("doc_id", "sig", "band", "bval")
+      val dropped = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val dropped = cand
-        .join(sim.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), Seq("a_id"))
-        .join(sim.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
-        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
-        .select(col("b_id").as("planted_id")).distinct()
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= 3)
+        .select(col("y.doc_id").as("planted_id")).distinct()
         .withColumn("hit", lit(true))
       planted.select(col("doc_id").as("planted_id"))
         .join(dropped, Seq("planted_id"), "left")
@@ -408,24 +404,30 @@ object DedupOps {
     // other fingerprints.
     "dedup_simhash" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      // persisted: referenced by both self-join sides AND the popcount
-      // verify step
       val sim = OpCache.cached(dir + "#sh_sig",
         d.select(col("doc_id"), graft.functions.api.simHash64(col("text")).as("sig")))
-      val bands = sim.select(col("doc_id"),
+      // the signature rides ON the band rows so the popcount verify runs
+      // INSIDE the band self-join as a codegen'd post-join filter (r7 —
+      // the sf1 bench caught the earlier shape superlinear at 15×/decade:
+      // natural text skews the 16-bit buckets, candidate pairs grow
+      // ~n²/bucket, and the old plan dragged EVERY candidate through a
+      // distinct() exchange plus two verify joins; now only VERIFIED
+      // pairs — the data's true near-dup density — reach any exchange).
+      // The within-bucket pairing itself is the price of simhash's
+      // Hamming≤3 COMPLETENESS pigeonhole (4 fixed bands of a 64-bit
+      // signature — width cannot scale with n like SrpBandKeys); for
+      // corpora ≫ 2¹⁶ docs the adaptive-width families (minhash, SRP)
+      // are the scale path and this key's contract is completeness.
+      val bands = sim.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
             shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
-        .toDF("doc_id", "band", "bval")
-      val cand = bands.as("x").join(bands.as("y"),
+        .toDF("doc_id", "sig", "band", "bval")
+      val verified = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= 3)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val verified = cand
-        .join(sim.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), Seq("a_id"))
-        .join(sim.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
-        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
-        .select("a_id", "b_id")
       retain(d, verified)
     }),
 
