@@ -445,7 +445,10 @@ object SimOps {
           p => p.getField("c")).as("cv"))
       e.join(broadcast(cent), Seq("label"))
         .select(col("vec_id"), col("label"),
-          round(api.cosineSim(col("v"), col("cv")), 6).as("cos_centroid"))
+          // nz: sf10's sign-flipped replicas contain members near-orthogonal
+          // to their class centroid — a rounded-zero cosine needs the
+          // sign-of-zero canonicalization (r7 sweep catch; Tables.nz doc)
+          Tables.nz(round(api.cosineSim(col("v"), col("cv")), 6)).as("cos_centroid"))
         .orderBy("vec_id")
     }),
 
@@ -822,7 +825,7 @@ object SimOps {
         |       FROM e, range(1, 65) t(i)),
         |cent AS (SELECT label, i, avg(x) AS c FROM el GROUP BY label, i)
         |SELECT vec_id, label,
-        |       round(sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))), 6)
+        |       round(sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))), 6) + 0
         |         AS cos_centroid
         |FROM el JOIN cent USING (label, i)
         |GROUP BY vec_id, label

@@ -375,26 +375,39 @@ object StatsOps {
     // ALREADY-AGGREGATED per-user table (one row per user — the event_rfm
     // precedent); at billions of users swap exact ranks for
     // approx-quantile bucket ranks, same ordering semantics.
+    // DETERMINISM (r7 — the sf10 sweep caught a 6th-decimal cell at 150k
+    // users, TWO causes): (1) the rank key `monetary` was a per-user
+    // DOUBLE sum — summation-order ulps can SPLIT a tie group in one
+    // engine and not the other, changing the average ranks themselves →
+    // rank keys are now exact DECIMAL sums, so tie structure is identical
+    // by construction; (2) average ranks are HALF-integers whose double
+    // sums drift with partition order → DOUBLED ranks (2·rank + ties − 1)
+    // are exact integers, every moment is an exact DECIMAL sum, the three
+    // central terms are exact integer differences (the ×4 scale cancels
+    // in the ratio), and each converts to double ONCE — identical IEEE
+    // scalars on both engines under any partitioning.
     "stat_spearman" -> ((s, dir) => {
-      def avgRank(c: String) =
-        rank().over(Window.orderBy(col(c))).cast(DoubleType) +
-          (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / lit(2.0)
+      def avgRank2(c: String) =
+        (rank().over(Window.orderBy(col(c))) * 2 +
+          count(lit(1)).over(Window.partitionBy(col(c))) - 1).cast(LongType)
       val u = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
-        .agg(count(lit(1)).cast(DoubleType).as("freq"),
-          sum(col("value")).as("monetary"))
-        .select(col("user_id"), avgRank("freq").as("rx"),
-          avgRank("monetary").as("ry"))
-      u.agg(count(lit(1)).cast(DoubleType).as("n"),
-        sum("rx").as("sx"), sum("ry").as("sy"),
-        sum(col("rx") * col("rx")).as("qx"),
-        sum(col("ry") * col("ry")).as("qy"),
-        sum(col("rx") * col("ry")).as("sxy"))
-        .select(col("n").cast(LongType).as("n_users"),
-          Tables.nz(round((col("n") * col("sxy") - col("sx") * col("sy"))
-            / sqrt((col("n") * col("qx") - col("sx") * col("sx"))
-              * (col("n") * col("qy") - col("sy") * col("sy"))), 6))
+        .agg(count(lit(1)).as("freq"),
+          sum(Tables.dec(col("value"))).as("monetary"))
+        .select(col("user_id"), avgRank2("freq").as("rx"),
+          avgRank2("monetary").as("ry"))
+      u.agg(count(lit(1)).as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("qx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("qy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
+        .select(col("n").as("n_users"),
+          Tables.nz(round(
+            expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+              / sqrt(expr("CAST(n * qx - sx * sx AS DOUBLE)")
+                * expr("CAST(n * qy - sy * sy AS DOUBLE)")), 6))
             .as("rho_spearman"))
     }),
 
@@ -1889,22 +1902,26 @@ object StatsOps {
         |SELECT event_type, day, z, p_value, rank, m,
         |       rank <= COALESCE(k_max, 0) AS significant
         |FROM km ORDER BY event_type, day""".stripMargin,
+    // exact-decimal rank keys + doubled integer ranks + exact integer
+    // moments (see builder comment)
     "stat_spearman" ->
       """WITH u AS (
-        |  SELECT user_id, CAST(count(*) AS DOUBLE) AS freq,
-        |         sum(value) AS monetary
+        |  SELECT user_id, count(*) AS freq,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS monetary
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
         |r AS (
         |  SELECT user_id,
-        |         CAST(rank() OVER (ORDER BY freq) AS DOUBLE)
-        |           + (count(*) OVER (PARTITION BY freq) - 1) / 2.0 AS rx,
-        |         CAST(rank() OVER (ORDER BY monetary) AS DOUBLE)
-        |           + (count(*) OVER (PARTITION BY monetary) - 1) / 2.0 AS ry
+        |         2 * rank() OVER (ORDER BY freq)
+        |           + count(*) OVER (PARTITION BY freq) - 1 AS rx,
+        |         2 * rank() OVER (ORDER BY monetary)
+        |           + count(*) OVER (PARTITION BY monetary) - 1 AS ry
         |  FROM u)
         |SELECT CAST(count(*) AS BIGINT) AS n_users,
-        |       round((count(*) * sum(rx * ry) - sum(rx) * sum(ry))
-        |             / sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx))
-        |                    * (count(*) * sum(ry * ry) - sum(ry) * sum(ry))),
+        |       round(CAST(count(*) * sum(rx * ry) - sum(rx) * sum(ry) AS DOUBLE)
+        |             / sqrt(CAST(count(*) * sum(rx * rx)
+        |                         - sum(rx) * sum(rx) AS DOUBLE)
+        |                    * CAST(count(*) * sum(ry * ry)
+        |                           - sum(ry) * sum(ry) AS DOUBLE)),
         |             6) + 0 AS rho_spearman
         |FROM r""".stripMargin,
     "stat_cramers_v" ->

@@ -860,7 +860,13 @@ object TextOps {
     // rand()/TABLESAMPLE, which resample on every retry — and map-only, no
     // shuffle. Rates here: even sources 100%, src1 mod 4 half, rest 25%.
     "pipeline_sample_mix" -> ((s, dir) => {
-      val h = pmod(col("doc_id") * 2246822519L, lit(1000L))
+      // overflow-safe multiplicative hash (the Tables.splitHash discipline,
+      // r7 — this site used a different prime and was missed by the r6
+      // sweep of 2654435761 call sites; the sf10 sweep caught the raw
+      // multiply overflowing at ids ≥ ~4.1e9): pre-reduce mod 2³¹, the
+      // identity for every id below 2³¹, defined behavior at any id
+      val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * 2246822519L,
+        lit(1000L))
       val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType)
       val rate = when(pmod(srcNum, lit(4)) === 0, 1000L)
         .when(pmod(srcNum, lit(4)) === 1, 500L)
@@ -1515,7 +1521,7 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_sample_mix" ->
       """SELECT doc_id, source, lang FROM documents
-        |WHERE (doc_id * 2246822519) % 1000 <
+        |WHERE ((doc_id % 2147483648) * 2246822519) % 1000 <
         |      CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4
         |        WHEN 0 THEN 1000 WHEN 1 THEN 500 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
