@@ -1359,13 +1359,20 @@ object EventOps {
         .withColumn("nsc", first(col("sc"), ignoreNulls = true).over(folw))
         .withColumn("ncn", first(col("c"), ignoreNulls = true).over(folw))
         .withColumn("nt", first(knownHr, ignoreNulls = true).over(folw))
+        // ADVICE r7 #2: the num/den products must ALREADY be exact — a
+        // Long num wraps silently in Spark (non-ANSI) while DuckDB raises
+        // on BIGINT overflow, so the first factor of every product is
+        // widened to DECIMAL(38,0) (HUGEINT in the oracle twin) BEFORE the
+        // multiplications, not only at the final *10⁶ step.
         .withColumn("num",
-          col("psc") * col("ncn") * (nH - kH) + col("nsc") * col("pcn") * kH)
-        .withColumn("den", col("pcn") * col("ncn") * nH * lit(100L))
+          col("psc").cast(DecimalType(38, 0)) * col("ncn") * (nH - kH) +
+            col("nsc").cast(DecimalType(38, 0)) * col("pcn") * kH)
+        .withColumn("den",
+          col("pcn").cast(DecimalType(38, 0)) * col("ncn") * nH * lit(100L))
         .withColumn("v6",
           expr("(2 * sc * 10000 + c) div (2 * c)").cast(DoubleType) / 1e6)
         .withColumn("i6",
-          expr("(2 * CAST(num AS DECIMAL(38,0)) * 1000000 + den) div (2 * den)")
+          expr("(2 * num * 1000000 + den) div (2 * den)")
             .cast(DoubleType) / 1e6)
         .select(col("hr"), col("event_type"), col("v6").as("v"),
           when(col("sc").isNotNull, col("v6"))
@@ -1897,9 +1904,10 @@ object EventOps {
         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
         |h AS (
         |  SELECT hr, event_type, sc, c,
-        |         psc * ncn * (date_diff('hour', pt, nt) - date_diff('hour', pt, hr))
-        |           + nsc * pcn * date_diff('hour', pt, hr) AS num,
-        |         pcn * ncn * date_diff('hour', pt, nt) * 100 AS den
+        |         CAST(psc AS HUGEINT) * ncn
+        |             * (date_diff('hour', pt, nt) - date_diff('hour', pt, hr))
+        |           + CAST(nsc AS HUGEINT) * pcn * date_diff('hour', pt, hr) AS num,
+        |         CAST(pcn AS HUGEINT) * ncn * date_diff('hour', pt, nt) * 100 AS den
         |  FROM g)
         |SELECT hr, event_type,
         |       CAST((2 * sc * 10000 + c) // (2 * c) AS DOUBLE) / 1000000 AS v,

@@ -231,9 +231,22 @@ object TextOps {
     // shape); at 100 TB this is the shape that survives boilerplate.
     "pipeline_line_dedup_salted" -> ((s, dir) => {
       val win = 12L
+      // pack contract guard (ADVICE r7 #1): the packed (doc_id, off) min
+      // below is lexicographic ONLY while off < 2^20. A ≥1M-token document
+      // would silently credit keepers to the wrong doc_id, so — mirroring
+      // the BandedRangeJoin.MaxBandsPerInterval discipline for the
+      // analogous data-dependent hazard — an out-of-contract doc fails
+      // loudly with a named error instead of corrupting the answer.
+      val pack = 1L << 20
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), toks.as("tk"))
         .withColumn("n", size(col("tk")).cast(LongType))
+        .withColumn("n",
+          when(col("n") < pack, col("n")).otherwise(raise_error(concat(
+            lit("pipeline_line_dedup_salted: doc_id="),
+            col("doc_id").cast(StringType),
+            lit(s" has >= $pack tokens — out of the packed-min contract;" +
+              " widen the pack factor")))))
       val chunks = d
         .select(col("doc_id"),
           explode(sequence(lit(0L), col("n") - 1L, lit(win))).as("off"),
@@ -249,8 +262,8 @@ object TextOps {
       // hash-aggregates inside whole-stage codegen where min(struct(...))
       // planned as Sort + SortAggregate — measured 1.5x SLOWER than the
       // window twin, i.e. the struct version re-introduced the very sort
-      // the rewrite exists to avoid.
-      val pack = 1L << 20
+      // the rewrite exists to avoid. (`pack` is declared above the scan so
+      // the contract guard and the packing share one constant.)
       // group on (xxhash64(line), length(line)) instead of the line text —
       // the dedup_text_exact content-hash discipline and exactly what the
       // window key's own 100-TB note prescribes: the exchange carries 16

@@ -248,13 +248,28 @@ object ArchiveStream {
     import org.apache.hadoop.fs.Path
     val root = new Path(mvDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (0L, 0L)
+    // Crash recovery (ADVICE r7 #3): the swap below is two non-atomic
+    // renames. A crash between rename(root→old) and rename(tmp→root)
+    // leaves NO directory at mvDir with the data stranded in the
+    // `.compact-old` sibling — so every entry first restores a leftover
+    // `.compact-old` when mvDir itself is gone (the data it holds is the
+    // full pre-compaction MV, so restoring then re-compacting is exact).
+    // If mvDir exists the leftover is the post-swap stale copy and is
+    // deleted below as before. Readers (`sketchRollup`) remain exposed to
+    // the rename window itself — the documented contract is that
+    // compaction is serialized with readers as well as appends (run it
+    // between micro-batches); this recovery closes the CRASH case, not
+    // concurrent reads.
+    val old = new Path(root.getParent, ".compact-old-" + root.getName)
+    if (!fs.exists(root)) {
+      if (!fs.exists(old)) return (0L, 0L)
+      fs.rename(old, root) // restore the stranded pre-compaction MV
+    }
     val partials = spark.read.parquet(mvDir)
     val before = partials.count()
     val merged = partials.groupBy("day")
       .agg(hll_union_agg(col("sketch")).as("sketch"))
     val tmp = new Path(root.getParent, ".compact-tmp-" + root.getName)
-    val old = new Path(root.getParent, ".compact-old-" + root.getName)
     fs.delete(tmp, true); fs.delete(old, true)
     val after = merged.count()
     merged.write.mode("overwrite").parquet(tmp.toString)

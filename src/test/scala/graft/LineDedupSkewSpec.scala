@@ -48,6 +48,28 @@ class LineDedupSkewSpec extends SparkSpec {
       s"a later hot doc must lose at least the boilerplate line: $later")
   }
 
+  test("pack-contract guard: a >= 2^20-token doc raises a named error, never a wrong answer") {
+    import spark.implicits._
+    // ADVICE r7 #1: the packed (doc_id, off) min is lexicographic only
+    // while off < 2^20. An out-of-contract monster doc must FAIL LOUDLY
+    // (raise_error with the doc_id in the message), mirroring the
+    // BandedRangeJoin.MaxBandsPerInterval guard for the analogous hazard.
+    val monster = (0 until (1 << 20)).map(i => "t" + (i % 97)).mkString(" ")
+    val docs = Seq((1L, "a tiny in-contract document"), (2L, monster))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-monster-").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      run("pipeline_line_dedup_salted", dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("pipeline_line_dedup_salted") &&
+      m.contains("doc_id=2")), s"expected the named pack-guard error, got: $e")
+    // and in-contract corpora are untouched by the guard
+    assert(run("pipeline_line_dedup_salted", sf) == run("pipeline_line_dedup", sf))
+  }
+
   test("plan shapes: window key windows, salted key is pure partial/final aggregation") {
     val pw = operators.TextOps.queries("pipeline_line_dedup")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -295,6 +295,21 @@ class StreamingSpec extends SparkSpec {
     assert(withNew("2024-01-01") == first("2024-01-01") &&
       withNew("2024-01-02") == first("2024-01-02") + 1,
       s"post-compaction append lost: $withNew vs $first")
+    // crash recovery (ADVICE r7 #3): simulate a crash BETWEEN the two swap
+    // renames — mvDir gone, all data stranded in the `.compact-old`
+    // sibling — and verify the next compactSketchPartials entry restores
+    // it and completes: same rollup, partials re-merged to one per day.
+    val fs = new org.apache.hadoop.fs.Path(mv)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(mv)
+    val stranded = new org.apache.hadoop.fs.Path(
+      root.getParent, ".compact-old-" + root.getName)
+    assert(fs.rename(root, stranded), "test setup: strand the MV")
+    assert(!fs.exists(root))
+    val (rb, ra) = ArchiveStream.compactSketchPartials(spark, mv)
+    assert(rb == 3L && ra == 2L, s"post-crash compaction got $rb -> $ra")
+    assert(fs.exists(root) && !fs.exists(stranded))
+    assert(rollup == withNew, "crash recovery changed the rollup")
   }
 
   test("flatMapGroupsWithState streaming funnel: levels equal the batch event_funnel") {

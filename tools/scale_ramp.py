@@ -35,6 +35,7 @@ import argparse
 import json
 import multiprocessing as mp
 import os
+import queue
 import subprocess
 import sys
 import time
@@ -125,8 +126,15 @@ def oracle_sweep(sf_dir, out_dir, timeout, skip, only):
                               "detail": f"oracle exceeded {timeout}s"}
             print(f"TIMEOUT {name} (> {timeout}s)", flush=True)
             continue
-        status, detail, dt = q.get() if not q.empty() else (
-            "error", "worker died without result", time.time() - t0)
+        # ADVICE r7 #4: after join(), q.empty() can transiently be True
+        # while the feeder pipe still holds the worker's verdict — poll
+        # with a bounded blocking get instead so a completed oracle is
+        # never mis-recorded as a dead worker.
+        try:
+            status, detail, dt = q.get(timeout=5)
+        except queue.Empty:
+            status, detail, dt = (
+                "error", "worker died without result", time.time() - t0)
         verdicts[name] = {"status": status, "detail": detail,
                           "oracle_sec": round(dt, 1)}
         print(f"{status.upper()} {name} ({detail if status != 'pass' else detail})",
