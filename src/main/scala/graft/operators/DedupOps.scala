@@ -606,6 +606,42 @@ object DedupOps {
     }))
 
 
+  /** Shared candidate-limited pair generation for the exact-Jaccard >= 0.8
+    * family (dedup_ngram_jaccard + dedup_cluster_cc): the DuckDB mirror of
+    * [[exactJaccardPairs]] — AllPairs df-ascending prefix filtering, the
+    * two-way length filter inside the candidate join, exact Jaccard on the
+    * full shingle sets. A fragment, not a statement: interpolates after
+    * `WITH [RECURSIVE]` and yields `pairs(a_id, b_id)`. Lines carry `|`
+    * margins because every consumer runs stripMargin after interpolation.
+    */
+  private val prefixPairsSql: String =
+    """sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3
+      |           THEN list_distinct(list_transform(range(len(toks)-2),
+      |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+      |           ELSE [text] END AS g
+      |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+      |posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS gg FROM sh),
+      |dfreq AS (SELECT gg, count(*) AS dfc FROM posts GROUP BY gg),
+      |pfx AS (
+      |  SELECT doc_id, n, gg FROM (
+      |    SELECT posts.doc_id, posts.n, posts.gg,
+      |           row_number() OVER (PARTITION BY posts.doc_id
+      |                              ORDER BY dfreq.dfc, posts.gg) AS rk
+      |    FROM posts JOIN dfreq USING (gg))
+      |  WHERE rk <= n - ceil(n * CAST(0.8 AS DOUBLE)) + 1),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM pfx x JOIN pfx y ON x.gg = y.gg AND x.doc_id < y.doc_id
+      |  WHERE x.n >= ceil(y.n * CAST(0.8 AS DOUBLE))
+      |    AND y.n >= ceil(x.n * CAST(0.8 AS DOUBLE))),
+      |pairs AS (
+      |  SELECT a_id, b_id
+      |  FROM cand JOIN sh a ON a.doc_id = cand.a_id
+      |            JOIN sh b ON b.doc_id = cand.b_id
+      |  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+      |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8)"""
+
   def oracle: Map[String, String] = Map(
     "dedup_text_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
@@ -640,22 +676,53 @@ object DedupOps {
         |       true AS dropped
         |FROM documents WHERE doc_id % 10 = 4
         |ORDER BY planted_id""".stripMargin,
-    // Quadratic all-pairs oracle: run at sf0.01; skip in sf0.1 sweeps.
+    // CANDIDATE-LIMITED oracle (VERDICT r7 ask #2 — the r7 sweeps could
+    // never check this key above sf0.01 because the old all-pairs join is
+    // quadratic in ANY engine): the oracle now mirrors the engine's own
+    // asymmetric prefix-filter candidate generation — A-side rarest-first
+    // (df-ascending) prefix probes the full posting index, exact
+    // containment verifies on the full shingle sets. Candidate-complete by
+    // the same prefix THEOREM the engine relies on (any fixed total
+    // shingle order works, so the engines' different tie-break orders —
+    // string vs hash — cannot change the verified output), and the theorem
+    // itself is pinned against a literal all-pairs computation in
+    // CandidateCompletenessSpec. ceil() runs on an explicit DOUBLE in both
+    // engines (DuckDB literals are DECIMAL — exact 0.8·n at n≡0 (mod 5)
+    // would diverge from Spark's IEEE product, which lands one ulp above
+    // the integer there).
     "dedup_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(toks) >= 3
         |           THEN list_distinct(list_transform(range(len(toks)-2),
         |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
         |           ELSE [text] END AS g
-        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents))
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
+        |posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS gg FROM sh),
+        |dfreq AS (SELECT gg, count(*) AS dfc FROM posts GROUP BY gg),
+        |pfx AS (
+        |  SELECT doc_id, gg FROM (
+        |    SELECT posts.doc_id, posts.n, posts.gg,
+        |           row_number() OVER (PARTITION BY posts.doc_id
+        |                              ORDER BY dfreq.dfc, posts.gg) AS rk
+        |    FROM posts JOIN dfreq USING (gg))
+        |  WHERE rk <= n - ceil(n * CAST(0.9 AS DOUBLE)) + 1),
+        |cand AS (
+        |  SELECT DISTINCT p.doc_id AS a_id, q.doc_id AS b_id
+        |  FROM pfx p JOIN posts q ON p.gg = q.gg AND p.doc_id <> q.doc_id)
+        |SELECT a_id, b_id,
         |       round(len(list_intersect(a.g, b.g))::DOUBLE / len(a.g), 6)
         |         AS containment
-        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |FROM cand JOIN sh a ON a.doc_id = cand.a_id
+        |          JOIN sh b ON b.doc_id = cand.b_id
         |WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(a.g) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
-    // Quadratic cross-split oracle (like dedup_ngram_jaccard's): run at
-    // sf0.01; skip in sf0.1 sweeps.
+    // CANDIDATE-LIMITED oracle (VERDICT r7 ask #2): mirrors the engine's
+    // probe shape exactly — candidates are incoming-side postings
+    // equi-joined to index-side postings (ANY shared shingle; no prefix —
+    // a pair sharing no shingle has J = 0) under the two-way AllPairs
+    // length filter, then exact Jaccard on the full sets verifies. The
+    // length filter uses the same IEEE-double ceil as the engine (see the
+    // dedup_containment comment).
     "dedup_incremental" ->
       """WITH d AS (
         |  SELECT *, ((doc_id % 2147483648) * 2654435761) % 100 >= 90 AS is_new FROM documents),
@@ -665,45 +732,41 @@ object DedupOps {
         |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
         |           ELSE [text] END AS g
         |  FROM (SELECT doc_id, is_new, text, string_split(text,' ') AS toks FROM d)),
+        |posts AS (SELECT doc_id, is_new, len(g) AS n, unnest(g) AS gg FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS d_id, i.doc_id AS i_id
+        |  FROM posts n JOIN posts i ON n.gg = i.gg AND n.is_new AND NOT i.is_new
+        |  WHERE i.n >= ceil(n.n * CAST(0.8 AS DOUBLE))
+        |    AND n.n >= ceil(i.n * CAST(0.8 AS DOUBLE))),
         |hits AS (
-        |  SELECT DISTINCT n.doc_id
-        |  FROM sh n JOIN sh i ON n.is_new AND NOT i.is_new
-        |  WHERE len(list_intersect(n.g, i.g))::DOUBLE
-        |        / len(list_distinct(list_concat(n.g, i.g))) >= 0.8)
+        |  SELECT DISTINCT d_id AS doc_id
+        |  FROM cand JOIN sh a ON a.doc_id = cand.d_id
+        |            JOIN sh b ON b.doc_id = cand.i_id
+        |  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8)
         |SELECT doc_id, lang, source, n_chars FROM d
         |WHERE is_new AND doc_id NOT IN (SELECT doc_id FROM hits)
         |ORDER BY doc_id""".stripMargin,
+    // CANDIDATE-LIMITED oracle (VERDICT r7 ask #2): the pair generation
+    // mirrors exactJaccardPairs — AllPairs df-ascending prefix posting
+    // self-join under the two-way length filter, exact Jaccard on full
+    // sets verifies. Shared verbatim with dedup_cluster_cc (same pair
+    // graph); completeness vs a literal all-pairs computation is pinned in
+    // CandidateCompletenessSpec. ceil() on explicit DOUBLE (see the
+    // dedup_containment comment).
     "dedup_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, CASE WHEN len(toks) >= 3
-        |           THEN list_distinct(list_transform(range(len(toks)-2),
-        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-        |           ELSE [text] END AS g
-        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
-        |dups AS (
-        |  SELECT DISTINCT b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.g, b.g))::DOUBLE
-        |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8)
+      s"""WITH $prefixPairsSql,
+        |dups AS (SELECT DISTINCT b_id FROM pairs)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT b_id FROM dups)
         |ORDER BY doc_id""".stripMargin,
-    // The oracle states the pure semantic — transitive closure over the
+    // The oracle states the semantic — transitive closure over the
     // exact-Jaccard >= 0.8 pair graph, representative = component minimum —
-    // with a recursive CTE; the large-star/small-star rounds are an
-    // implementation detail the oracle never sees.
+    // with a recursive CTE over the candidate-limited pair graph above;
+    // the large-star/small-star rounds are an implementation detail the
+    // oracle never sees.
     "dedup_cluster_cc" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, CASE WHEN len(toks) >= 3
-        |           THEN list_distinct(list_transform(range(len(toks)-2),
-        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-        |           ELSE [text] END AS g
-        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.g, b.g))::DOUBLE
-        |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+      s"""WITH RECURSIVE $prefixPairsSql,
         |edges AS (
         |  SELECT a_id AS u, b_id AS v FROM pairs
         |  UNION SELECT b_id, a_id FROM pairs),
