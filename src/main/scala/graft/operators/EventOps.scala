@@ -1647,6 +1647,45 @@ object EventOps {
         .orderBy("d")
     }),
 
+    // The EXACT-REGIME sweep twin of agg_theta_intersect (VERDICT r7 ask
+    // #3): the original key's oracle is only valid while daily audiences
+    // stay under the sketch's k=4096 — true at the sf0.01 driver gate,
+    // false from sf10 up, so the family had no oracle-green row at sweep
+    // scales. This twin runs the UNCHANGED sketch pipeline (same
+    // thetaSketch → intersect/union → estimate plan — a regression
+    // anywhere in the sketch algebra still hash-fails) over a
+    // deterministically subsampled audience that stays under k BY
+    // CONSTRUCTION at any decade: users pass when splitHash(user_id, m)
+    // == 0 with m the smallest power of two making distinct-users/m
+    // ≤ 2000 — half the headroom to k. Both engines derive m from the
+    // same integers: n = count(distinct user_id), q = ceil(n/2000),
+    // m = 2^ceil(log2 q). The engine computes the exponent with exact
+    // integer bit-length; the oracle uses ceil(log2(q)) — safe because
+    // the true log2 is an integer only at powers of two, where IEEE log2
+    // is exact, and is otherwise ≥ ~1/(q·ln2) away from one (the
+    // dedup_embedding band-width discipline). The count(distinct) is one
+    // bounded driver scalar, the documented collect() exception class.
+    "agg_theta_intersect_capped" -> ((s, dir) => {
+      import graft.functions.api.{thetaSketch, thetaIntersect, thetaUnion, thetaEstimate}
+      val ev = Tables.events(s, dir)
+      val nu = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+      val q = (nu + 1999L) / 2000L
+      val m = if (q <= 1L) 1L else java.lang.Long.highestOneBit(q - 1L) << 1
+      val sk = ev
+        .filter(Tables.splitHash(col("user_id"), m) === 0L)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy("d").agg(thetaSketch(col("user_id"), 4096).as("sk"))
+      sk.as("s1").join(sk.as("s2"), date_add(col("s1.d"), 1) === col("s2.d"))
+        .select(col("s1.d").as("d"),
+          round(thetaEstimate(col("s1.sk"))).cast(LongType).as("est_day"),
+          round(thetaEstimate(col("s2.sk"))).cast(LongType).as("est_next"),
+          round(thetaEstimate(thetaIntersect(col("s1.sk"), col("s2.sk"))))
+            .cast(LongType).as("est_both"),
+          round(thetaEstimate(thetaUnion(col("s1.sk"), col("s2.sk"))))
+            .cast(LongType).as("est_either"))
+        .orderBy("d")
+    }),
+
     // Anomaly surfacing — the observability query the reference's own
     // Prometheus metrics feed (ref: internal/app metrics): each day's event
     // count scored against the trailing week's mean/stddev (current day
@@ -2138,6 +2177,30 @@ object EventOps {
     // (see the agg_theta_intersect key comment)
     "agg_theta_intersect" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |sizes AS (SELECT d, count(*) AS n FROM du GROUP BY d),
+        |inter AS (
+        |  SELECT a.d AS d, count(*) AS n_both
+        |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.d + 1 = b.d
+        |  GROUP BY a.d)
+        |SELECT s1.d AS d, s1.n AS est_day, s2.n AS est_next,
+        |       COALESCE(i.n_both, 0) AS est_both,
+        |       s1.n + s2.n - COALESCE(i.n_both, 0) AS est_either
+        |FROM sizes s1 JOIN sizes s2 ON s1.d + 1 = s2.d
+        |LEFT JOIN inter i ON s1.d = i.d
+        |ORDER BY d""".stripMargin,
+    // exact-regime twin: identical semantics over the splitHash-subsampled
+    // audience; m derives from the same integers in both engines (see the
+    // key comment — IEEE log2 is exact at the only boundary that matters)
+    "agg_theta_intersect_capped" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN q <= 1 THEN 1
+        |              ELSE CAST(power(2, ceil(log2(q))) AS BIGINT) END AS m
+        |  FROM (SELECT (count(DISTINCT user_id) + 1999) // 2000 AS q
+        |        FROM events)),
+        |du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events, m
+        |  WHERE ((user_id % 2147483648) * 2654435761) % m.m = 0),
         |sizes AS (SELECT d, count(*) AS n FROM du GROUP BY d),
         |inter AS (
         |  SELECT a.d AS d, count(*) AS n_both
