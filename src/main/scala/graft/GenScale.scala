@@ -80,6 +80,18 @@ object GenScale {
     val hotFrac: Option[Double] = args.collectFirst {
       case a if a.startsWith("hotline=") => a.stripPrefix("hotline=").toDouble
     }
+    // optional arg `halfcell=<k>`: per event_type, append k synthetic hours
+    // past the existing span, each holding exactly 32 events whose cent sum
+    // is ODD — the true hourly average is then cents·10⁴/32 = cents·312.5,
+    // an EXACT 6-dp half, at a binary-inexact double (denominator keeps a
+    // factor 5²). This is the r7 event_interpolate defect class
+    // (round(double, 6) of a true half is engine-dependent) as a plantable
+    // fixture: a decade sweep over halfcell data exercises every
+    // value-average round site cross-engine (VERDICT r7 ask #4). Rows are
+    // deterministic; ids mint above the scaled id space.
+    val halfCells: Option[Int] = args.collectFirst {
+      case a if a.startsWith("halfcell=") => a.stripPrefix("halfcell=").toInt
+    }
     val HotLine = (1 to 12).map(i => s"boiler$i").mkString(" ")
     def writeIf(name: String)(df: => DataFrame): Unit =
       if (only.contains(name)) write(df, name)
@@ -93,7 +105,39 @@ object GenScale {
     writeIf("orders")(shifted("orders", Seq("o_orderkey", "o_custkey")))
     writeIf("lineitem")(
       shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    writeIf("events")(shifted("events", Seq("event_id", "user_id")))
+    writeIf("events")(halfCells.fold(
+      shifted("events", Seq("event_id", "user_id"))) { k =>
+      val base = shifted("events", Seq("event_id", "user_id"))
+      val types = in("events").select("event_type").distinct()
+        .orderBy("event_type").collect().map(_.getString(0)) // tiny domain
+      val b = in("events")
+        .agg(max(col("event_id")), max(col("user_id")),
+          date_trunc("hour", max(col("ts")))).head()
+      val (maxId, maxUid) = (b.getLong(0), b.getLong(1))
+      val hour0 = b.getTimestamp(2)
+      // per (type ti, cell j, event e<32): value = 10.01 except e=0 →
+      // 10.02, so cents = 31·1001 + 1002 = 32033 (odd) in every cell
+      val planted = spark.range(types.length.toLong * k * 32)
+        .select(
+          (lit(Stride) * replicas + maxId + 1 + col("id")).as("event_id"),
+          expr("id div 32").as("cell"),
+          (col("id") % 32).as("e"))
+        .select(
+          col("event_id"),
+          (unix_timestamp(lit(hour0)) + (col("cell") + 1) * 3600L)
+            .cast("timestamp").as("ts"),
+          (lit(Stride) * replicas + maxUid + 1 + col("e")).as("user_id"),
+          element_at(
+            typedLit(types.toSeq), expr(s"CAST(cell div $k AS INT)") + 1)
+            .as("event_type"),
+          when(col("e") === 0, 10.02).otherwise(10.01).as("value"),
+          lit("""{"k": 1}""").as("props"))
+        // driver fixtures carry NTZ timestamps (and Spark round-trips
+        // them as such) — the planted rows must match the base dtype or
+        // the union coerces the whole column to tz-adjusted
+        .withColumn("ts", col("ts").cast(base.schema("ts").dataType))
+      base.unionByName(planted)
+    })
 
     lazy val docs = {
       val base = in("documents").crossJoin(broadcast(reps))

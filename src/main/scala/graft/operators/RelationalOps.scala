@@ -677,21 +677,35 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
-    // E9c: moment aggregates — avg/stddev/variance/correlation. Both
-    // engines merge partial co-moments in different orders, so results can
-    // differ in trailing ulps; round(6) makes the compare stable while
-    // keeping ~9 significant digits on these magnitudes (the exact-decimal
-    // route used for money sums has no analog for second moments).
+    // E9c: moment aggregates — avg/stddev/variance/correlation. Second
+    // moments: both engines merge partial co-moments in different orders,
+    // so results can differ in trailing ulps; round(6) makes the compare
+    // stable while keeping ~9 significant digits on these magnitudes (the
+    // exact-decimal route used for money sums has no analog for second
+    // moments, and their true values are irrational — a true 6-dp half is
+    // unreachable, so only the benign ulp-vs-boundary accident remains).
+    // The FIRST moment is different (r8, the event_interpolate lesson as a
+    // class): avg(value) is a RATIONAL of exact integers — cents/(100·n) —
+    // and a group whose true average lands on an exact 6-dp half makes
+    // round(double, 6) engine-dependent (RoundingBoundarySpec plants one).
+    // So avg_value rounds in integer space: round6(p/q) = (2p·10⁶+q) div
+    // (2q), DECIMAL(38,0) against Long overflow, one long→double at the
+    // end — never a rounded double.
     "agg_stats" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          round(avg(col("value")), 6).as("avg_value"),
+          (sum(Tables.dec(col("value"))) * 100)
+            .cast(DecimalType(38, 0)).as("sc"),
           round(stddev_samp(col("value")), 6).as("stddev_value"),
           round(var_pop(col("value")), 6).as("varp_value"),
           round(corr(col("value"), col("user_id").cast(DoubleType)), 6)
             .as("corr_value_user"))
+        .select(col("event_type"), col("n"),
+          (expr("(2 * sc * 10000 + n) div (2 * n)").cast(DoubleType) / 1e6)
+            .as("avg_value"),
+          col("stddev_value"), col("varp_value"), col("corr_value_user"))
         .orderBy("event_type")
     }),
 
@@ -1443,13 +1457,21 @@ object RelationalOps {
         |       arg_min(event_id, value * 100000000 + event_id) AS min_value_event,
         |       max(value) AS max_value, min(value) AS min_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // avg_value rounds in integer space — HUGEINT rational half-up, the
+    // event_interpolate discipline (see the query comment)
     "agg_stats" ->
-      """SELECT event_type, count(*) AS n,
-        |       round(avg(value), 6) AS avg_value,
-        |       round(stddev_samp(value), 6) AS stddev_value,
-        |       round(var_pop(value), 6) AS varp_value,
-        |       round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """SELECT event_type, n,
+        |       CAST((2 * sc * 10000 + n) // (2 * n) AS DOUBLE) / 1000000
+        |         AS avg_value,
+        |       stddev_value, varp_value, corr_value_user
+        |FROM (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sc,
+        |         round(stddev_samp(value), 6) AS stddev_value,
+        |         round(var_pop(value), 6) AS varp_value,
+        |         round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+        |  FROM events GROUP BY event_type)
+        |ORDER BY event_type""".stripMargin,
     "agg_bitwise" ->
       """SELECT event_type,
         |       bit_and(event_id) AS ids_and,

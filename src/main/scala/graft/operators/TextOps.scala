@@ -207,9 +207,13 @@ object TextOps {
         .agg(
           count(lit(1)).as("n_lines"),
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        // kept_frac is a RATIONAL of counts — round in integer space (the
+        // r8 RoundingBoundarySpec plants a 640-line doc whose true
+        // fraction is an exact 6-dp half, where round(double, 6) is
+        // engine-dependent; the event_interpolate discipline)
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
-          round(col("n_kept").cast(DoubleType) / col("n_lines"), 6)
-            .as("kept_frac"))
+          (expr("(2 * n_kept * 1000000 + n_lines) div (2 * n_lines)")
+            .cast(DoubleType) / 1e6).as("kept_frac"))
         .orderBy("doc_id")
     }),
 
@@ -285,8 +289,10 @@ object TextOps {
       lines.join(kept, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_lines"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        // integer-space round6, same as the window twin (see its comment)
         .withColumn("kept_frac",
-          round(col("n_kept").cast(DoubleType) / col("n_lines"), 6))
+          expr("(2 * n_kept * 1000000 + n_lines) div (2 * n_lines)")
+            .cast(DoubleType) / 1e6)
         .orderBy("doc_id")
     }),
 
@@ -356,10 +362,13 @@ object TextOps {
           concat_ws(" ", slice(col("tk"), (col("off") + 1L).cast(IntegerType),
             lit(lineW.toInt))).as("line"))
       val wl = Window.partitionBy("line").orderBy("doc_id", "off")
+      // integer counts, not a double ratio: the >= 0.5 gate is the exact
+      // 2·k >= n integer comparison and kept_frac rounds in integer space
+      // (the rational-round6 discipline — see pipeline_line_dedup)
       val keptFrac = lines.withColumn("rn", row_number().over(wl))
         .groupBy("doc_id")
-        .agg((sum(when(col("rn") === 1, 1.0).otherwise(0.0)) / count(lit(1)))
-          .as("kf"))
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("klt"),
+          count(lit(1)).as("nlt"))
       // stage 3: quality gate; stage 4: split
       val nTok = size(toks).cast(DoubleType)
       val stopRatio =
@@ -375,14 +384,16 @@ object TextOps {
       // discipline; measured 3.0 s → 0.5 s steady-state at sf0.1)
       val d3 = OpCache.cached(dir + "#e2e_d3",
         d1.join(keptFrac, Seq("doc_id"))
-          .filter(col("kf") >= 0.5)
+          .filter(col("klt") * 2 >= col("nlt"))
           .withColumn("quality", quality)
           .filter(col("quality") >= 0.75)
           .withColumn("split",
             when(Tables.splitHash(col("doc_id"), 100L) < 90, "train")
               .otherwise("holdout"))
           .select(col("doc_id"), col("source"), col("text"), col("split"),
-            col("quality"), round(col("kf"), 6).as("kept_frac"),
+            col("quality"),
+            (expr("(2 * klt * 1000000 + nlt) div (2 * nlt)")
+              .cast(DoubleType) / 1e6).as("kept_frac"),
             size(toks).cast(LongType).as("n_toks")))
       // stage 5: decontaminate train against the surviving holdout's grams.
       // Tokens materialize as a column BEFORE the gram lambda: slice(split
@@ -1095,8 +1106,9 @@ object TextOps {
         |  FROM c)
         |SELECT doc_id, count(*) AS n_lines,
         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |       round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |             / count(*), 6) AS kept_frac
+        |       CAST((2 * CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE)
+        |         / 1000000 AS kept_frac
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the skew-proof twin computes the identical keep-first result via the
     // associative min — the oracle states the same semantic with the same
@@ -1120,8 +1132,9 @@ object TextOps {
         |  FROM c)
         |SELECT doc_id, count(*) AS n_lines,
         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |       round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |             / count(*), 6) AS kept_frac
+        |       CAST((2 * CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |               * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE)
+        |         / 1000000 AS kept_frac
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_prepare_corpus" ->
       """WITH dedup AS (
@@ -1163,10 +1176,11 @@ object TextOps {
         |             row_number() OVER (PARTITION BY line ORDER BY doc_id, off) AS rn
         |      FROM c),
         |kf AS (SELECT doc_id,
-        |              sum(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END) / count(*) AS kf
+        |              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS klt,
+        |              count(*) AS nlt
         |       FROM r GROUP BY doc_id),
         |m AS (
-        |  SELECT d.doc_id, d.source, d.text, kf.kf,
+        |  SELECT d.doc_id, d.source, d.text, kf.klt, kf.nlt,
         |         len(tt) AS ntd,
         |         len(list_filter(tt, x -> x IN ('the','a','of','and','to')))::DOUBLE
         |           / len(tt) AS stop_ratio,
@@ -1174,9 +1188,11 @@ object TextOps {
         |  FROM (SELECT doc_id, source, text, string_split(text,' ') AS tt
         |        FROM dedup) d
         |  JOIN kf USING (doc_id)
-        |  WHERE kf.kf >= 0.5),
+        |  WHERE kf.klt * 2 >= kf.nlt),
         |scored AS (
-        |  SELECT doc_id, source, text, round(kf, 6) AS kept_frac,
+        |  SELECT doc_id, source, text,
+        |         CAST((2 * klt * 1000000 + nlt) // (2 * nlt) AS DOUBLE)
+        |           / 1000000 AS kept_frac,
         |         CAST(ntd AS BIGINT) AS n_toks,
         |         round((CASE WHEN ntd >= 20 THEN 0.5 ELSE 0.0 END
         |              + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END
