@@ -45,7 +45,8 @@ object SparkEntry {
     operators.MultimodalOps.queries ++
     operators.SqlOps.queries ++
     operators.EventOps.queries ++
-    operators.StatsOps.queries
+    operators.StatsOps.queries ++
+    operators.ComposedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -60,5 +61,6 @@ object SparkEntry {
     operators.MultimodalOps.oracle ++
     operators.SqlOps.oracle ++
     operators.EventOps.oracle ++
-    operators.StatsOps.oracle
+    operators.StatsOps.oracle ++
+    operators.ComposedOps.oracle
 }

@@ -38,7 +38,7 @@ object PipelineOps {
     * three queries share the sink, and an idempotent overwrite of identical
     * bytes would only re-measure the writer.
     */
-  private def writeSink(s: SparkSession, sfDir: String): String =
+  private[operators] def writeSink(s: SparkSession, sfDir: String): String =
     OpCache.once(sfDir + "#sink") {
       val out = scratch(sfDir, "events_by_date")
       val e = Tables.events(s, sfDir)
