@@ -710,6 +710,22 @@ object StatsOps {
     // literals on both engines (the textbook tail-saturation guard; the
     // clamp error is below the polynomial's own 1.5e-7 bound's effect on
     // the statistic at any realistic n).
+    // ORDER-FREE SUM (r8 — the sf100 sweep caught it): at n = 3.34M rows
+    // per day the raw double Σterm differs between Spark's partial-sum
+    // order and DuckDB's pairwise segment tree by more than the 6-dp
+    // output granularity (155998.309625 vs ...626). Per-row terms are
+    // identical doubles on both engines (same IEEE scalar tree), so the
+    // cure is to make the SUM order-independent, not more precise: each
+    // term is scaled by 10¹⁶ in double (exact-rounded, engine-identical)
+    // and cast to an INTEGER (DECIMAL(38,0) / HUGEINT) — the sum of
+    // integers is exact under any association — and the final
+    // A² = (−n²·10¹⁶ − S₀)/(n·10¹⁶) rounds to 6 dp in integer space
+    // (the event_interpolate recipe, half-away-from-zero on both
+    // engines). The only residual divergence is a term·10¹⁶ landing
+    // EXACTLY on .5 in double (Spark casts HALF_UP, DuckDB half-even):
+    // that needs the double to be odd/2¹⁷ after scaling — measure-zero
+    // for log-derived terms (< 2⁻³⁵ per row). Headroom: 2·S₀·10⁶ stays
+    // inside 38 digits up to n ≈ 10⁸ rows per day-group.
     "stat_anderson_darling" -> ((s, dir) => {
       val byDay = Window.partitionBy("day")
       val ord = Window.partitionBy("day").orderBy("value", "event_id")
@@ -722,14 +738,27 @@ object StatsOps {
         val erfc = poly * exp(-x * x)
         when(z >= 0, lit(1.0) - erfc / 2).otherwise(erfc / 2)
       }
+      // r8 (sf100): mu/sd were raw DOUBLE sums over the day — an
+      // accumulation-order ulp in mu shifts EVERY z coherently, so at
+      // n = 3.34M the statistic moved past the 6-dp grain. Cents are
+      // exact integers: mu and sd² are integer rationals, each converted
+      // to double ONCE (exact-rounded, engine-identical).
       Tables.events(s, dir)
         .select(to_date(col("ts")).as("day"), col("value"), col("event_id"))
+        .withColumn("c",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
         .withColumn("n", count(lit(1)).over(byDay))
-        .withColumn("mu", sum("value").over(byDay) / col("n"))
+        .withColumn("svc",
+          sum(col("c").cast(DecimalType(38, 0))).over(byDay))
+        .withColumn("sq4",
+          sum((col("c") * col("c")).cast(DecimalType(38, 0))).over(byDay))
+        .withColumn("mu",
+          col("svc").cast(DoubleType) / (lit(100.0) * col("n")))
         .withColumn("sd", sqrt(
-          (sum(col("value") * col("value")).over(byDay)
-            - sum("value").over(byDay) * sum("value").over(byDay) / col("n"))
-            / (col("n") - 1)))
+          (col("n").cast(DecimalType(38, 0)) * col("sq4")
+            - col("svc") * col("svc")).cast(DoubleType)
+            / (lit(10000L).cast(DecimalType(38, 0)) * col("n")
+              * (col("n") - 1)).cast(DoubleType)))
         .filter(col("n") > 7 && col("sd") > 0)
         .withColumn("i", row_number().over(ord))
         .withColumn("p", least(greatest(
@@ -739,9 +768,20 @@ object StatsOps {
           (lit(2.0) * col("i") - 1) * log(col("p"))
             + (lit(2.0) * col("n") - lit(2.0) * col("i") + 1)
               * log(lit(1.0) - col("p")))
+        .withColumn("term16",
+          (col("term") * lit(1e16)).cast(DecimalType(38, 0)))
         .groupBy("day")
-        .agg(max("n").as("n"),
-          round(-max("n") - sum("term") / max("n"), 6).as("a2_stat"))
+        .agg(max("n").as("n"), sum(col("term16")).as("s0"))
+        .withColumn("pnum",
+          (-col("n")).cast(DecimalType(38, 0)) * col("n")
+            * lit(10000000000000000L) - col("s0"))
+        .withColumn("den",
+          col("n").cast(DecimalType(38, 0)) * lit(10000000000000000L))
+        .withColumn("a2_stat",
+          when(col("pnum") >= 0,
+            expr("(2 * pnum * 1000000 + den) div (2 * den)"))
+            .otherwise(-expr("(2 * (-pnum) * 1000000 + den) div (2 * den)"))
+            .cast(DoubleType) / 1e6)
         .select(col("day"), col("n"), col("a2_stat"),
           (col("a2_stat") > 0.752).as("reject_normal"))
         .orderBy("day")
@@ -1503,16 +1543,21 @@ object StatsOps {
     // Abramowitz–Stegun erfc polynomial (stat_fdr_bh literals)
     "stat_anderson_darling" ->
       """WITH b AS (
-        |  SELECT CAST(ts AS DATE) AS day, value, event_id FROM events),
+        |  SELECT CAST(ts AS DATE) AS day, value, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
         |w AS (
         |  SELECT day, value, event_id,
         |         count(*) OVER d AS n,
-        |         sum(value) OVER d AS sv,
-        |         sum(value * value) OVER d AS sq
+        |         sum(CAST(c AS HUGEINT)) OVER d AS svc,
+        |         sum(CAST(c * c AS HUGEINT)) OVER d AS sq4
         |  FROM b WINDOW d AS (PARTITION BY day)),
         |z AS (
-        |  SELECT day, value, event_id, n, sv / n AS mu,
-        |         sqrt((sq - sv * sv / n) / (n - 1)) AS sd
+        |  SELECT day, value, event_id, n,
+        |         CAST(svc AS DOUBLE) / (100.0 * n) AS mu,
+        |         sqrt(CAST(n * sq4 - svc * svc AS DOUBLE)
+        |              / CAST(10000 * CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))
+        |           AS sd
         |  FROM w WHERE n > 7),
         |r AS (
         |  SELECT day, n,
@@ -1533,12 +1578,25 @@ object StatsOps {
         |              FROM (SELECT *, abs(zz) / sqrt(2e0) AS x FROM r)))),
         |g AS (
         |  SELECT day, CAST(max(n) AS BIGINT) AS n,
-        |         round(-max(n) - sum((2.0 * i - 1) * ln(p)
-        |                             + (2.0 * n - 2.0 * i + 1) * ln(1.0 - p))
-        |               / max(n), 6) AS a2_stat
-        |  FROM p GROUP BY day)
-        |SELECT day, n, a2_stat, a2_stat > 0.752 AS reject_normal
-        |FROM g ORDER BY day""".stripMargin,
+        |         sum(CAST(((2.0 * i - 1) * ln(p)
+        |                   + (2.0 * n - 2.0 * i + 1) * ln(1.0 - p))
+        |                  * 1e16 AS HUGEINT)) AS s0
+        |  FROM p GROUP BY day),
+        |f AS (
+        |  SELECT day, n,
+        |         -CAST(n AS HUGEINT) * n * 10000000000000000 - s0 AS pnum,
+        |         CAST(n AS HUGEINT) * 10000000000000000 AS den
+        |  FROM g)
+        |SELECT day, n,
+        |       CAST(CASE WHEN pnum >= 0
+        |                 THEN (2 * pnum * 1000000 + den) // (2 * den)
+        |                 ELSE -((2 * (-pnum) * 1000000 + den) // (2 * den))
+        |            END AS DOUBLE) / 1e6 AS a2_stat,
+        |       CAST(CASE WHEN pnum >= 0
+        |                 THEN (2 * pnum * 1000000 + den) // (2 * den)
+        |                 ELSE -((2 * (-pnum) * 1000000 + den) // (2 * den))
+        |            END AS DOUBLE) / 1e6 > 0.752 AS reject_normal
+        |FROM f ORDER BY day""".stripMargin,
     // same raw group sums as stat_anova; pairs from the tiny group table
     "stat_tukey_hsd" ->
       """WITH g AS (
