@@ -2352,7 +2352,7 @@ object EventOps {
          |         lag(repo) OVER (PARTITION BY user_id
          |                         ORDER BY ts, event_id) AS src
          |  FROM ev),
-         |edges AS (SELECT DISTINCT src, repo AS dst FROM tr
+         |edges AS MATERIALIZED (SELECT DISTINCT src, repo AS dst FROM tr
          |          WHERE src IS NOT NULL AND src <> repo),
          |nodes AS (SELECT DISTINCT repo FROM
          |          (SELECT src AS repo FROM edges UNION SELECT dst FROM edges)),
