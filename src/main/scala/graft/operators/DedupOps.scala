@@ -613,9 +613,13 @@ object DedupOps {
     * full shingle sets. A fragment, not a statement: interpolates after
     * `WITH [RECURSIVE]` and yields `pairs(a_id, b_id)`. Lines carry `|`
     * margins because every consumer runs stripMargin after interpolation.
+    * The multi-referenced CTEs are MATERIALIZED (r8): DuckDB inlines CTEs
+    * by default, so dedup_cluster_cc's recursive closure re-evaluated the
+    * whole candidate pipeline per recursion round — >900 s at sf10 where
+    * one materialized pass is ~8 min even thread-capped.
     */
   private val prefixPairsSql: String =
-    """sh AS (
+    """sh AS MATERIALIZED (
       |  SELECT doc_id, CASE WHEN len(toks) >= 3
       |           THEN list_distinct(list_transform(range(len(toks)-2),
       |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
@@ -623,7 +627,7 @@ object DedupOps {
       |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
       |posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS gg FROM sh),
       |dfreq AS (SELECT gg, count(*) AS dfc FROM posts GROUP BY gg),
-      |pfx AS (
+      |pfx AS MATERIALIZED (
       |  SELECT doc_id, n, gg FROM (
       |    SELECT posts.doc_id, posts.n, posts.gg,
       |           row_number() OVER (PARTITION BY posts.doc_id
@@ -635,7 +639,7 @@ object DedupOps {
       |  FROM pfx x JOIN pfx y ON x.gg = y.gg AND x.doc_id < y.doc_id
       |  WHERE x.n >= ceil(y.n * CAST(0.8 AS DOUBLE))
       |    AND y.n >= ceil(x.n * CAST(0.8 AS DOUBLE))),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a_id, b_id
       |  FROM cand JOIN sh a ON a.doc_id = cand.a_id
       |            JOIN sh b ON b.doc_id = cand.b_id
@@ -767,7 +771,7 @@ object DedupOps {
     // oracle never sees.
     "dedup_cluster_cc" ->
       s"""WITH RECURSIVE $prefixPairsSql,
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT a_id AS u, b_id AS v FROM pairs
         |  UNION SELECT b_id, a_id FROM pairs),
         |reach(u, v) AS (
