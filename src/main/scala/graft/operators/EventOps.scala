@@ -721,6 +721,46 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // ERROR-BOUND contract twin for the sketch ladder above (the
+    // agg_approx_distinct_bound discipline): the exact DAU/WAU/MAU arm is
+    // cross-engine verified, and the UNCHANGED sketch rollup — the SAME
+    // cached day partials, the SAME union-merge per trailing window — must
+    // land within 5% of it on EVERY day row at every decade (lgK = 12 ⇒
+    // 3σ ≈ 5%; estimates are pure functions of the day sets, so no
+    // flake). AnalyticsOpsSpec's one-shot ±5% pin becomes a swept,
+    // per-row, hash-gated contract.
+    "event_rolling_uniques_bound" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      def exactT(w: Int, name: String) = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), w - 1)))
+            .as("day"))
+        .groupBy("day")
+        .agg(countDistinct("user_id").as(name))
+      val partials = OpCache.cached(dir + "#hll_day_partials",
+        Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sketch")))
+      def approxT(w: Int, name: String) = partials
+        .select(col("sketch"),
+          explode(sequence(col("day"), date_add(col("day"), w - 1))).as("day"))
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as(name))
+      dau
+        .join(exactT(7, "wau7"), "day")
+        .join(exactT(28, "mau28"), "day")
+        .join(approxT(7, "wau7_est"), "day")
+        .join(approxT(28, "mau28_est"), "day")
+        .select(col("day"), col("dau"), col("wau7"), col("mau28"),
+          (abs(col("wau7_est").cast(DoubleType) / col("wau7") - 1.0)
+            <= 0.05).as("wau7_within"),
+          (abs(col("mau28_est").cast(DoubleType) / col("mau28") - 1.0)
+            <= 0.05).as("mau28_within"))
+        .orderBy("day")
+    }),
+
     // Longest activity streak per user — the classic gaps-and-islands
     // identity: on the distinct user-day table, (day − row_number) is
     // constant exactly within a run of consecutive days, so streaks fall
@@ -2728,6 +2768,24 @@ object EventOps {
         |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
         |  GROUP BY 1)
         |SELECT day, dau, wau7, mau28
+        |FROM dau JOIN w7 USING (day) JOIN w28 USING (day)
+        |ORDER BY day""".stripMargin,
+    // bound twin: the exact ladder is recomputed cross-engine; the sketch
+    // arm's verdicts are the documented 5% band (see the key comment)
+    "event_rolling_uniques_bound" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |w7 AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS wau7
+        |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1),
+        |w28 AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS mau28
+        |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+        |  GROUP BY 1)
+        |SELECT day, dau, wau7, mau28,
+        |       true AS wau7_within, true AS mau28_within
         |FROM dau JOIN w7 USING (day) JOIN w28 USING (day)
         |ORDER BY day""".stripMargin,
     "event_autocorrelation" ->

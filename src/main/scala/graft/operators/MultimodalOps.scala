@@ -252,6 +252,31 @@ object MultimodalOps {
     s.read.parquet(path).as[MediaRecord]
   }
 
+  /** 4×16-bit band equi-join + popcount verify over 64-bit aHashes — the
+    * image twin of dedup_simhash's banded candidate generation (pigeonhole:
+    * hamming ≤ 3 guarantees a shared band). Shared by multimodal_near_dup
+    * (perturbed-variant pairing, rows-only) and multimodal_near_dup_planted
+    * (the byte-identical planted contract, oracle-paired). The only shuffle
+    * is the band equi-join on a well-spread 16-bit key.
+    */
+  private def aHashPairs(hashes: DataFrame): DataFrame = {
+    val banded = hashes.select(col("img_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("img_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("left_id"), col("b.img_id").as("right_id"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast(LongType)
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Opaque binary payload + typed metadata, content-addressed: the
     // checkable half of the multimodal surface (byte length + SHA-256).
@@ -266,8 +291,16 @@ object MultimodalOps {
     }),
 
     // Decode → frame-sample (every 24th) → resize (224-wide) pipeline over
-    // REAL PNG/WAV bytes — deterministic but not SQL-expressible (JVM
-    // codecs) -> rows-only check.
+    // REAL PNG/WAV bytes. ORACLE-PAIRED: the codec work is JVM-only, but
+    // every OUTPUT column inverts the synthetic render formulas — PNG dims
+    // are (16 + id%32, 12 + id%24), WAV is (8000 Hz, 16-bit, 100 + n_chars
+    // %500 frames) — so DuckDB states the expected (width, height,
+    // kept_frames) per row from `documents` alone, and the whole render →
+    // PNG/WAV encode → store → ImageIO/RIFF decode → sample → resize chain
+    // must invert exactly at every scale. round() parity for the resize
+    // height was verified over the complete joint (w, h) lattice (96
+    // combos, period lcm(32,24)): Java floor(x+0.5) and DuckDB round()
+    // agree on every reachable cell.
     "multimodal_pipeline" -> ((s, dir) => {
       import s.implicits._
       val recs = mediaRecords(s, dir)
@@ -286,7 +319,8 @@ object MultimodalOps {
     // text, here driven by a JVM codec. The decode+hash side is a narrow
     // map; the only shuffle is the band equi-join on a well-spread 16-bit
     // key. Deterministic but JVM-codec-derived -> rows-only check; the
-    // original↔variant pairing is pinned exactly in NorthStarSpec.
+    // original↔variant pairing is pinned exactly in NorthStarSpec, and
+    // multimodal_near_dup_planted below is the oracle-paired contract twin.
     "multimodal_near_dup" -> ((s, dir) => {
       import s.implicits._
       // persisted: the band self-join references the hash table on BOTH
@@ -301,34 +335,80 @@ object MultimodalOps {
               (r.doc_id * 2 + 1) -> aHash(perturb(r.payload)))
           })
           .toDF("img_id", "ahash"))
-      val banded = hashes.select(col("img_id"), col("ahash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))
-              .as("key"))): _*)).as("bk"))
-        .select(col("img_id"), col("ahash"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.img_id") < col("b.img_id"))
-        .select(col("a.img_id").as("left_id"), col("b.img_id").as("right_id"),
-          bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast(LongType)
-            .as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("left_id", "right_id")
+      aHashPairs(hashes).orderBy("left_id", "right_id")
+    }),
+
+    // PLANTED CONTRACT for the image near-dup family (the dedup_minhash_
+    // planted discipline applied to pixels): byte-identical copies of every
+    // doc_id ≡ 0 (mod 10) PNG payload enter the UNCHANGED decode → aHash →
+    // band-join pipeline under ids minted ABOVE the natural img_id space
+    // (plantBase = 2·max(doc_id)+2 — natural ids are ≤ 2·max+1, so no
+    // corpus size can alias them; one scalar aggregate = bounded driver
+    // metadata). A byte-identical copy decodes to identical pixels, so its
+    // aHash is bit-equal and the hamming-0 pair (original, copy) MUST
+    // surface through the band join — a recall or determinism regression
+    // anywhere in decode/hash/banding flips a verdict to false and
+    // hash-fails the key. Copies (not perturbed variants) keep the verdict
+    // scale-independent: a one-pixel edit's hamming distance is
+    // data-dependent (pinned at spec scale in NorthStarSpec), a copy's is
+    // zero by construction at ANY scale.
+    "multimodal_near_dup_planted" -> ((s, dir) => {
+      import s.implicits._
+      val plantBase = Tables.documents(s, dir)
+        .agg(max(col("doc_id"))).head.getLong(0) * 2L + 2L
+      val natural = OpCache.cached(dir + "#ahash",
+        mediaRecords(s, dir)
+          .filter(col("doc_id") % 2 === 0)
+          .mapPartitions(_.flatMap { r =>
+            Seq(r.doc_id * 2 -> aHash(r.payload),
+              (r.doc_id * 2 + 1) -> aHash(perturb(r.payload)))
+          })
+          .toDF("img_id", "ahash"))
+      val planted = mediaRecords(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .mapPartitions(_.map(r => (r.doc_id * 2 + plantBase) -> aHash(r.payload)))
+        .toDF("img_id", "ahash")
+      val found = aHashPairs(natural.unionByName(planted))
+        .filter(col("hamming") === 0 && col("right_id") >= plantBase &&
+          col("left_id") === col("right_id") - plantBase)
+        .select(col("right_id").as("planted_id"))
+        .withColumn("hit", lit(true))
+      planted.select(col("img_id").as("planted_id"))
+        .join(found, Seq("planted_id"), "left")
+        .select(col("planted_id"), coalesce(col("hit"), lit(false)).as("hit"))
+        .orderBy("planted_id")
     }),
 
     // Feature extraction with the REAL decode: width/height/frames come
     // from ImageIO pixel decode (PNG rows) and RIFF header parse (WAV
-    // rows). Not SQL-expressible -> no oracle, rows-only check;
-    // NorthStarSpec pins the decoded values against the render formulas.
+    // rows). PNG byte_len is the encoder's compressed size — not
+    // SQL-expressible -> this key stays rows-only; NorthStarSpec pins the
+    // decoded values against the render formulas, and the
+    // multimodal_features_decoded twin below carries the oracle-paired
+    // version of every other column.
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val recs = mediaRecords(s, dir)
       extractFeatures(recs).toDF()
         .select(col("doc_id"), col("byte_len"), col("width").cast(LongType),
           col("height").cast(LongType), col("n_frames").cast(LongType), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // ORACLE-PAIRED twin of multimodal_features: drops the one column DuckDB
+    // cannot state (PNG byte_len — the encoder's compressed size) and keeps
+    // everything the render formulas determine: decoded dims/frames for both
+    // formats plus the WAV container size (44-byte header + 2 bytes/sample
+    // — exactly formula-expressible). The REAL decode still runs on every
+    // row; the oracle closes the loop the original key's rows-only check
+    // could not.
+    "multimodal_features_decoded" -> ((s, dir) => {
+      import s.implicits._
+      extractFeatures(mediaRecords(s, dir)).toDF()
+        .select(col("doc_id"), col("width").cast(LongType),
+          col("height").cast(LongType), col("n_frames").cast(LongType),
+          when(col("doc_id") % 2 === 1, col("byte_len")).as("wav_byte_len"),
+          col("source"))
         .orderBy("doc_id")
     }))
 
@@ -338,5 +418,39 @@ object MultimodalOps {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       sha256(text) AS digest,
         |       source
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the render-formula inversion (see the multimodal_pipeline key
+    // comment): PNG rows resize (16+id%32, 12+id%24) → 224-wide with Java
+    // floor(x+0.5) ≡ DuckDB round() on every reachable cell; WAV rows are
+    // 8000 Hz × 16-bit with 100 + n_chars%500 frames, kept every 24th
+    "multimodal_pipeline" ->
+      """SELECT doc_id,
+        |       CAST(224 AS BIGINT) AS width,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN GREATEST(1, CAST(round(
+        |                   CAST((12 + doc_id % 24) * 224 AS DOUBLE)
+        |                   / (16 + doc_id % 32)) AS BIGINT))
+        |            ELSE 1 END AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN 1
+        |            ELSE (100 + n_chars % 500 + 23) // 24 END AS kept_frames,
+        |       source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_features_decoded" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32
+        |            ELSE 8000 END AS width,
+        |       CASE WHEN doc_id % 2 = 0 THEN 12 + doc_id % 24
+        |            ELSE 16 END AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN 1
+        |            ELSE 100 + n_chars % 500 END AS n_frames,
+        |       CASE WHEN doc_id % 2 = 1
+        |            THEN 44 + 2 * (100 + n_chars % 500) END AS wav_byte_len,
+        |       source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_near_dup_planted" ->
+      """SELECT doc_id * 2 + 2 * (SELECT max(doc_id) FROM documents) + 2
+        |         AS planted_id,
+        |       true AS hit
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY planted_id""".stripMargin)
 }

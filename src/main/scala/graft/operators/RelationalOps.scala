@@ -489,6 +489,34 @@ object RelationalOps {
         .orderBy("event_type")
     }),
 
+    // EXACT-REGIME sweep twin for the approx-quantile family (the
+    // agg_theta_intersect_capped discipline): Greenwald-Khanna with
+    // relativeError ε guarantees rank error ≤ ε·n, so once the splitHash
+    // subsample keeps per-group n below 1/ε the permitted rank error is
+    // < 1 — i.e. ZERO — and approx_percentile must return EXACTLY the
+    // element at 1-indexed rank ceil(p·n), which DuckDB states with a
+    // row_number. m derives from the same integers in both engines (theta
+    // twin's formula; total kept ≈ 2000, ~400/group against ε⁻¹ = 100000 —
+    // a 250× margin no key-skew in the fixtures can erode). The p·n
+    // boundary is engine-safe: fractional parts of p·n are multiples of
+    // 0.01 ≥ 0.01, nine orders above double error, so ceil agrees. The
+    // count() is one bounded driver scalar (the documented collect
+    // exception class). The UNCHANGED distributed aggregate runs —
+    // including partial-summary merges across partitions, the 100-TB path.
+    "agg_quantile_capped" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val n = ev.count()
+      val q = (n + 1999L) / 2000L
+      val m = if (q <= 1L) 1L else java.lang.Long.highestOneBit(q - 1L) << 1
+      ev.filter(Tables.splitHash(col("event_id"), m) === 0L)
+        .groupBy("event_type")
+        .agg(
+          approx_percentile(col("value"), lit(0.5), lit(100000)).as("p50"),
+          approx_percentile(col("value"), lit(0.95), lit(100000)).as("p95"),
+          approx_percentile(col("value"), lit(0.99), lit(100000)).as("p99"))
+        .orderBy("event_type")
+    }),
+
     // E11b: heavy hitters per group via a mergeable SpaceSaving sketch
     // (functions/ApproxTopK — the ClickHouse topK analog): per-group state
     // is O(capacity) regardless of input cardinality, partials merge
@@ -640,6 +668,27 @@ object RelationalOps {
         .orderBy("l_returnflag")
     }),
 
+    // ERROR-BOUND contract twin for agg_approx_distinct: HLL++ has no
+    // exact regime (unlike theta ≤ k or GK at n < 1/ε), so the oracle-
+    // paired form is the bound itself — the exact arm is cross-engine
+    // verified (DuckDB recomputes count DISTINCT), and the estimate must
+    // sit within 3·rsd of it (rsd = 0.05 default ⇒ ±15%) for the row to
+    // hash-match the oracle's literal `true`. Deterministic at every
+    // decade: the estimate is a pure function of the input SET (register
+    // maxima — order- and merge-independent), so the verdict cannot
+    // flake. A sketch regression (hashing, bias correction, merge) walks
+    // the estimate out of the band and flips the row.
+    "agg_approx_distinct_bound" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("est"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("est").cast(DoubleType) / col("exact_parts") - 1.0)
+            <= 0.15).as("within_3rsd"))
+        .orderBy("l_returnflag")
+    }),
+
     // E11b: the two-level sketch rollup a 100-TB distinct-count MV needs —
     // day-level HLL partials (datasketches, serialized binary) merged with
     // hll_union_agg into the per-type total. The partials are reusable: any
@@ -654,6 +703,29 @@ object RelationalOps {
       partials
         .groupBy("event_type")
         .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // ERROR-BOUND contract twin for agg_hll_merge (same discipline as
+    // agg_approx_distinct_bound): the UNCHANGED two-level rollup runs —
+    // day-level datasketches partials, hll_union_agg merge — and the
+    // merged estimate must land within 5% of the exact per-type distinct
+    // (lgK = 12 ⇒ rse ≈ 1.04/√4096 ≈ 1.6%; 3σ ≈ 5%, the NorthStarSpec
+    // band, now swept at every decade instead of pinned once at spec
+    // scale). The exact arm is the cross-engine anchor.
+    "agg_hll_merge_bound" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val merged = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+      ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est").cast(DoubleType) / col("exact_users") - 1.0)
+            <= 0.05).as("merged_within_bound"))
         .orderBy("event_type")
     }),
 
@@ -789,6 +861,38 @@ object RelationalOps {
         .agg(base64(count_min_sketch(
           col("event_type"), lit(0.001), lit(0.99), lit(42))).as("sketch_b64"))
         .orderBy("day")
+    }),
+
+    // EXACT-DOMAIN sweep twin for the CMS family: a count-min estimate is
+    // exact whenever, in at least one of the depth rows, the queried key
+    // shares no cell with any other key present — and with the SAME eps/
+    // conf/seed as agg_count_min_sketch (width ≈ 2719, depth 5) over the
+    // ~5-value event_type enum, the cell map is fixed and collision-free
+    // at EVERY decade (the key set never grows with scale; a collision
+    // would fail the sf0.001 gate immediately and deterministically). So
+    // the UNCHANGED distributed sketch aggregation — including cross-
+    // partition merges — must reproduce the exact per-(day, type) counts
+    // DuckDB computes. The driver-side query step reads one sketch per day
+    // × one probe per enum value (bounded metadata, the documented collect
+    // exception class — ~150 KB/day; estimateCount is how any consumer
+    // reads a CMS MV).
+    "agg_cms_exact_domain" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val types = ev.select("event_type").distinct()
+        .as[String].collect().sorted
+      val days = ev
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count_min_sketch(
+          col("event_type"), lit(0.001), lit(0.99), lit(42)).as("sk"))
+        .collect()
+      val rows = days.flatMap { r =>
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk")))
+        types.map(t => (r.getDate(0), t, cms.estimateCount(t)))
+      }.toSeq
+      rows.toDF("day", "event_type", "est_n")
+        .orderBy("day", "event_type")
     }),
 
     // E12a: rollup with grouping_id; NULL group keys coalesced for ordering.
@@ -1232,6 +1336,45 @@ object RelationalOps {
         |       round(quantile_cont(value, 0.95), 4) AS p95,
         |       round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact-regime twin: the element at 1-indexed rank ceil(p·n) over the
+    // splitHash-subsampled per-group population (see the key comment; m
+    // derivation is the theta twin's — IEEE log2 exact at the only
+    // boundaries that matter, p·n fractional parts ≥ 0.01 so ceil agrees)
+    "agg_quantile_capped" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN q <= 1 THEN 1
+        |              ELSE CAST(power(2, ceil(log2(q))) AS BIGINT) END AS m
+        |  FROM (SELECT (count(*) + 1999) // 2000 AS q FROM events)),
+        |f AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events, m
+        |  WHERE ((event_id % 2147483648) * 2654435761) % m.m = 0)
+        |SELECT event_type,
+        |       max(CASE WHEN rk = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+        |                THEN value END) AS p50,
+        |       max(CASE WHEN rk = CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)
+        |                THEN value END) AS p95,
+        |       max(CASE WHEN rk = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
+        |                THEN value END) AS p99
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // bound twins: the exact arm is recomputed cross-engine; the estimate
+    // arm's verdict is the documented error band (see the key comments)
+    "agg_approx_distinct_bound" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       true AS within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_merge_bound" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       true AS merged_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact-domain twin: collision-free cells over the fixed enum make the
+    // CMS estimates equal the true counts at any scale (see the key comment)
+    "agg_cms_exact_domain" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS est_n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_grouping_id" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |       COALESCE(l_linestatus, 'ALL') AS status,
