@@ -45,11 +45,28 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.ui.enabled" -> "false")
 
+  /** Deployment-style conf overrides from the environment — the local-mode
+    * analog of spark-defaults.conf: `SPARK_GRAFT_CONF="k=v;k=v"` is applied
+    * LAST, so a harness (or a real deployment) can vary shuffle partition
+    * counts, input split sizes, AQE, etc. without code changes. The
+    * partition-invariance gate (tools/partition_invariance.py) drives
+    * Verify through this hook under adversarial partitioning and requires
+    * byte-identical results — the "1000 executors give the same answer"
+    * property as a harness, not a claim.
+    */
+  private def envConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(";")).flatMap {
+      kv => kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => Some(k.trim -> v.trim)
+        case _ => None
+      }
+    }
+
   /** local[cpus] builder with the engine confs applied; callers add their
     * surface-specific confs (output timestamp type, app name) on top.
     */
   def builder(cpus: String): SparkSession.Builder =
-    tuning.foldLeft(
+    (tuning ++ envConf).foldLeft(
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)) {

@@ -41,6 +41,14 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Effective layout confs, printed so a harness varying them through
+    // SPARK_GRAFT_CONF (tools/partition_invariance.py) can positively
+    // assert the override reached the session — a hook that silently fell
+    // off would make run B equal run A and the invariance gate vacuous.
+    System.err.println("[verify] effective shuffle.partitions=" +
+      spark.conf.get("spark.sql.shuffle.partitions") +
+      " files.maxPartitionBytes=" +
+      spark.conf.get("spark.sql.files.maxPartitionBytes"))
     new java.io.File(outDir).mkdirs()
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}

@@ -286,10 +286,33 @@ object DedupOps {
       val idxPosts = OpCache.cached(dir + "#inc_index",
         idx.select(col("doc_id").as("i_id"), size(col("sh")).as("i_n"),
           explode(col("sh")).as("g")))
+      // Index-side gram document frequency — at scale this table is part of
+      // the materialized index the ingest job already maintains (one row per
+      // distinct gram, ≪ postings).
+      val idxDf = OpCache.cached(dir + "#inc_index_df",
+        idxPosts.groupBy("g").agg(count(lit(1)).as("dfc")))
       val incPosts = inc.select(col("doc_id").as("d_id"),
         size(col("sh")).as("d_n"), explode(col("sh")).as("g"))
+      // Probe-side prefix filter (round 8, the sf10 lesson): for Jaccard
+      // ≥ 0.8 a probe doc with n grams has ≤ n − ceil(0.8n) grams the index
+      // doc lacks, so ANY subset of ⌊n − ceil(0.8n)⌋ + 1 probe grams must
+      // contain a shared one (pigeonhole — no order consistency with the
+      // index side is needed because the index keeps FULL postings). Keeping
+      // the RAREST grams (index df ascending; unseen grams df 0 join
+      // nothing) makes the prefix maximally selective: probe volume drops
+      // ~5× and the hot-boilerplate-gram × hot-gram candidate blowup — the
+      // quadratic term that made the full-posting probe superlinear per
+      // decade — is avoided entirely. Completeness is pinned against
+      // all-pairs truth in CandidateCompletenessSpec.
+      val probePfx = incPosts.join(idxDf, Seq("g"), "left")
+        .na.fill(0L, Seq("dfc"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("d_id").orderBy(col("dfc"), col("g"))))
+        .filter(col("rk") <= col("d_n") - ceil(col("d_n") * 0.8) + 1)
+        .select("d_id", "d_n", "g")
       // AllPairs length filter still applies across the two sides
-      val cand = incPosts.join(idxPosts, Seq("g"))
+      val cand = probePfx.join(idxPosts, Seq("g"))
         .filter(col("i_n") >= ceil(col("d_n") * 0.8) &&
           col("d_n") >= ceil(col("i_n") * 0.8))
         .select("d_id", "i_id").distinct()
@@ -727,21 +750,40 @@ object DedupOps {
     // length filter, then exact Jaccard on the full sets verifies. The
     // length filter uses the same IEEE-double ceil as the engine (see the
     // dedup_containment comment).
+    // PROBE-PREFIX oracle (round 8, the sf10 lesson): the probe side keeps
+    // only its ⌊n − ceil(0.8n)⌋ + 1 rarest grams (index df ascending,
+    // unseen grams first) before joining the FULL index postings —
+    // complete by pigeonhole for ANY gram subset of that size, so no order
+    // consistency with the engine (which ranks by shingle hash, not
+    // string) is required; independence from the engine's candidate set is
+    // pinned by CandidateCompletenessSpec's all-pairs cross-split truth.
+    // The full-posting × full-posting join this replaces timed out at sf10
+    // (boilerplate-gram × gram candidate blowup); the prefix probe sweeps.
     "dedup_incremental" ->
       """WITH d AS (
         |  SELECT *, ((doc_id % 2147483648) * 2654435761) % 100 >= 90 AS is_new FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id, is_new, CASE WHEN len(toks) >= 3
         |           THEN list_distinct(list_transform(range(len(toks)-2),
         |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
         |           ELSE [text] END AS g
         |  FROM (SELECT doc_id, is_new, text, string_split(text,' ') AS toks FROM d)),
-        |posts AS (SELECT doc_id, is_new, len(g) AS n, unnest(g) AS gg FROM sh),
+        |iposts AS MATERIALIZED (
+        |  SELECT doc_id, len(g) AS n, unnest(g) AS gg FROM sh WHERE NOT is_new),
+        |nposts AS (SELECT doc_id, len(g) AS n, unnest(g) AS gg FROM sh WHERE is_new),
+        |dfreq AS (SELECT gg, count(*) AS dfc FROM iposts GROUP BY gg),
+        |pfx AS (
+        |  SELECT doc_id, n, gg FROM (
+        |    SELECT np.doc_id, np.n, np.gg,
+        |           row_number() OVER (PARTITION BY np.doc_id
+        |                              ORDER BY coalesce(df.dfc, 0), np.gg) AS rk
+        |    FROM nposts np LEFT JOIN dfreq df USING (gg))
+        |  WHERE rk <= n - ceil(n * CAST(0.8 AS DOUBLE)) + 1),
         |cand AS (
-        |  SELECT DISTINCT n.doc_id AS d_id, i.doc_id AS i_id
-        |  FROM posts n JOIN posts i ON n.gg = i.gg AND n.is_new AND NOT i.is_new
-        |  WHERE i.n >= ceil(n.n * CAST(0.8 AS DOUBLE))
-        |    AND n.n >= ceil(i.n * CAST(0.8 AS DOUBLE))),
+        |  SELECT DISTINCT p.doc_id AS d_id, i.doc_id AS i_id
+        |  FROM pfx p JOIN iposts i ON p.gg = i.gg
+        |  WHERE i.n >= ceil(p.n * CAST(0.8 AS DOUBLE))
+        |    AND p.n >= ceil(i.n * CAST(0.8 AS DOUBLE))),
         |hits AS (
         |  SELECT DISTINCT d_id AS doc_id
         |  FROM cand JOIN sh a ON a.doc_id = cand.d_id
