@@ -56,28 +56,79 @@ def connect(sf_dir):
     return con
 
 
+# Above this many result rows the Python fetchall+norm compare dominates
+# the oracle budget (at sf10 json_nested_event's 20M-row result runs 61 s
+# in DuckDB but >900 s through fetchall), so the compare stays inside the
+# engine. The in-engine path checks MULTISET equality — the driver's own
+# semantics (sort rows, then hash) — instead of the small-result path's
+# stricter positional compare, which additionally pins Verify's dump order.
+BIG_RESULT_ROWS = 2_000_000
+
+
+def _big_compare(con, out_dir, name, sql, wcols, wtypes, gtypes):
+    """In-engine multiset compare for results too large to fetchall.
+
+    Only reached when every shared column is scalar (no LIST/STRUCT/MAP):
+    nested types would need element-wise zero-sign tagging, so they keep
+    the fetchall path. FLOAT/DOUBLE columns carry a `c = 0 AND signbit(c)`
+    tag column mirroring norm()'s -0.0 marker (the driver hashes raw bytes,
+    where -0.0 != +0.0). NaN needs no tag: DuckDB set ops use total
+    ordering, where NaN equals NaN — same as norm()'s "NaN" string."""
+    keys, sel = [], []
+    for c in wcols:
+        keys.append(f'"{c}"')
+        sel.append(f'"{c}"')
+        if wtypes.get(c) in ("FLOAT", "DOUBLE") or \
+           gtypes.get(c) in ("FLOAT", "DOUBLE"):
+            keys.append(f'"{c}__negz"')
+            sel.append(f'("{c}" = 0 AND signbit("{c}")) AS "{c}__negz"')
+
+    # One pass per side, one hash aggregate: +1/-1 weighted union — a
+    # group whose weights don't cancel is a multiset difference. A double
+    # EXCEPT ALL would evaluate each (potentially 60s+) side twice.
+    got_src = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+    diff = con.sql(
+        f"SELECT count(*) FROM ("
+        f"  SELECT {', '.join(keys)} FROM ("
+        f"    SELECT {', '.join(sel)}, 1 AS __side FROM ({sql})"
+        f"    UNION ALL"
+        f"    SELECT {', '.join(sel)}, -1 AS __side FROM ({got_src}))"
+        f"  GROUP BY {', '.join(keys)} HAVING sum(__side) <> 0)").fetchone()[0]
+    if diff:
+        return "fail", (f"multiset diff: {diff} distinct row groups differ "
+                        f"(in-engine compare)")
+    nrows = con.sql(f"SELECT count(*) FROM ({got_src})").fetchone()[0]
+    return "pass", f"{nrows} rows (in-engine multiset compare)"
+
+
 def compare_key(con, out_dir, name, sql):
     """Run one oracle SQL and compare with the Spark dump. Returns
     (status, detail): status in {"pass", "fail", "error"}."""
     try:
         want = con.sql(sql)
         wcols = sorted(want.columns)
-        wrows = [tuple(norm(r[want.columns.index(c)]) for c in wcols)
-                 for r in want.fetchall()]
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         gcols = sorted(got.columns)
-        grows = [tuple(norm(r[got.columns.index(c)]) for c in gcols)
-                 for r in got.fetchall()]
         wtypes = {c: str(t) for c, t in zip(want.columns, want.types)}
         gtypes = {c: str(t) for c, t in zip(got.columns, got.types)}
         dt = [f"{c}: spark={gtypes[c]} oracle={wtypes[c]}"
               for c in wcols if c in gtypes and gtypes[c] != wtypes[c]]
         if dt:
             print(f"WARN {name}: dtype drift — {'; '.join(dt)}")
+        if gcols != wcols:
+            return "fail", f"schema spark={gcols} oracle={wcols}"
+        n_got = con.sql(
+            f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+        scalar = all("[" not in t and "STRUCT" not in t and "MAP" not in t
+                     for t in list(wtypes.values()) + list(gtypes.values()))
+        if n_got > BIG_RESULT_ROWS and scalar:
+            return _big_compare(con, out_dir, name, sql, wcols, wtypes, gtypes)
+        wrows = [tuple(norm(r[want.columns.index(c)]) for c in wcols)
+                 for r in want.fetchall()]
+        grows = [tuple(norm(r[got.columns.index(c)]) for c in gcols)
+                 for r in got.fetchall()]
     except Exception as e:
         return "error", str(e)
-    if gcols != wcols:
-        return "fail", f"schema spark={gcols} oracle={wcols}"
     if len(grows) != len(wrows):
         return "fail", f"rows spark={len(grows)} oracle={len(wrows)}"
     if grows != wrows:
