@@ -138,6 +138,63 @@ def compare_key(con, out_dir, name, sql):
     return "pass", f"{len(grows)} rows"
 
 
+def selftest():
+    """Pin the in-engine compare's driver-parity semantics (run with
+    --selftest). These are the cases where an engine-level multiset
+    compare could silently diverge from norm()'s fetchall semantics:
+    -0.0 vs +0.0 must DIFFER (the driver hashes raw bytes), NaN must
+    equal NaN (DuckDB total ordering = norm()'s "NaN" string), duplicate
+    multiplicity must count, and a value/schema diff must fail."""
+    import shutil
+    import tempfile
+    global BIG_RESULT_ROWS
+    saved, BIG_RESULT_ROWS = BIG_RESULT_ROWS, 0  # force the in-engine path
+    tmp = tempfile.mkdtemp(prefix="verify-selftest-")
+    con = duckdb.connect()
+    fails = []
+
+    def case(label, dump_sql, oracle_sql, expect):
+        d = f"{tmp}/k"
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        con.sql(f"COPY ({dump_sql}) TO '{d}/part.parquet'")
+        status, detail = compare_key(con, tmp, "k", oracle_sql)
+        ok = status == expect
+        print(f"{'ok' if ok else 'SELFTEST FAIL'}: {label} -> "
+              f"{status} ({detail})")
+        if not ok:
+            fails.append(label)
+
+    case("identical rows pass",
+         "SELECT 1 AS id, 2.5::DOUBLE AS v",
+         "SELECT 1 AS id, 2.5::DOUBLE AS v", "pass")
+    case("-0.0 vs +0.0 differs",
+         "SELECT 1 AS id, -0.0::DOUBLE AS v",
+         "SELECT 1 AS id, 0.0::DOUBLE AS v", "fail")
+    case("-0.0 vs -0.0 passes",
+         "SELECT 1 AS id, -0.0::DOUBLE AS v",
+         "SELECT 1 AS id, -0.0::DOUBLE AS v", "pass")
+    case("NaN equals NaN",
+         "SELECT 1 AS id, 'NaN'::DOUBLE AS v",
+         "SELECT 1 AS id, 'NaN'::DOUBLE AS v", "pass")
+    case("duplicate multiplicity counts",
+         "SELECT 7 AS id FROM range(3)",
+         "SELECT 7 AS id FROM range(2)", "fail")
+    case("value diff fails",
+         "SELECT range AS id FROM range(10)",
+         "SELECT range + (range = 9)::INT AS id FROM range(10)", "fail")
+    case("schema diff fails",
+         "SELECT 1 AS id",
+         "SELECT 1 AS wrong", "fail")
+    case("NULL equals NULL",
+         "SELECT 1 AS id, NULL::DOUBLE AS v",
+         "SELECT 1 AS id, NULL::DOUBLE AS v", "pass")
+    BIG_RESULT_ROWS = saved
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(f"== selftest {'PASS' if not fails else 'FAIL: ' + str(fails)} ==")
+    return 1 if fails else 0
+
+
 def main(sf_dir, out_dir, skip=(), only=None, json_out=None):
     con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -185,4 +242,6 @@ if __name__ == "__main__":
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if "--selftest" in args:
+        sys.exit(selftest())
     sys.exit(main(args[0], args[1], skip, only, json_out))
