@@ -46,8 +46,29 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def in(name: String): DataFrame = spark.read.parquet(s"$inDir/$name.parquet")
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // Scaled tables MUST be written as multiple files: the driver fixtures
+    // are single-file/single-row-group, and crossJoin(broadcast(reps))
+    // preserves that 1-partition layout, so a decade table written as-is
+    // is ONE file with ONE row group — unsplittable, every scan a single
+    // task. The r8 sf10 bench ramp caught this as apparent 17-24x
+    // per-decade "superlinearity" on the map-heavy text keys: they were
+    // measuring a 1-core scan, the exact anti-pattern the engine's own
+    // scale dossier warns about. Hash-distributing on the table's id key
+    // is deterministic (same rows -> same file) and gives
+    // max(cores, replicas) splits, capped so per-file size stays sane.
+    val distKey = Map(
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    def write(df: DataFrame, name: String, scaled: Boolean = true): Unit = {
+      val parts = math.min(200,
+        math.max(spark.sparkContext.defaultParallelism, replicas))
+      val out = distKey.get(name).filter(_ => scaled)
+        .map(k => df.repartition(parts, col(k)))
+        .getOrElse(df)
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
 
     // one row per replica index, cross-joined in (broadcast — tiny)
     val reps = spark.range(replicas).select(col("id").as("rep"))
@@ -95,7 +116,7 @@ object GenScale {
     val HotLine = (1 to 12).map(i => s"boiler$i").mkString(" ")
     def writeIf(name: String)(df: => DataFrame): Unit =
       if (only.contains(name)) write(df, name)
-      else write(in(name), name) // base-scale copy-through
+      else write(in(name), name, scaled = false) // base-scale copy-through
 
     writeIf("region")(in("region"))
     writeIf("nation")(in("nation"))
