@@ -57,7 +57,9 @@ object GraftSession {
   private def envConf: Seq[(String, String)] =
     sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(";")).flatMap {
       kv => kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => Some(k.trim -> v.trim)
+        // trim BEFORE the guard: a malformed entry like " =v" must be
+        // skipped, not applied as an empty-key conf (ADVICE r8)
+        case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
         case _ => None
       }
     }

@@ -61,7 +61,17 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "10000").toInt
-    val spark = GraftSession.builder(cpus).getOrCreate()
+    // State-store provider knob (VERDICT r8 ask #5): the default HDFS-backed
+    // store keeps the full state map on-heap per partition — fine at sf1
+    // key cardinality, the thing to measure at 10× keys; "rocksdb" switches
+    // to the incremental-checkpointing off-heap provider a production
+    // deployment would run at large state. One JVM per provider run.
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STREAM_PROVIDER", "hdfs")
+    val builder = GraftSession.builder(cpus)
+    if (provider == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -109,21 +119,37 @@ object StreamBench {
       stats(q, n.toLong + replayTail.size, sec)
     }
 
-    // -- stage 2: streaming as-of (G7/G9) ---------------------------------
+    // -- stage 2: streaming as-of (G7/G9), with a mid-stream kill-rebuild --
+    // The query checkpoints; after the first half of the feed it is STOPPED
+    // and rebuilt from the checkpoint (the G9 crash-recovery seam, here as
+    // a timed measurement): recovery_sec is start() -> offsets reconciled +
+    // state store loaded (one empty processAllAvailable), i.e. the time a
+    // production restart pays before serving — the number that separates
+    // the on-heap HDFS store (rebuilds state from the delta files) from
+    // RocksDB (loads SST snapshots + incremental changelog).
     val tuples = events.map(r =>
       (r.getLong(2), r.getString(3), r.getLong(0), r.getTimestamp(1)))
-    val asofStats = {
+    val (asofStats, recoverySec) = {
       val mem = MemoryStream[(Long, String, Long, Timestamp)]
-      val q = graft.streaming.StateOps.streamingAsOf(
+      val ckpt = Files.createTempDirectory("graft-sbench-asof-ckpt-").toString
+      def start() = graft.streaming.StateOps.streamingAsOf(
           mem.toDF().toDF("user_id", "event_type", "event_id", "ts")
             .as[(Long, String, Long, Timestamp)])
-        .writeStream.format("noop")
+        .writeStream.format("noop").option("checkpointLocation", ckpt)
         .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
-      val (_, sec) = timed {
-        try drain(q, chunks(tuples.toSeq).map(c => () => { mem.addData(c); () }))
-        finally q.stop()
+      val feed = chunks(tuples.toSeq).map(c => () => { mem.addData(c); () }).toSeq
+      val (half1, half2) = feed.splitAt(feed.size / 2)
+      val q1 = start()
+      val (_, sec1) = timed {
+        try drain(q1, half1.iterator) finally q1.stop()
       }
-      stats(q, n.toLong, sec)
+      val (q2, recSec) = timed { val q = start(); q.processAllAvailable(); q }
+      val (_, sec2) = timed {
+        try drain(q2, half2.iterator) finally q2.stop()
+      }
+      // rows/s over both halves; state/latency stats from the longer second
+      // run (recovery excluded from the throughput denominator)
+      (stats(q2, n.toLong, sec1 + sec2), math.round(recSec * 10) / 10.0)
     }
 
     // -- stage 3: sketch-MV partials + compaction (G10/K8) ----------------
@@ -151,8 +177,10 @@ object StreamBench {
         f""""mean_batch_ms": ${s.meanBatchMs}, "state_rows": ${s.stateRows}}"""
     val out =
       s"""{"metric": "stream_bench", "sf_dir": "$sfDir", "batch_rows": $batchRows,
+         | "state_store_provider": "$provider",
          | "reference": {"insert_batch_rows": 10000, "queue_depth": 5, "poll_page": 100},
          | "ingest": ${js(ingestStats)},
+         | "asof_recovery_sec": $recoverySec,
          | "asof": ${js(asofStats)},
          | "sketch_mv": ${js(sketchStats)},
          | "sketch_compaction": {"partials_before": $partialsBefore,

@@ -24,6 +24,40 @@ object OpCache {
     s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${h}_p${ProcessHandle.current().pid()}"
   }
 
+  /** Content fingerprint of the data dir a memo key points at (file count,
+    * max mtime, total bytes — one local listing, no data read). Folded into
+    * every effective cache key so an IN-PLACE rewrite of the dir serves
+    * fresh artifacts instead of stale memos (VERDICT r8 watch item #2: the
+    * dir+tag key was correct only under a fresh-dir-per-scale protocol;
+    * this removes the protocol assumption). Keys carry the dir before the
+    * first '#'; non-dir keys (already content-addressed, e.g. SimOps'
+    * hashed cache names) fingerprint as "nofs" — unchanged behavior. On an
+    * object store a listing is a real RPC — there this walk would be the
+    * table snapshot id; locally it is microseconds per call.
+    */
+  private def fingerprint(dir: String): String = {
+    val root = new java.io.File(dir)
+    if (!root.isDirectory) "nofs"
+    else {
+      var n = 0L; var maxM = 0L; var bytes = 0L
+      def visit(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach { c =>
+          if (c.isDirectory) visit(c)
+          else {
+            n += 1; bytes += c.length()
+            if (c.lastModified() > maxM) maxM = c.lastModified()
+          }
+        }
+      }
+      visit(root)
+      s"n${n}m${maxM}b$bytes"
+    }
+  }
+
+  private def contentKey(key: String): String =
+    key + "@" + fingerprint(key.takeWhile(_ != '#'))
+
   /** Persist `df` (memory+disk, spillable) the first time `key` is seen.
     * Synchronized, not a lock-free map: `getOrElseUpdate` on a concurrent
     * map may evaluate the thunk twice under a first-access race, which here
@@ -33,10 +67,11 @@ object OpCache {
     * a dead context.
     */
   def cached(key: String, df: => DataFrame): DataFrame = synchronized {
-    frames.get(key).filter(!_.sparkSession.sparkContext.isStopped)
+    val ck = contentKey(key)
+    frames.get(ck).filter(!_.sparkSession.sparkContext.isStopped)
       .getOrElse {
         val fresh = df.persist(StorageLevel.MEMORY_AND_DISK)
-        frames.put(key, fresh)
+        frames.put(ck, fresh)
         fresh
       }
   }
@@ -46,7 +81,7 @@ object OpCache {
     * racing the same sink write would commit into one directory.
     */
   def once(key: String)(make: => String): String = synchronized {
-    actions.getOrElseUpdate(key, make)
+    actions.getOrElseUpdate(contentKey(key), make)
   }
 
   /** Drop every memo and unpersist the cached frames (library hygiene for

@@ -886,6 +886,20 @@ object RelationalOps {
         .agg(count_min_sketch(
           col("event_type"), lit(0.001), lit(0.99), lit(42)).as("sk"))
         .collect()
+      // The day-partial collect is bounded by RETENTION, not data volume
+      // (~150 KB/sketch at eps=0.001) — but retention is a deployment
+      // knob, so the bound is enforced, not assumed (VERDICT r8 ask #8,
+      // same discipline as the range-join band guard): past the cap this
+      // fails with a named error instead of silently ballooning the
+      // driver heap. `graft.cms.maxDays` raises it for long archives —
+      // 2000 days ≈ 5.5 years ≈ 300 MB driver-side, comfortable anywhere.
+      val maxDays = s.conf.getOption("graft.cms.maxDays").map(_.toInt)
+        .getOrElse(2000)
+      require(days.length <= maxDays,
+        s"agg_cms_exact_domain: ${days.length} day sketches exceed the " +
+        s"driver-collect cap $maxDays (~150 KB each). Raise " +
+        "graft.cms.maxDays, narrow the day range, or aggregate the probe " +
+        "in-plan.")
       val rows = days.flatMap { r =>
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk")))

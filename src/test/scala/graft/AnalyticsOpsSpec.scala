@@ -259,6 +259,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_cms_exact_domain: day-sketch collect cap fails loudly, not OOM") {
+    // VERDICT r8 ask #8: the per-day sketch collect is bounded by
+    // retention, and retention is a deployment knob — so the bound is a
+    // named guard (like the range-join band guard), raisable via conf
+    spark.conf.set("graft.cms.maxDays", "1")
+    try {
+      val e = intercept[IllegalArgumentException](
+        SparkEntry.queries("agg_cms_exact_domain")(spark, sf).collect())
+      assert(e.getMessage.contains("agg_cms_exact_domain"))
+      assert(e.getMessage.contains("graft.cms.maxDays"))
+    } finally spark.conf.unset("graft.cms.maxDays")
+    // and the default cap admits the archive's day range
+    assert(SparkEntry.queries("agg_cms_exact_domain")(spark, sf)
+      .collect().nonEmpty)
+  }
+
   test("dedup_containment finds asymmetric overlap symmetric Jaccard misses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-contain-").toString

@@ -98,7 +98,28 @@ def _big_compare(con, out_dir, name, sql, wcols, wtypes, gtypes):
         return "fail", (f"multiset diff: {diff} distinct row groups differ "
                         f"(in-engine compare)")
     nrows = con.sql(f"SELECT count(*) FROM ({got_src})").fetchone()[0]
-    return "pass", f"{nrows} rows (in-engine multiset compare)"
+    # ADVICE r8: the multiset pass drops the positional check the small
+    # path enforces, so a big key whose total ORDER BY regressed would
+    # still pass local verify. Spot-check order on the head and tail: the
+    # dump glob preserves file/row order (DuckDB preserve_insertion_order,
+    # part files name-sorted = Spark's ordered output partitions) and the
+    # oracle's LIMIT/OFFSET applies after its ORDER BY. Costs up to two
+    # extra oracle executions — only on >2M-row keys, documented here.
+    spot = 1000
+    for label, offset in (("head", 0), ("tail", max(0, nrows - spot))):
+        for side, src in (("spark", got_src), ("oracle", sql)):
+            rel = con.sql(f"SELECT * FROM ({src}) LIMIT {spot} OFFSET {offset}")
+            idx = [rel.columns.index(c) for c in wcols]
+            rows = [tuple(norm(r[i]) for i in idx) for r in rel.fetchall()]
+            if side == "spark":
+                grows = rows
+            elif grows != rows:
+                bad = next(i for i, (g, w) in enumerate(zip(grows, rows))
+                           if g != w)
+                return "fail", (f"multiset equal but {label} ORDER differs "
+                                f"at row {offset + bad}: spark={grows[bad]} "
+                                f"oracle={rows[bad]}")
+    return "pass", f"{nrows} rows (in-engine multiset + head/tail order)"
 
 
 def compare_key(con, out_dir, name, sql):
@@ -123,6 +144,17 @@ def compare_key(con, out_dir, name, sql):
                      for t in list(wtypes.values()) + list(gtypes.values()))
         if n_got > BIG_RESULT_ROWS and scalar:
             return _big_compare(con, out_dir, name, sql, wcols, wtypes, gtypes)
+        if scalar:
+            # ADVICE r8: probe the oracle count BEFORE any fetchall — if a
+            # regression makes the engine emit few rows on a big-result
+            # key, the old routing (gated on n_got alone) dragged the full
+            # oracle result through Python and timed out as 'error' instead
+            # of failing fast. A count mismatch is also a complete verdict
+            # on its own. Costs one count-only oracle execution per scalar
+            # key (cheap relative to fetchall; bounded by the sweep budget).
+            n_want = con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+            if n_want != n_got:
+                return "fail", f"rows spark={n_got} oracle={n_want}"
         wrows = [tuple(norm(r[want.columns.index(c)]) for c in wcols)
                  for r in want.fetchall()]
         grows = [tuple(norm(r[got.columns.index(c)]) for c in gcols)
@@ -189,6 +221,17 @@ def selftest():
     case("NULL equals NULL",
          "SELECT 1 AS id, NULL::DOUBLE AS v",
          "SELECT 1 AS id, NULL::DOUBLE AS v", "pass")
+    # ADVICE r8: an order regression on a big key must be caught by the
+    # head/tail spot-check even though the multiset matches
+    case("order diff on big key fails (head/tail spot-check)",
+         "SELECT range AS id FROM range(10) ORDER BY id DESC",
+         "SELECT range AS id FROM range(10) ORDER BY id", "fail")
+    # ADVICE r8: small dump + big oracle routes through the count probe and
+    # fails fast on the count, never materializing the oracle in Python
+    BIG_RESULT_ROWS = 10**9
+    case("count mismatch fails fast via the oracle count probe",
+         "SELECT 1 AS id",
+         "SELECT range AS id FROM range(5)", "fail")
     BIG_RESULT_ROWS = saved
     shutil.rmtree(tmp, ignore_errors=True)
     print(f"== selftest {'PASS' if not fails else 'FAIL: ' + str(fails)} ==")
