@@ -747,16 +747,23 @@ object StatsOps {
         .select(to_date(col("ts")).as("day"), col("value"), col("event_id"))
         .withColumn("c",
           (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+        // r9 (driver-bench triage): the day moments accumulate as LONG, not
+        // DECIMAL(38,0) — the sums are exact integers either way (identical
+        // values, same order-independence), but decimal window aggregation
+        // was the dominant cost of the r8 order-free rewrite (0.58 -> 1.46 s
+        // at sf0.1). Headroom: Σc ≤ n·10⁵, Σc² ≤ n·10¹⁰ — inside Long to
+        // n ≈ 10⁸ rows/day-group (the same bound as the 38-digit term sum);
+        // ANSI mode raises on overflow rather than wrapping. Only the
+        // (n·Σc² − (Σc)²) cross term still widens to DECIMAL before the
+        // one exact-rounded conversion to double.
         .withColumn("n", count(lit(1)).over(byDay))
-        .withColumn("svc",
-          sum(col("c").cast(DecimalType(38, 0))).over(byDay))
-        .withColumn("sq4",
-          sum((col("c") * col("c")).cast(DecimalType(38, 0))).over(byDay))
+        .withColumn("svc", sum(col("c")).over(byDay))
+        .withColumn("sq4", sum(col("c") * col("c")).over(byDay))
         .withColumn("mu",
           col("svc").cast(DoubleType) / (lit(100.0) * col("n")))
         .withColumn("sd", sqrt(
           (col("n").cast(DecimalType(38, 0)) * col("sq4")
-            - col("svc") * col("svc")).cast(DoubleType)
+            - col("svc").cast(DecimalType(38, 0)) * col("svc")).cast(DoubleType)
             / (lit(10000L).cast(DecimalType(38, 0)) * col("n")
               * (col("n") - 1)).cast(DoubleType)))
         .filter(col("n") > 7 && col("sd") > 0)
