@@ -521,24 +521,30 @@ object EventOps {
 
     // Bollinger bands over each user's value series — rolling 20-row
     // mean ± 2σ with breakout flags (the volatility-band monitor every
-    // metrics console ships). Raw-sum formulation inside the frame
-    // (Σv, Σv² → sample sd), never a windowed stddev built-in, because
-    // the two engines' frame accumulators differ (segment tree vs
-    // recompute) — round(6) on the bands absorbs the ulp-level
-    // difference and the breakout compares against the ROUNDED bands on
-    // both sides. One user_id exchange; partial leading frames are
+    // metrics console ships). The frame moments are EXACT INTEGER CENT
+    // sums (r9 — the halfcell sweep caught the raw-double form: a
+    // constant-value window has true σ = 0, and double cancellation in
+    // Σv² − (Σv)²/n lands an ulp NEGATIVE — DuckDB's sqrt raises, Spark
+    // silently NaNs; and even clamped, the two engines' ±1e-10 residuals
+    // differ at round(6) after the sqrt). With cents, the variance
+    // numerator n·Σc² − (Σc)² is an exact integer, ≥ 0 by Cauchy–Schwarz
+    // — identical doubles on both engines by the same scalar tree, no
+    // clamp needed. One user_id exchange; partial leading frames are
     // dropped (rn ≥ 20) so every band is a full-window statistic.
     "window_bollinger" -> ((s, dir) => {
       val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val w20 = ord.rowsBetween(-19, 0)
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("c", (Tables.dec(col("value")) * 100).cast(LongType))
         .withColumn("rn", row_number().over(ord))
-        .withColumn("s", sum("value").over(w20))
-        .withColumn("q", sum(col("value") * col("value")).over(w20))
+        .withColumn("s", sum("c").over(w20))
+        .withColumn("q", sum(col("c") * col("c")).over(w20))
         .filter(col("rn") >= 20)
-        .withColumn("mean", col("s") / 20)
-        .withColumn("sd", sqrt((col("q") - col("s") * col("s") / 20) / 19))
+        .withColumn("mean", col("s").cast(DoubleType) / 2000.0)
+        .withColumn("sd", sqrt(
+          (lit(20L) * col("q") - col("s") * col("s")).cast(DoubleType)
+            / lit(3800000.0))) // 10⁴ · 20 · 19
         .select(col("user_id"), col("event_id"), col("value"),
           round(col("mean"), 6).as("mid"),
           round(col("mean") + lit(2.0) * col("sd"), 6).as("upper"),
@@ -1082,17 +1088,28 @@ object EventOps {
       // (sequential here, pairwise segment-tree in DuckDB). Both identities
       // are algebra, not approximation; every double below derives from
       // bit-identical inputs by the same scalar tree.
-      val sDec = sum(Tables.dec(col("value"))).over(p).cast(DoubleType)
-      val qDec = sum((col("value") * col("value")).cast("decimal(28,4)"))
-        .over(p).cast(DoubleType)
+      // r9 (halfcell sweep): σ from EXACT INTEGER CENT moments — the
+      // decimal-sums-cast-to-double form still computed s²/n in double,
+      // so a CONSTANT value series (true σ = 0, exactly the planted
+      // halfcell users) could land the variance an ulp negative (DuckDB
+      // sqrt raises, Spark NaNs). n·Σc² − (Σc)² in integers is exact and
+      // ≥ 0 by Cauchy–Schwarz; the cross term widens to DECIMAL(38,0)
+      // (n·Σc² can pass Long at ~10⁸ rows/user; ANSI raises far earlier
+      // on the Long Σc² itself — fail-loud, never wrap).
+      val cents = (Tables.dec(col("value")) * 100).cast(LongType)
       val base = Tables.events(s, dir)
+        .withColumn("c", cents)
         .withColumn("n", count(lit(1)).over(p))
         .filter(col("n") > 1)
-        .withColumn("mu", sDec / col("n"))
+        .withColumn("sc", sum(col("c")).over(p))
+        .withColumn("q4", sum(col("c") * col("c")).over(p))
+        .withColumn("mu", col("sc").cast(DoubleType) / (lit(100.0) * col("n")))
         .withColumn("sd", sqrt(
-          (qDec - sDec * sDec / col("n")) / (col("n") - 1)))
+          (col("n").cast(DecimalType(38, 0)) * col("q4")
+            - col("sc").cast(DecimalType(38, 0)) * col("sc")).cast(DoubleType)
+            / (lit(10000.0) * col("n") * (col("n") - 1))))
         .withColumn("cum",
-          sum(Tables.dec(col("value"))).over(cumW).cast(DoubleType)
+          sum(col("c")).over(cumW).cast(DoubleType) / 100.0
             - row_number().over(o).cast(DoubleType) * col("mu"))
         // the running min must include the EMPTY prefix (cum_0 = 0), or an
         // all-positive drift series never resets to the textbook s_1
@@ -2659,19 +2676,25 @@ object EventOps {
         |       abs(round((d2.n - mu) / sd, 6)) > 2.0 AS is_anomaly
         |FROM d2 JOIN p2 USING (event_type, dow)
         |ORDER BY event_type, day""".stripMargin,
+    // r9: frame moments in exact integer cents (halfcell class — see the
+    // engine comment): n·Σc² − (Σc)² is exact and >= 0, so a constant
+    // window yields σ = 0 on both engines instead of sqrt(-ulp).
     "window_bollinger" ->
       """WITH b AS (
         |  SELECT user_id, event_id, value,
         |         row_number() OVER w AS rn,
-        |         sum(value) OVER w20 AS s,
-        |         sum(value * value) OVER w20 AS q
+        |         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           OVER w20 AS s,
+        |         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |           OVER w20 AS q
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
         |         w20 AS (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
         |m AS (
-        |  SELECT user_id, event_id, value, s / 20 AS mean,
-        |         sqrt((q - s * s / 20) / 19) AS sd
+        |  SELECT user_id, event_id, value, CAST(s AS DOUBLE) / 2000 AS mean,
+        |         sqrt(CAST(20 * q - s * s AS DOUBLE) / 3800000) AS sd
         |  FROM b WHERE rn >= 20),
         |r AS (
         |  SELECT user_id, event_id, value,
@@ -2909,24 +2932,30 @@ object EventOps {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
         |       CAST(sum(epoch_us(is_e) - epoch_us(is_s)) AS BIGINT) AS covered_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // r9: whole-partition moments in exact integer cents (halfcell class —
+    // see the engine comment): the variance numerator n·Σc² − (Σc)² is an
+    // exact HUGEINT >= 0, never sqrt(-ulp) on a constant series.
     "event_cusum" ->
       """WITH b AS (
         |  SELECT user_id, ts, event_id, value,
         |         count(*) OVER (PARTITION BY user_id) AS n,
-        |         CAST(sum(CAST(value AS DECIMAL(18,2)))
-        |              OVER (PARTITION BY user_id) AS DOUBLE) AS s,
-        |         CAST(sum(CAST(value * value AS DECIMAL(28,4)))
-        |              OVER (PARTITION BY user_id) AS DOUBLE) AS q
+        |         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |              OVER (PARTITION BY user_id) AS sc,
+        |         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |             * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |              OVER (PARTITION BY user_id) AS q4
         |  FROM events),
         |c AS (
-        |  SELECT user_id, ts, event_id, value, n, s / n AS mu,
-        |         sqrt((q - s * s / n) / (n - 1)) AS sd
+        |  SELECT user_id, ts, event_id, value, n,
+        |         CAST(sc AS DOUBLE) / (100.0 * n) AS mu,
+        |         sqrt(CAST(n * q4 - sc * sc AS DOUBLE)
+        |              / (10000.0 * n * (n - 1))) AS sd
         |  FROM b WHERE n > 1),
         |d AS (
         |  SELECT user_id, ts, event_id, sd,
-        |         CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
         |              OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
         |         - CAST(row_number() OVER (PARTITION BY user_id
         |                    ORDER BY ts, event_id) AS DOUBLE) * mu AS cum
         |  FROM c),
