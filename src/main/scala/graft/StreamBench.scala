@@ -36,12 +36,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamBench {
 
   private case class StageStats(rows: Long, batches: Int, sec: Double,
-                                stateRows: Long, meanBatchMs: Double)
+                                stateRows: Long, meanBatchMs: Double,
+                                breakdown: String)
 
   private def drain(q: StreamingQuery, feed: Iterator[() => Unit]): Unit =
     feed.foreach { add => add(); q.processAllAvailable() }
 
   private def stats(q: StreamingQuery, rows: Long, sec: Double): StageStats = {
+    import scala.jdk.CollectionConverters._
     val progress = q.recentProgress.toSeq
     val withData = progress.filter(_.numInputRows > 0)
     // PEAK state footprint, not the final snapshot — watermark/idle-gap
@@ -49,12 +51,37 @@ object StreamBench {
     val stateRows = progress
       .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
       .maxOption.getOrElse(0L)
-    val meanMs =
-      if (withData.isEmpty) 0.0
-      else withData.flatMap(p =>
-        Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
-        .sum / withData.size
-    StageStats(rows, withData.size, sec, stateRows, math.round(meanMs * 10) / 10.0)
+    def r1(v: Double) = math.round(v * 10) / 10.0
+    def mean(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+    val meanMs = mean(withData.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toDouble)))
+    // Per-batch attribution (VERDICT r9 ask #4: STREAM_BENCH_r09 carried a
+    // 3.4x intra-artifact spread with no diagnosis string): mean per-batch
+    // durationMs components plus the state operator's commit/update times
+    // and every nonzero custom state-store metric (the RocksDB provider
+    // reports its snapshot/changelog/compaction costs here) — so a latency
+    // delta names its phase instead of needing a rerun to triage.
+    val durKeys = withData.flatMap(_.durationMs.keySet().asScala)
+      .distinct.sorted
+    val durs = durKeys.map(k => k -> mean(withData.flatMap(p =>
+        Option(p.durationMs.get(k)).map(_.toDouble))))
+      .filter(_._2 >= 0.05)
+    val ops = withData.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    val opMs = if (ops.isEmpty) Seq.empty else Seq(
+      "state_commit_ms" -> mean(ops.map(_.commitTimeMs.toDouble)),
+      "state_updates_ms" -> mean(ops.map(_.allUpdatesTimeMs.toDouble)),
+      "state_removals_ms" -> mean(ops.map(_.allRemovalsTimeMs.toDouble)))
+    val customKeys = ops.flatMap(_.customMetrics.keySet().asScala)
+      .distinct.sorted
+    val customs = customKeys.map(k => k -> mean(ops.flatMap(o =>
+        Option(o.customMetrics.get(k)).map(_.toDouble))))
+      .filter(_._2 >= 1.0)
+    val breakdown =
+      (durs.map { case (k, v) => s""""dur_$k": ${r1(v)}""" } ++
+        opMs.filter(_._2 >= 0.05).map { case (k, v) => s""""$k": ${r1(v)}""" } ++
+        customs.map { case (k, v) => s""""$k": ${r1(v)}""" })
+        .mkString("{", ", ", "}")
+    StageStats(rows, withData.size, sec, stateRows, r1(meanMs), breakdown)
   }
 
   def main(args: Array[String]): Unit = {
@@ -116,7 +143,7 @@ object StreamBench {
       s"""{"id": $id, "created_at": "$ts", "type": "PushEvent"}"""
     }.toSeq
     val replayTail = rawLines.takeRight(n / 10)
-    val zero = StageStats(0L, 0, 1.0, 0L, 0.0)
+    val zero = StageStats(0L, 0, 1.0, 0L, 0.0, "{}")
     val ingestStats = if (!stages("ingest")) zero else {
       val mem = MemoryStream[String]
       val out = Files.createTempDirectory("graft-sbench-archive-").toString
@@ -202,7 +229,8 @@ object StreamBench {
     def js(s: StageStats): String =
       f"""{"rows": ${s.rows}, "batches": ${s.batches}, "sec": ${s.sec}%.1f, """ +
         f""""rows_per_sec": ${math.round(s.rows / s.sec)}, """ +
-        f""""mean_batch_ms": ${s.meanBatchMs}, "state_rows": ${s.stateRows}}"""
+        f""""mean_batch_ms": ${s.meanBatchMs}, "state_rows": ${s.stateRows}, """ +
+        f""""batch_breakdown": ${s.breakdown}}"""
     val out =
       s"""{"metric": "stream_bench", "sf_dir": "$sfDir", "batch_rows": $batchRows,
          | "state_store_provider": "$provider",

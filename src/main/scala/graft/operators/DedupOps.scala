@@ -235,21 +235,13 @@ object DedupOps {
     * yield the identical pair set). The verified pair set — and so the
     * retained set — is Hamming-exact and LAYOUT-INDEPENDENT.
     */
-  private[graft] def simhashNearDupPairs(sim: DataFrame): DataFrame = {
-    // Layout selection precedence (ADVICE r9 #5 — constructing this plan is
-    // NOT fully lazy by default and callers should know why): an explicit
-    // `graft.simhash.blocks` wins; else `graft.simhash.corpusHint` (an
-    // approximate doc count a catalog or caller already knows) derives B
-    // with no job; else ONE eager count() against the cached signature
-    // table runs at plan-build time, because B shapes the physical plan
-    // (rows/doc and key width) and cannot be a runtime branch. Plan-only
-    // harnesses that must stay lazy pass either conf.
-    def derive(n: Long) = if (n <= 100000L) 4 else if (n <= 100000000L) 6 else 8
-    val conf = sim.sparkSession.conf
-    val blocks = conf.getOption("graft.simhash.blocks").map(_.toInt)
-      .orElse(conf.getOption("graft.simhash.corpusHint")
-        .map(h => derive(h.toLong)))
-      .getOrElse(derive(sim.count()))
+  /** The (doc_id, sig, combo, ckey) posting rows of the Manku block index
+    * for a given layout: each doc indexed under all C(B,3) packed
+    * (B-3)-block combination keys. Exposed separately so graft.SimHashDiag
+    * can count raw candidate collisions per layout (the ledger's measured
+    * cost-curve numbers) against the same construction the query uses.
+    */
+  private[graft] def simhashComboKeys(sim: DataFrame, blocks: Int): DataFrame = {
     require(Set(4, 6, 8)(blocks),
       s"graft.simhash.blocks must be 4, 6, or 8 (got $blocks)")
     // block widths as equal as 64/B allows (B=6 -> 11,11,11,11,10,10);
@@ -265,9 +257,27 @@ object DedupOps {
           shiftright(col("sig"), offsets(i))
             .bitwiseAND(lit((1L << widths(i)) - 1L)))
       }
-    val keyed = sim.select(col("doc_id"), col("sig"),
+    sim.select(col("doc_id"), col("sig"),
         posexplode(array(combos.map(comboKey): _*)))
       .toDF("doc_id", "sig", "combo", "ckey")
+  }
+
+  private[graft] def simhashNearDupPairs(sim: DataFrame): DataFrame = {
+    // Layout selection precedence (ADVICE r9 #5 — constructing this plan is
+    // NOT fully lazy by default and callers should know why): an explicit
+    // `graft.simhash.blocks` wins; else `graft.simhash.corpusHint` (an
+    // approximate doc count a catalog or caller already knows) derives B
+    // with no job; else ONE eager count() against the cached signature
+    // table runs at plan-build time, because B shapes the physical plan
+    // (rows/doc and key width) and cannot be a runtime branch. Plan-only
+    // harnesses that must stay lazy pass either conf.
+    def derive(n: Long) = if (n <= 100000L) 4 else if (n <= 100000000L) 6 else 8
+    val conf = sim.sparkSession.conf
+    val blocks = conf.getOption("graft.simhash.blocks").map(_.toInt)
+      .orElse(conf.getOption("graft.simhash.corpusHint")
+        .map(h => derive(h.toLong)))
+      .getOrElse(derive(sim.count()))
+    val keyed = simhashComboKeys(sim, blocks)
     // signature rides ON the key rows: the popcount verify runs INSIDE
     // the equality join as a codegen'd post-join filter (r7 — only
     // VERIFIED pairs reach the distinct() exchange)
