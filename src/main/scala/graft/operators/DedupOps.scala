@@ -693,13 +693,26 @@ object DedupOps {
     * by default, so dedup_cluster_cc's recursive closure re-evaluated the
     * whole candidate pipeline per recursion round — >900 s at sf10 where
     * one materialized pass is ~8 min even thread-capped.
+    *
+    * Grams are HASHED (DuckDB's own 64-bit hash(), round 10): at sf100 the
+    * string-gram sh/posts CTEs materialized >100 GB and timed the oracle
+    * out at 2700 s — 8-byte gram keys cut that ~10x. Semantics are
+    * unchanged: every downstream step (df counts, prefix rank, equality
+    * candidates, list_intersect/list_distinct verify) sees set identity,
+    * which any injective-modulo-collision mapping preserves; a collision
+    * (expected pairs ~G²/2^65 ≈ 0.06 at sf100's ~1.5e9 distinct grams)
+    * could only MERGE two grams and would surface as a compare FAIL, never
+    * hide one. The tie-break order moves from gram string to gram hash —
+    * already immaterial by the prefix theorem (any fixed total order
+    * works; the engine ranks by its OWN xxhash64 keys and the two engines
+    * never needed order consistency, see the dedup_containment note).
     */
   private val prefixPairsSql: String =
     """sh AS MATERIALIZED (
       |  SELECT doc_id, CASE WHEN len(toks) >= 3
       |           THEN list_distinct(list_transform(range(len(toks)-2),
-      |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-      |           ELSE [text] END AS g
+      |                  i -> hash(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+      |           ELSE [hash(text)] END AS g
       |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
       |posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS gg FROM sh),
       |dfreq AS (SELECT gg, count(*) AS dfc FROM posts GROUP BY gg),
@@ -774,8 +787,8 @@ object DedupOps {
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(toks) >= 3
         |           THEN list_distinct(list_transform(range(len(toks)-2),
-        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-        |           ELSE [text] END AS g
+        |                  i -> hash(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+        |           ELSE [hash(text)] END AS g
         |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)),
         |posts AS (SELECT doc_id, len(g) AS n, unnest(g) AS gg FROM sh),
         |dfreq AS (SELECT gg, count(*) AS dfc FROM posts GROUP BY gg),
@@ -818,8 +831,8 @@ object DedupOps {
         |sh AS MATERIALIZED (
         |  SELECT doc_id, is_new, CASE WHEN len(toks) >= 3
         |           THEN list_distinct(list_transform(range(len(toks)-2),
-        |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
-        |           ELSE [text] END AS g
+        |                  i -> hash(toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+        |           ELSE [hash(text)] END AS g
         |  FROM (SELECT doc_id, is_new, text, string_split(text,' ') AS toks FROM d)),
         |iposts AS MATERIALIZED (
         |  SELECT doc_id, len(g) AS n, unnest(g) AS gg FROM sh WHERE NOT is_new),

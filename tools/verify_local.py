@@ -46,6 +46,14 @@ def connect(sf_dir):
     Spark directory-parquet — glob those. Table-subset scale dirs omit
     tables no sweep key reads — skip the view, the key list must match."""
     con = duckdb.connect()
+    # Spill, don't balloon: the sf100 dedup oracles materialize string
+    # shingles for ~5M docs and were observed >100 GB RSS on a 125 GB box
+    # shared with Spark JVMs — an OOM kill would record a bare "worker
+    # died" row. A memory limit makes DuckDB spill to disk instead;
+    # override with GRAFT_ORACLE_MEM for a dedicated box.
+    mem = os.environ.get("GRAFT_ORACLE_MEM", "64GB")
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
