@@ -71,8 +71,11 @@ object StreamBench {
       "state_commit_ms" -> mean(ops.map(_.commitTimeMs.toDouble)),
       "state_updates_ms" -> mean(ops.map(_.allUpdatesTimeMs.toDouble)),
       "state_removals_ms" -> mean(ops.map(_.allRemovalsTimeMs.toDouble)))
+    // SnapshotLastUploaded.* are VERSION COUNTERS, not costs — a mean of
+    // them reads like milliseconds and misleads (seen in the first r10
+    // assembly); drop them, keep every real latency/byte/count metric.
     val customKeys = ops.flatMap(_.customMetrics.keySet().asScala)
-      .distinct.sorted
+      .distinct.sorted.filterNot(_.startsWith("SnapshotLastUploaded"))
     val customs = customKeys.map(k => k -> mean(ops.flatMap(o =>
         Option(o.customMetrics.get(k)).map(_.toDouble))))
       .filter(_._2 >= 1.0)
