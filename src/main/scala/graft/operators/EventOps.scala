@@ -574,11 +574,18 @@ object EventOps {
         .withColumn("gap_us", col("t") - lag("t", 1).over(w))
         .filter(col("gap_us").isNotNull)
         .groupBy("event_type")
+        // ONE percentile ladder (r10): three scalar percentile() calls each
+        // kept their own value-count buffer over the same column — the
+        // array form sorts once and serves every cut (same interpolation,
+        // identical doubles).
         .agg(count(lit(1)).as("n_gaps"),
           round(avg("gap_us") / 1e6, 6).as("mean_s"),
-          round(expr("percentile(gap_us, 0.5D)") / 1e6, 6).as("p50_s"),
-          round(expr("percentile(gap_us, 0.9D)") / 1e6, 6).as("p90_s"),
-          round(expr("percentile(gap_us, 0.99D)") / 1e6, 6).as("p99_s"))
+          percentile(col("gap_us"),
+            array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
+        .select(col("event_type"), col("n_gaps"), col("mean_s"),
+          round(element_at(col("qs"), 1) / 1e6, 6).as("p50_s"),
+          round(element_at(col("qs"), 2) / 1e6, 6).as("p90_s"),
+          round(element_at(col("qs"), 3) / 1e6, 6).as("p99_s"))
         .orderBy("event_type")
     }),
 
@@ -1229,8 +1236,12 @@ object EventOps {
         round(sum("n_events").cast(DoubleType) / count(lit(1)), 6)
           .as("avg_events"),
         round(avg("duration_s"), 6).as("avg_duration_s"),
-        round(expr("percentile(duration_s, 0.5D)"), 6).as("p50_duration_s"),
-        round(expr("percentile(duration_s, 0.9D)"), 6).as("p90_duration_s"))
+        // one array-percentile buffer for both cuts (r10, same doubles)
+        percentile(col("duration_s"), array(lit(0.5), lit(0.9))).as("qs"))
+        .select(col("n_sessions"), col("n_bounce"), col("bounce_rate"),
+          col("avg_events"), col("avg_duration_s"),
+          round(element_at(col("qs"), 1), 6).as("p50_duration_s"),
+          round(element_at(col("qs"), 2), 6).as("p90_duration_s"))
     }),
 
     // Seasonal-naive forecast — the baseline every real forecasting
@@ -1606,8 +1617,11 @@ object EventOps {
           .as("delta_us"))
       conv.agg(
           count(lit(1)).as("n_converted"),
-          round(percentile(col("delta_us"), lit(0.5)) / 1e6, 6).as("median_s"),
-          round(percentile(col("delta_us"), lit(0.9)) / 1e6, 6).as("p90_s"))
+          // one array-percentile buffer for both cuts (r10, same doubles)
+          percentile(col("delta_us"), array(lit(0.5), lit(0.9))).as("qs"))
+        .select(col("n_converted"),
+          round(element_at(col("qs"), 1) / 1e6, 6).as("median_s"),
+          round(element_at(col("qs"), 2) / 1e6, 6).as("p90_s"))
     }),
 
     // Day-over-day audience overlap — exact Jaccard between consecutive
@@ -1783,7 +1797,7 @@ object EventOps {
     val edges = ev.withColumn("src", lag(col("repo"), 1).over(w))
       .filter(col("src").isNotNull && col("src") =!= col("repo"))
       .select(col("src"), col("repo").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     pageRankOnEdges(edges, redistributeDangling)
   }
 
@@ -1795,15 +1809,22 @@ object EventOps {
   def pageRankOnEdges(edges: DataFrame,
       redistributeDangling: Boolean): DataFrame = {
     val nodes = edges.select(col("src").as("repo"))
-      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+      .union(edges.select(col("dst"))).distinct().localCheckpoint(false)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // r10 (guide §2.4/§3.1): outdeg is static across the 10 BSP rounds —
+    // attach it to the edge set ONCE (checkpointed, so no round re-plans
+    // the aggregate+join), and per round join only the |V|-row rank table,
+    // broadcast (rank and contribution tables are node-sized metadata; the
+    // edge set is never shuffled inside the loop). The per-edge term stays
+    // the identical r/d division; round(6) at the edge absorbs
+    // contribution-sum ordering ulps exactly as before.
+    val edgesW = edges.join(outdeg, "src").localCheckpoint(false)
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(nRow)
       .select(col("repo"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to 10) {
-      val contrib = edges
-        .join(ranks.select(col("repo").as("src"), col("r")), "src")
-        .join(outdeg, "src")
+      val contrib = edgesW
+        .join(broadcast(ranks.select(col("repo").as("src"), col("r"))), "src")
         .groupBy(col("dst").as("repo"))
         .agg(sum(col("r") / col("d")).as("c"))
       val base =
@@ -1814,19 +1835,23 @@ object EventOps {
             ranks.join(outdeg.select(col("src").as("repo")),
                 Seq("repo"), "left_anti")
               .agg(coalesce(sum(col("r")), lit(0.0)).as("dm")))
-          nodes.join(contrib, Seq("repo"), "left").crossJoin(nRow)
+          nodes.join(broadcast(contrib), Seq("repo"), "left").crossJoin(nRow)
             .crossJoin(dm)
             .select(col("repo"),
               (lit(0.15) / col("n") + lit(0.85) *
                 (coalesce(col("c"), lit(0.0)) + col("dm") / col("n")))
                 .as("r"))
         } else {
-          nodes.join(contrib, Seq("repo"), "left").crossJoin(nRow)
+          nodes.join(broadcast(contrib), Seq("repo"), "left").crossJoin(nRow)
             .select(col("repo"),
               (lit(0.15) / col("n") + lit(0.85) * coalesce(col("c"), lit(0.0)))
                 .as("r"))
         }
-      ranks = base.localCheckpoint()
+      // lazy checkpoint (r10): still truncates lineage and caches each
+      // round's ranks, but materializes under the FINAL action instead of
+      // blocking the driver once per round — 12 scheduling round-trips
+      // collapse into one job DAG. Same algebra, same per-round cut.
+      ranks = base.localCheckpoint(false)
     }
     ranks.select(col("repo"), round(col("r"), 6).as("rank")).orderBy("repo")
   }

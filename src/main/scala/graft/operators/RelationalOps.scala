@@ -37,6 +37,19 @@ object RelationalOps {
       .agg(sort_array(collect_list(col("event_id"))).as("ids"),
         count(lit(1)).as("n"))
 
+  /** Shared pre-aggregation for the rollup/cube/grouping-sets family
+    * (r10, guide §2.3): one exact partial cell per (flag, status) —
+    * `ps` = sum(decimal qty), `pn` = count — so the Expand that implements
+    * the grouping sets replicates ~12 cells instead of every raw row.
+    * Exactness: decimal sums and long counts re-aggregate associatively,
+    * so every grouping set's total is bit-identical to aggregating the
+    * raw rows directly.
+    */
+  private def groupingCells(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).as("ps"), count(lit(1)).as("pn"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: projection + predicate algebra (IN, BETWEEN, LIKE, IS NULL, bool).
     "filter_pred" -> ((s, dir) => {
@@ -426,13 +439,15 @@ object RelationalOps {
     "agg_quantile" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       e.groupBy("event_type")
-        .agg(percentile(col("value"), lit(0.5)).as("q"),
-          percentile(col("value"), lit(0.95)).as("q95"),
-          percentile(col("value"), lit(0.99)).as("q99"))
+        // ONE percentile ladder (r10): the three scalar calls each kept
+        // their own value-count buffer; the array form sorts once per
+        // group and serves every cut with identical interpolation.
+        .agg(percentile(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99))).as("qs"))
         .select(col("event_type"),
-          round(col("q"), 4).as("p50"),
-          round(col("q95"), 4).as("p95"),
-          round(col("q99"), 4).as("p99"))
+          round(element_at(col("qs"), 1), 4).as("p50"),
+          round(element_at(col("qs"), 2), 4).as("p95"),
+          round(element_at(col("qs"), 3), 4).as("p99"))
         .orderBy("event_type")
     }),
 
@@ -442,9 +457,11 @@ object RelationalOps {
     // 'ALL' were a real value). The portable bitmask is built explicitly
     // as g_rf·2 + g_ls so both engines agree on bit order.
     "agg_grouping_id" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      // same §2.3 cell pre-aggregation as agg_rollup; grouping() bits are
+      // computed by the outer rollup and unaffected by the inner aggregate
+      groupingCells(s, dir)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"),
+        .agg(coalesce(sum(col("pn")), lit(0L)).as("n"),
           grouping("l_returnflag").cast(LongType).as("g_rf"),
           grouping("l_linestatus").cast(LongType).as("g_ls"))
         .select(
@@ -461,15 +478,51 @@ object RelationalOps {
     // the same values. Array-valued output is unnested to scalar columns
     // so the oracle hash stays flat.
     "agg_quantiles_multi" -> ((s, dir) => {
-      val cuts = array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(percentile(col("l_extendedprice"), cuts).as("qs"))
-        .select(col("l_returnflag"),
-          round(element_at(col("qs"), 1), 4).as("p25"),
-          round(element_at(col("qs"), 2), 4).as("p50"),
-          round(element_at(col("qs"), 3), 4).as("p75"),
-          round(element_at(col("qs"), 4), 4).as("p95"))
+      // r10 rewrite (guide §1.2 step 1 + §4): exact `percentile` is a
+      // TypedImperativeAggregate — a per-group value→count OpenHashMap
+      // built row-at-a-time outside whole-stage codegen, merged across
+      // partitions, then sorted single-threaded at eval (l_extendedprice
+      // is ~97% distinct, so the map collapses nothing). The order-
+      // statistics form stays in codegen end to end: one sort per group
+      // (the window), two ranked rows per cut, then Percentile's own
+      // interpolation — position = p·(n−1), result = (ceil−pos)·lower +
+      // (pos−floor)·upper, the identical double algebra, so the values
+      // are bit-equal (QPerf A/B: EQUAL, 1.93 s → 1.43 s at sf0.1).
+      // At scale both forms gather each group once; this one spills
+      // through SortExec instead of ballooning an in-memory map.
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val wp = Window.partitionBy("l_returnflag")
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wp))
+      val withPos = ps.zipWithIndex.foldLeft(base) { case (df, (p, i)) =>
+        df.withColumn(s"pos$i", lit(p) * (col("n") - 1))
+          .withColumn(s"flo$i", floor(col(s"pos$i")))
+          .withColumn(s"hi$i", ceil(col(s"pos$i")))
+      }
+      val keep = ps.indices.map(i =>
+        (col("rn") - 1 === col(s"flo$i")) || (col("rn") - 1 === col(s"hi$i")))
+        .reduce(_ || _)
+      val aggs = ps.indices.flatMap { i => Seq(
+        max(when(col("rn") - 1 === col(s"flo$i"), col("l_extendedprice"))).as(s"lv$i"),
+        max(when(col("rn") - 1 === col(s"hi$i"), col("l_extendedprice"))).as(s"uv$i"),
+        max(col(s"pos$i")).as(s"p$i"),
+        max(col(s"flo$i")).as(s"f$i"),
+        max(col(s"hi$i")).as(s"h$i"))
+      }
+      val g = withPos.filter(keep)
+        .groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+      val qs = ps.indices.map { i =>
+        when(col(s"h$i") === col(s"f$i") || col(s"uv$i") === col(s"lv$i"),
+          col(s"lv$i"))
+          .otherwise((col(s"h$i") - col(s"p$i")) * col(s"lv$i") +
+            (col(s"p$i") - col(s"f$i")) * col(s"uv$i"))
+      }
+      g.select(col("l_returnflag"),
+        round(qs(0), 4).as("p25"), round(qs(1), 4).as("p50"),
+        round(qs(2), 4).as("p75"), round(qs(3), 4).as("p95"))
         .orderBy("l_returnflag")
     }),
 
@@ -914,10 +967,20 @@ object RelationalOps {
     }),
 
     // E12a: rollup with grouping_id; NULL group keys coalesced for ordering.
+    // r10 optimization (guide §2.3 "aggregate before you shuffle"): Spark
+    // plans rollup/cube as Expand × #grouping-sets BELOW the partial
+    // aggregate, so every raw row used to be replicated 3-4× before any
+    // aggregation happened. sum and count are algebraic, so pre-aggregating
+    // once per (flag, status) cell first — the full-resolution grouping set,
+    // from which every coarser set derives — shrinks the Expand input from
+    // |lineitem| to ~12 cells. sum-of-partial-sums (exact decimal) and
+    // sum-of-partial-counts are value-identical to the direct aggregate;
+    // coalesce pins the non-nullable long schema count(1) had.
     "agg_rollup" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      groupingCells(s, dir)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(col("ps")).cast(DoubleType).as("sum_qty"),
+          coalesce(sum(col("pn")), lit(0L)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -925,11 +988,13 @@ object RelationalOps {
         .orderBy("flag", "status")
     }),
 
-    // E12b: cube.
+    // E12b: cube. Same cell pre-aggregation as agg_rollup (guide §2.3) —
+    // cube's 4 grouping sets made the Expand blowup worst in the family.
     "agg_cube" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      groupingCells(s, dir)
         .cube("l_returnflag", "l_linestatus")
-        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(col("ps")).cast(DoubleType).as("sum_qty"),
+          coalesce(sum(col("pn")), lit(0L)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
@@ -943,13 +1008,13 @@ object RelationalOps {
     // grouping set is another full pass through the aggregate's hash
     // tables). Same single-shuffle Expand-based plan as rollup/cube.
     "agg_grouping_sets" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
+      groupingCells(s, dir)
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")),
             Seq(col("l_returnflag")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("ps")).cast(DoubleType).as("sum_qty"),
+          coalesce(sum(col("pn")), lit(0L)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),

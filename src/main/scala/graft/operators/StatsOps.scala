@@ -220,19 +220,26 @@ object StatsOps {
     // `agg_approx_distinct` key demonstrates that path).
     "profile_columns" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val aggs = cols.flatMap(c => Seq(
-        count(col(c)).as(s"n_$c"),
-        countDistinct(col(c)).as(s"d_$c"),
-        min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c")))
-      Tables.lineitem(s, dir)
-        .agg(count(lit(1)).as("n_rows"), aggs: _*)
-        .select(expr(
-          "stack(" + cols.size + ", " +
-            cols.map(c => s"'$c', n_rows, n_$c, d_$c, min_$c, max_$c")
-              .mkString(", ") +
-            ") as (column_name, n_rows, n_nonnull, n_distinct, min_value, max_value)"))
-        .orderBy("column_name")
+      // r10 optimization (guide §2.3): the single 17-aggregate form planned
+      // FOUR distinct columns in one aggregate, which Spark implements as
+      // Expand × (#distinct-cols + 1) — every row replicated 5× with 4
+      // normalized double group keys, before any partial aggregation. One
+      // independent pass per column keeps each aggregate single-distinct
+      // (no Expand at all: partial-agg keyed by the column, then merge),
+      // scans only that column, and the four 1-row branches run
+      // concurrently under the same action. Values are identical: each
+      // branch computes the same count/distinct/min/max over the same rows.
+      val per = cols.map { c =>
+        Tables.lineitem(s, dir)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col(c)).as("n_nonnull"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).as("min_value"),
+            max(col(c)).as("max_value"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }
+      per.reduce(_.unionByName(_)).orderBy("column_name")
     }),
 
     // Welch's two-sample t-test per day (ClickHouse `welchTTest` analog):
@@ -594,11 +601,13 @@ object StatsOps {
               / (count(lit(1)).cast(DoubleType) * sum("n").cast(DoubleType))
               - (count(lit(1)) + 1).cast(DoubleType) / count(lit(1)), 6)
               .as("gini"),
-            round(expr("percentile(n, 0.5D)"), 6).as("p50"),
-            round(expr("percentile(n, 0.99D)"), 6).as("p99"))
+            // one array-percentile buffer for both cuts (r10, same doubles)
+            percentile(col("n"), array(lit(0.5), lit(0.99))).as("qs"))
           .select(lit(keyCol).as("key_name"), col("n_keys"),
             col("total_rows"), col("top1_share"), col("top10_share"),
-            col("gini"), col("p50"), col("p99"))
+            col("gini"),
+            round(element_at(col("qs"), 1), 6).as("p50"),
+            round(element_at(col("qs"), 2), 6).as("p99"))
       }
       skew("user_id").unionAll(skew("event_type")).orderBy("key_name")
     }),
