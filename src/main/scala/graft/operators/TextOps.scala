@@ -690,6 +690,16 @@ object TextOps {
         .select(
           rtrim(regexp_replace(col("word"), "(.)", "$1" + SEP), SEP).as("seg"),
           col("freq"))
+        // r10 (guide §2.4/§5): without a per-round lineage cut, round r's
+        // segmentation plan re-derived rounds 1..r-1 from scratch -- the
+        // 5-round loop compiled to 31 corpus scans / 62 exchanges and the
+        // merge work re-ran quadratically in rounds. The word-frequency
+        // table is Heaps-small, so a lazy localCheckpoint per round (and
+        // one for each round's 1-row best pair, which is consumed twice:
+        // the output union and the rewrite) keeps every round one plan
+        // deep. Identical algebra -- only the DAG is deduplicated. (At
+        // cluster scale: reliable checkpoint / a materialized merge table.)
+        .localCheckpoint(false)
       var out: DataFrame = null
       for (r <- 1 to 5) {
         val best = seg
@@ -702,12 +712,14 @@ object TextOps {
           .groupBy("x", "y").agg(sum("freq").as("n"))
           .orderBy(col("n").desc, col("x"), col("y")).limit(1)
           .select(lit(r.toLong).as("merge_no"), col("x"), col("y"), col("n"))
+          .localCheckpoint(false)
         out = if (out == null) best else out.unionAll(best)
         seg = seg
           .crossJoin(broadcast(
             best.select(col("x").as("bx"), col("y").as("by"))))
           .select(expr(s"replace(seg, bx || chr(31) || by, bx || by)")
             .as("seg"), col("freq"))
+          .localCheckpoint(false)
       }
       out.orderBy("merge_no")
     }),
