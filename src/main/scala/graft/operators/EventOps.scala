@@ -176,16 +176,19 @@ object EventOps {
         .withColumn("pay", coalesce(lag("ay", 1).over(wB), col("ay")))
         .withColumn("nax", coalesce(lead("ax", 1).over(wB), col("ax")))
         .withColumn("nay", coalesce(lead("ay", 1).over(wB), col("ay")))
-      val wPick = Window.partitionBy("user_id", "b")
-        .orderBy(col("area").desc, col("rn"))
+      // r10 (guide §2.3): the per-bucket pick is a partition-wide argmax —
+      // max_by on (area, −rn) reproduces the (area DESC, rn ASC) window
+      // order (rn is unique, so no residual tie) in one partial-aggregating
+      // hash pass instead of an exchange + sort + rank filter.
       rows.join(bk, Seq("user_id", "b"))
         .withColumn("area", round(abs(
           (col("pax") - col("nax")) * (col("y") - col("pay"))
             - (col("pax") - col("rn")) * (col("nay") - col("pay"))), 6))
-        .withColumn("pick", row_number().over(wPick))
-        .filter(col("pick") === 1)
+        .groupBy("user_id", "b")
+        .agg(max_by(struct(col("ts"), col("value")),
+          struct(col("area"), -col("rn"))).as("pick"))
         .select(col("user_id"), col("b").cast(LongType).as("bucket"),
-          col("ts"), col("value"))
+          col("pick.ts").as("ts"), col("pick.value").as("value"))
         .orderBy("user_id", "bucket")
     }),
 
@@ -1273,11 +1276,13 @@ object EventOps {
         .withColumn("trend", round(col("ws") / 7, 6))
         .withColumn("dt", col("n") - col("trend"))
         .withColumn("dow", (weekday(col("day")) + 1).cast(LongType))
+      // r10 (guide §2.3): last trend point is an argmax on day (unique per
+      // type) — max_by replaces the rank-1 window's exchange + sort.
       val lastTrend = trended
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("day").desc)))
-        .filter(col("rn") === 1)
-        .select(col("event_type"), col("day").as("last_day"), col("trend"))
+        .groupBy("event_type")
+        .agg(max_by(struct(col("day"), col("trend")), col("day")).as("top"))
+        .select(col("event_type"), col("top.day").as("last_day"),
+          col("top.trend").as("trend"))
       val dowAvg = trended.groupBy("event_type", "dow")
         .agg(sum("dt").as("sdt"), count(lit(1)).as("cdt"))
       val center = dowAvg.groupBy("event_type")
@@ -1368,18 +1373,18 @@ object EventOps {
       val firstPurchase = e.filter(col("event_type") === "purchase")
         .groupBy("user_id").agg(min("ts").as("pt"))
       val pre = e.join(firstPurchase, "user_id").filter(col("ts") < col("pt"))
-      val wAsc = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val wDesc = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val touched = pre
-        .withColumn("rn_f", row_number().over(wAsc))
-        .withColumn("rn_l", row_number().over(wDesc))
-      val ft = touched.filter(col("rn_f") === 1)
-        .select(col("user_id"), col("event_type").as("first_touch"))
-      val lt = touched.filter(col("rn_l") === 1)
-        .select(col("user_id"), col("event_type").as("last_touch"))
-      ft.join(lt, "user_id")
+      // r10 (guide §2.3/§2.4): both touch ends are partition-wide argmin/
+      // argmax — min_by/max_by on the (ts, event_id) order key computes
+      // them in ONE partial-aggregating hash pass, replacing two full
+      // window sorts (asc + desc) plus a rejoin of their rank-1 rows. The
+      // struct order key reproduces the windows' (ts, event_id) total
+      // order exactly, so the selected rows are identical.
+      pre.groupBy("user_id")
+        .agg(
+          min_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("first_touch"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_touch"))
         .groupBy("first_touch", "last_touch")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("first_touch", "last_touch")

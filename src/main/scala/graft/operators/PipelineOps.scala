@@ -164,12 +164,20 @@ object PipelineOps {
     // C2/D4: ReplacingMergeTree keep-one-per-key with a deterministic
     // version rule (latest ts, then highest event_id — SURVEY.md §7.4.3).
     "replace_by_key" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("ts").desc, col("event_id").desc)
+      // r10 (guide §2.3 "aggregate before you shuffle"): keep-one-per-key
+      // is a partition-wide argmax, and max_by on the (ts, event_id)
+      // version key reproduces the old (ts DESC, event_id DESC) rank-1
+      // window exactly — but as a PARTIAL-aggregating hash pass: each map
+      // task pre-collapses its keys before the exchange, where the window
+      // form shuffled and sorted every raw row. That is also the
+      // ReplacingMergeTree merge rule stated natively (an associative
+      // argmax merge).
       Tables.events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("user_id", "event_type", "event_id", "ts", "value")
+        .groupBy("user_id", "event_type")
+        .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
+          struct(col("ts"), col("event_id"))).as("top"))
+        .select(col("user_id"), col("event_type"), col("top.event_id"),
+          col("top.ts"), col("top.value"))
         .orderBy("user_id", "event_type")
     }),
 

@@ -342,15 +342,18 @@ object SimOps {
       val e = base.unionByName(planted).withColumn("bucket", lshBucket(col("v")))
       val q = e.filter(col("vec_id").between(plantBase, plantBase + 49L))
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      // r10 (guide §2.3): top-1 per query is min_by on (−cos, vec_id) —
+      // identical to the old (cos DESC, vec_id ASC) rank-1 window, as a
+      // partial-aggregating hash pass with no candidate sort.
       e.join(broadcast(q), Seq("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("q_id").as("planted_id"), col("vec_id").as("top1_id"),
-          col("cos").as("top_cos"))
+        .groupBy("q_id")
+        .agg(min_by(struct(col("vec_id"), col("cos")),
+          struct(-col("cos"), col("vec_id"))).as("top"))
+        .select(col("q_id").as("planted_id"), col("top.vec_id").as("top1_id"),
+          col("top.cos").as("top_cos"))
         .orderBy("planted_id")
     }),
 
@@ -415,15 +418,17 @@ object SimOps {
       val probes = idx.filter(col("vec_id").between(plantBase, plantBase + 49L))
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           explode(nearestCells(col("v"), cents, 2)).as("cell"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      // r10 (guide §2.3): same min_by argmax as sim_lsh_planted — no
+      // candidate sort, map-side partial top-1 per probe.
       idx.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           round(api.cosineSim(col("v"), col("qv")), 6).as("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("q_id").as("planted_id"), col("vec_id").as("top1_id"),
-          col("cos").as("top_cos"))
+        .groupBy("q_id")
+        .agg(min_by(struct(col("vec_id"), col("cos")),
+          struct(-col("cos"), col("vec_id"))).as("top"))
+        .select(col("q_id").as("planted_id"), col("top.vec_id").as("top1_id"),
+          col("top.cos").as("top_cos"))
         .orderBy("planted_id")
     }),
 

@@ -826,19 +826,23 @@ object TextOps {
           round(log(col("dc") / col("n_docs")), 6).as("lprior"))
       val dt = tok.groupBy("doc_id", "term")
         .agg(count(lit(1)).cast(DoubleType).as("tf"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("source"))
+      // r10 (guide §2.3): the per-doc argmax class is min_by on
+      // (−score, source) — identical to the old (score DESC, source ASC)
+      // rank-1 window, computed as a partial-aggregating hash pass with
+      // no extra exchange + sort.
       dt.join(broadcast(model), "term")
         .groupBy("doc_id", "source")
         .agg(sum(col("tf") * col("lp")).as("ll"))
         .join(broadcast(prior), "source")
         .select(col("doc_id"), col("source"),
           round(col("lprior") + col("ll"), 6).as("score"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(min_by(struct(col("source"), col("score")),
+          struct(-col("score"), col("source"))).as("pick"))
         .join(d.select(col("doc_id"), col("source").as("actual")), "doc_id")
-        .select(col("doc_id"), col("actual"), col("source").as("predicted"),
-          col("score"), (col("source") === col("actual")).as("correct"))
+        .select(col("doc_id"), col("actual"),
+          col("pick.source").as("predicted"), col("pick.score").as("score"),
+          (col("pick.source") === col("actual")).as("correct"))
         .orderBy("doc_id")
     }),
 
