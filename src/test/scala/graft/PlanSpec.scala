@@ -125,12 +125,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("salt"), "join key must include the salt column:\n" + p.take(1200))
   }
 
-  test("agg_grouping_sets: one Expand, one aggregate exchange — not one pass per set") {
+  test("agg_grouping_sets: Expand runs over pre-aggregated cells, not raw rows") {
+    // r10 shape: one exact (flag, status) cell aggregate FIRST (guide §2.3),
+    // then the single Expand + grouping-set aggregate over ~12 cells — two
+    // keyed exchanges total, but the Expand replication factor now applies
+    // to the cell table instead of every raw row. Still never one pass per
+    // grouping set.
     val p = plan("agg_grouping_sets")
-    assert("Expand".r.findAllIn(p).size >= 1, p.take(1200))
+    assert("Expand".r.findAllIn(p).size == 1, p.take(1500))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges == 1,
-      s"grouping sets must aggregate in one shuffle, got $exchanges:\n" + p.take(1200))
+    assert(exchanges == 2,
+      s"cell pre-agg + grouping-set agg = exactly 2 keyed shuffles, got $exchanges:\n" + p.take(1500))
+    // the Expand must sit ABOVE the cell aggregate (formatted tree prints
+    // operators top-down, so the Expand line appears before the scan and
+    // at least one HashAggregate appears between them)
+    val lines = p.linesIterator.toSeq
+    val expandLn = lines.indexWhere(_.contains("Expand"))
+    val scanLn = lines.indexWhere(_.contains("Scan parquet"))
+    assert(expandLn >= 0 && scanLn > expandLn &&
+      lines.slice(expandLn, scanLn).exists(_.contains("HashAggregate")),
+      "Expand must consume the pre-aggregated cells, not the raw scan:\n" + p.take(1500))
   }
 
   test("sql_analytics: SQL text gets the same physical treatment as the DataFrame API") {
@@ -202,10 +216,18 @@ class PlanSpec extends SparkSpec {
       "the corpus side must never shuffle for centroid scoring:\n" + p.take(1200))
   }
 
-  test("profile_columns: 17 aggregates run over ONE scan of the table") {
+  test("profile_columns: per-column single-distinct branches, no Expand") {
+    // r10 shape (guide §2.3): the old single 17-aggregate pass planned four
+    // distinct columns in one aggregate = Expand × 5 over every raw row.
+    // Now each column profiles in its own single-distinct branch: no Expand
+    // anywhere, and every scan reads exactly ONE column (columnar pruning —
+    // same total bytes as the one wide scan, none of the row replication).
     val p = plan("profile_columns")
-    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
-      "the profiler must not re-scan per column:\n" + p.take(1500))
+    assert(!p.contains("Expand"),
+      "multi-distinct Expand is the shape this key was optimized away from:\n" + p.take(1500))
+    val reads = "struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(reads.nonEmpty && reads.forall(r => r.count(_ == ':') == 1),
+      s"each branch must scan exactly one column, got $reads")
   }
 
   test("scd2_history: change-detect, version, and validity all ride one user_id exchange") {
