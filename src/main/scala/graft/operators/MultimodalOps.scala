@@ -27,6 +27,13 @@ object MultimodalOps {
   case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int, height: Int,
                            n_frames: Int, source: String)
 
+  // r10: ImageIO's default stream cache spools every decode through a temp
+  // FILE (FileCacheImageInputStream) — serialized-ish disk churn that only
+  // got visible once the media lake became multi-file and 32 decode tasks
+  // ran concurrently. Payloads are in-memory byte arrays; the memory-cached
+  // stream is the correct mode. JVM-global, idempotent, thread-safe to set.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
 
   private def isPng(p: Array[Byte]): Boolean =
@@ -244,6 +251,12 @@ object MultimodalOps {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-sink/${OpCache.pathKey(dir)}/media_lake"
       Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"), col("source"))
+        // r10 (guide §6): documents is a single-row-group fixture file, so
+        // without this repartition the lake was ONE part file and every
+        // downstream decode stage ran on ONE task. Parallelism-sized part
+        // files are the layout an object-store lake has anyway; all
+        // consumers sort their output, so layout cannot change results.
+        .repartition(s.sparkContext.defaultParallelism)
         .as[(Long, Long, String)]
         .map { case (id, nc, src) => MediaRecord(id, renderMedia(id, nc), src) }
         .write.mode("overwrite").parquet(out)

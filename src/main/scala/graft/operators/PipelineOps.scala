@@ -118,7 +118,14 @@ object PipelineOps {
       // not string synthesis
       val rawPath = OpCache.once(dir + "#nested_json_raw") {
         val out = scratch(dir, "nested_json_raw")
+        // r10 (guide §6): the testdata tables are single-row-group files, so
+        // without a repartition this lake inherited a ONE-file layout and
+        // the parse stage below ran on ONE task. Parallelism-sized part
+        // files (the layout any real ingest writes) let the from_json scan
+        // fan out; the query output is fully ordered, so layout cannot
+        // change results.
         Tables.events(s, dir).select(raw.as("raw"))
+          .repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(out)
         out
       }
@@ -333,6 +340,10 @@ object PipelineOps {
         val out = scratch(dir, "events_csv")
         Tables.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type", "value")
+          // r10 (guide §6): parallelism-sized part files (the fixture scan
+          // is one task, so the lake was one file); output is re-sorted on
+          // read, so layout cannot change results
+          .repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite")
           .option("header", "true")
           .option("timestampFormat", tsFmt)
@@ -364,6 +375,8 @@ object PipelineOps {
         val out = scratch(dir, "events_json")
         Tables.events(s, dir)
           .select("event_id", "ts", "user_id", "event_type", "value")
+          // r10 (guide §6): same parallelism-sized layout as the CSV sink
+          .repartition(s.sparkContext.defaultParallelism)
           .write.mode("overwrite")
           .option("timestampFormat", tsFmt)
           .json(out)
