@@ -249,14 +249,13 @@ object MultimodalOps {
     import s.implicits._
     val path = OpCache.once(dir + "#media_lake") {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-sink/${OpCache.pathKey(dir)}/media_lake"
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"), col("source"))
-        // r10 (guide §6): documents is a single-row-group fixture file, so
-        // without this repartition the lake was ONE part file and every
-        // downstream decode stage ran on ONE task. Parallelism-sized part
-        // files are the layout an object-store lake has anyway; all
-        // consumers sort their output, so layout cannot change results.
-        .repartition(s.sparkContext.defaultParallelism)
+      // r10 (guide §6): documents is a single-row-group fixture file, so
+      // without a rebalance the lake was ONE part file and every downstream
+      // decode stage ran on ONE task. Same cores-floor as the other lakes
+      // (PipelineOps.parallelFloor); consumers sort their output, so layout
+      // cannot change results.
+      PipelineOps.parallelFloor(s, Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("source")))
         .as[(Long, Long, String)]
         .map { case (id, nc, src) => MediaRecord(id, renderMedia(id, nc), src) }
         .write.mode("overwrite").parquet(out)

@@ -32,6 +32,19 @@ object PipelineOps {
     s"${System.getProperty("java.io.tmpdir")}/graft-sink/${OpCache.pathKey(sfDir)}/$name"
   }
 
+  /** Floor a lake write's parallelism at the session's cores (r10, guide
+    * §6): the driver fixtures are single-row-group parquet, so a scan has
+    * ONE partition and an unrebalanced write produces ONE part file —
+    * serializing every downstream read of the artifact. A source that is
+    * already at least cores-parallel (any real deployment) passes through
+    * untouched, so this is a degenerate-layout floor, not a repartition
+    * tune. Consumers sort their outputs, so layout never changes results.
+    */
+  private[operators] def parallelFloor(s: SparkSession, df: DataFrame): DataFrame = {
+    val dp = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+  }
+
   /** C5+D1+D2+D5: the ClickHouse-table analog — day-partitioned, sorted by
     * (ts, event_id) within partitions, zstd parquet. Returns the round-trip
     * read so correctness covers write+read. Written once per (JVM, sfDir):
@@ -119,13 +132,12 @@ object PipelineOps {
       val rawPath = OpCache.once(dir + "#nested_json_raw") {
         val out = scratch(dir, "nested_json_raw")
         // r10 (guide §6): the testdata tables are single-row-group files, so
-        // without a repartition this lake inherited a ONE-file layout and
-        // the parse stage below ran on ONE task. Parallelism-sized part
-        // files (the layout any real ingest writes) let the from_json scan
-        // fan out; the query output is fully ordered, so layout cannot
-        // change results.
-        Tables.events(s, dir).select(raw.as("raw"))
-          .repartition(s.sparkContext.defaultParallelism)
+        // without a rebalance this lake inherited a ONE-file layout and the
+        // parse stage below ran on ONE task. Floor the write parallelism at
+        // the session's cores (the layout any real ingest produces; a
+        // naturally parallel source at scale passes through untouched); the
+        // query output is fully ordered, so layout cannot change results.
+        parallelFloor(s, Tables.events(s, dir).select(raw.as("raw")))
           .write.mode("overwrite").parquet(out)
         out
       }
@@ -338,12 +350,11 @@ object PipelineOps {
       val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
       val path = OpCache.once(dir + "#csv_sink") {
         val out = scratch(dir, "events_csv")
-        Tables.events(s, dir)
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          // r10 (guide §6): parallelism-sized part files (the fixture scan
-          // is one task, so the lake was one file); output is re-sorted on
-          // read, so layout cannot change results
-          .repartition(s.sparkContext.defaultParallelism)
+        // r10 (guide §6): floor the write parallelism at the session's
+        // cores (the fixture scan is one task, so the lake was one file);
+        // output is re-sorted on read, so layout cannot change results
+        parallelFloor(s, Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value"))
           .write.mode("overwrite")
           .option("header", "true")
           .option("timestampFormat", tsFmt)
@@ -373,10 +384,9 @@ object PipelineOps {
       val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
       val path = OpCache.once(dir + "#json_sink") {
         val out = scratch(dir, "events_json")
-        Tables.events(s, dir)
-          .select("event_id", "ts", "user_id", "event_type", "value")
-          // r10 (guide §6): same parallelism-sized layout as the CSV sink
-          .repartition(s.sparkContext.defaultParallelism)
+        // r10 (guide §6): same parallelism floor as the CSV sink
+        parallelFloor(s, Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value"))
           .write.mode("overwrite")
           .option("timestampFormat", tsFmt)
           .json(out)
