@@ -689,13 +689,20 @@ object RelationalOps {
     }),
 
     // E10: distinct + per-group count distinct.
+    // r10 (guide §2.3): TWO distinct columns in one aggregate plan as
+    // Expand × 3 — every raw row replicated before any aggregation. Each
+    // distinct count instead collapses its own (flag, key) pairs first
+    // (map-side partial dedup, no Expand anywhere), and the three 3-row
+    // branches join back broadcast-cheap. Exact counts either way.
     "agg_distinct" -> ((s, dir) => {
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(col("l_partkey")).as("n_part"),
-          count(lit(1)).as("n"))
+      val li = Tables.lineitem(s, dir)
+      def dcount(c: String, as: String) =
+        li.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+      dcount("l_suppkey", "n_supp")
+        .join(dcount("l_partkey", "n_part"), "l_returnflag")
+        .join(li.groupBy("l_returnflag").agg(count(lit(1)).as("n")),
+          "l_returnflag")
         .orderBy("l_returnflag")
     }),
 

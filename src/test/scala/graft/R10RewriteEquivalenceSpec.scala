@@ -78,6 +78,17 @@ class R10RewriteEquivalenceSpec extends SparkSpec {
     assert(rows(SparkEntry.queries("event_attribution")(spark, sf)) == rows(direct))
   }
 
+  test("agg_distinct per-column dedup branches equal the multi-distinct aggregate") {
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+    assert(rows(SparkEntry.queries("agg_distinct")(spark, sf)) == rows(direct))
+  }
+
   test("min_by on (-score, key) equals the (score DESC, key ASC) rank-1 window on ties") {
     // synthetic frame with engineered score ties (incl. negatives and 0.0)
     // so the tie-break path of the naive-bayes/lsh/ivf rewrites is exercised
