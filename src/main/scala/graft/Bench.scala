@@ -60,10 +60,17 @@ object Bench {
     // ledger and the plan audits quote — with the build cost reported
     // separately as build_sec instead of silently inflating whichever
     // query ran first.
+    // r11 (VERDICT r10 ask #2): the build pass is timed PER KEY, not only in
+    // aggregate, so the cost of each key's first target-scale materialization
+    // (the OpCache intermediates that the steady-state reps then reuse) is
+    // visible per key in the full artifact ("build_per_key") instead of
+    // hiding inside one opaque build_sec total.
     val buildT0 = System.nanoTime()
-    selected.foreach { case (name, fn) =>
+    val buildPerKey = selected.map { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench-build] $name: ${e.getMessage}") }
+      (name, (System.nanoTime() - t0) / 1e9)
     }
     val buildSec = (System.nanoTime() - buildT0) / 1e9
     // A key that throws is an ERROR, not a measurement: round 4 recorded
@@ -110,7 +117,7 @@ object Bench {
     // (BENCH_TRIAGE_r09.json). The steady-state min-of-reps "queries" map
     // now prints LAST so any tail truncation drops the first-run values,
     // never the steady state.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"build_sec":$buildSec,"reps":$reps$extra,"errors":$errJson,"sf":"$sfDir","queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"$protocol","warm_sec":$warmSec,"build_sec":$buildSec,"reps":$reps$extra,"build_per_key":${toJson(buildPerKey)},"errors":$errJson,"sf":"$sfDir","queries":$qs}"""
     println(line)
     // The driver captures stdout with a length cap — BENCH_r06.json kept
     // only a 64-key tail of the 254-key map (VERDICT r6 ask #2). The FULL
@@ -126,6 +133,16 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // r11 (VERDICT r10 ask #1): the driver's BENCH artifact keeps only a
+    // 2000-char stdout TAIL, and the full line above is ~20 KB — ten rounds
+    // of `parsed: null` because a 268-key map can never fit in that tail.
+    // A SHORT summary line (same metric/value/unit/sf contract fields,
+    // per-query maps only in the file artifact) is printed LAST so the tail
+    // always holds one complete, parseable JSON line. The full line keeps
+    // printing above it — nothing is removed from stdout, the summary is
+    // additive.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${ok.size},"protocol":"$protocol","reps":$reps,"warm_sec":$warmSec,"build_sec":$buildSec,"errors":$errJson,"artifact":"$outPath"}"""
+    println(summary)
     spark.stop()
   }
 }

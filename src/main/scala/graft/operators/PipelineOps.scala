@@ -32,17 +32,29 @@ object PipelineOps {
     s"${System.getProperty("java.io.tmpdir")}/graft-sink/${OpCache.pathKey(sfDir)}/$name"
   }
 
-  /** Floor a lake write's parallelism at the session's cores (r10, guide
-    * §6): the driver fixtures are single-row-group parquet, so a scan has
-    * ONE partition and an unrebalanced write produces ONE part file —
-    * serializing every downstream read of the artifact. A source that is
-    * already at least cores-parallel (any real deployment) passes through
-    * untouched, so this is a degenerate-layout floor, not a repartition
-    * tune. Consumers sort their outputs, so layout never changes results.
+  /** Lay out a one-shot lake write (r10/r11, guide §6): the driver fixtures
+    * are single-row-group parquet, so a scan has ONE partition and an
+    * unrebalanced write produces ONE part file — serializing every
+    * downstream read of the artifact. r10 floored at the session's cores
+    * behind an `df.rdd.getNumPartitions` probe; ADVICE r10 #3 called out
+    * that the probe itself forces full physical planning + RDD conversion
+    * at query-CONSTRUCTION time (and the conditional buys little for these
+    * one-shot OpCache builds). r11: the partition count now comes from the
+    * OPTIMIZED LOGICAL plan's size estimate — no physical planning, no RDD
+    * — as max(cores, estimated bytes / 128 MB): the cores floor keeps the
+    * degenerate fixture case parallel (each downstream parse/decode task
+    * gets work), the byte term is the guide-§6 output-file-size target
+    * that governs at real scale, and the cap is a defect guard against a
+    * source with no real statistics. Consumers sort their outputs, so
+    * layout never changes results.
     */
   private[operators] def parallelFloor(s: SparkSession, df: DataFrame): DataFrame = {
-    val dp = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
+    val dp = s.sparkContext.defaultParallelism.toLong
+    val targetBytes = 128L << 20
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes =
+      if (bytes.isValidLong) bytes.toLong / targetBytes + 1 else dp
+    df.repartition(math.max(dp, math.min(byBytes, 1L << 17)).toInt)
   }
 
   /** C5+D1+D2+D5: the ClickHouse-table analog — day-partitioned, sorted by

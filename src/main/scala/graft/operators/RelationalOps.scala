@@ -303,15 +303,32 @@ object RelationalOps {
     // join co-locates each basket in one task — the only exchange that
     // scales with the corpus is the (p1,p2) pair aggregate, an
     // equality-keyed hash agg on a well-spread composite key.
+    // r11 (guide §2.3/§3.3 + §8 — VERDICT r10 ask #4): the pair generator
+    // was a SELF-JOIN of the distinct (order, part) posting table on the
+    // order key — the posting table crossed an exchange once for the
+    // distinct() and twice more for the join sides. The basket-array form
+    // collapses each order to ONE row (collect_set dedups in-aggregate, so
+    // the standalone distinct() exchange disappears), expands the
+    // k·(k−1)/2 in-basket pairs with two Generates (no join, no shuffle —
+    // the sorted set gives p1 < p2 strictly, identical to the old join
+    // filter over distinct pairs), and partially aggregates the pair
+    // counts map-side before the single (p1,p2) exchange. Per-part counts
+    // and the order total derive from the same basket table (exact: a
+    // basket row per distinct order, an array element per distinct
+    // (order, part)). Pair set, counts and the integer-ratio outputs are
+    // identical — pinned in R11RewriteEquivalenceSpec, oracle green.
     "market_basket_lift" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      val baskets = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val partCnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
-      val nOrders = li.agg(countDistinct("ok").as("n_orders"))
-      val pairs = li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
-        .filter(col("p1") < col("p2"))
+        .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("parts"))
+      val partCnt = baskets.select(explode(col("parts")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("c"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val pairs = baskets
+        .select(posexplode(col("parts")).as(Seq("i", "p1")), col("parts"))
+        .select(col("p1"),
+          explode(slice(col("parts"), col("i") + lit(2),
+            greatest(size(col("parts")) - col("i") - 1, lit(0)))).as("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("co"))
         .filter(col("co") >= 2)
       pairs
@@ -478,25 +495,57 @@ object RelationalOps {
     // the same values. Array-valued output is unnested to scalar columns
     // so the oracle hash stays flat.
     "agg_quantiles_multi" -> ((s, dir) => {
-      // r10 rewrite (guide §1.2 step 1 + §4): exact `percentile` is a
-      // TypedImperativeAggregate — a per-group value→count OpenHashMap
-      // built row-at-a-time outside whole-stage codegen, merged across
-      // partitions, then sorted single-threaded at eval (l_extendedprice
-      // is ~97% distinct, so the map collapses nothing). The order-
-      // statistics form stays in codegen end to end: one sort per group
-      // (the window), two ranked rows per cut, then Percentile's own
-      // interpolation — position = p·(n−1), result = (ceil−pos)·lower +
-      // (pos−floor)·upper, the identical double algebra, so the values
-      // are bit-equal (QPerf A/B: EQUAL, 1.93 s → 1.43 s at sf0.1).
-      // At scale both forms gather each group once; this one spills
-      // through SortExec instead of ballooning an in-memory map.
+      // r10 rewrote exact `percentile` (an out-of-codegen
+      // TypedImperativeAggregate) into order statistics over one per-flag
+      // window sort. r11 (guide §2.5 — VERDICT r10 ask #5 class): the
+      // 3-value partition key made that sort a skew wall — one reducer
+      // sorts a third of the table at any scale. VALUE-DOMAIN BISECTION:
+      // bucket rows by price (BucketRank.bucketOf — pure and monotone in
+      // the value, so tied prices never split and bucket order refines
+      // price order); per-(flag,bucket) counts give each bucket's global
+      // rank offset, which locates the ≤2 ranked rows every requested cut
+      // needs — only THOSE buckets' rows (≈8/nb of the data) are ranked,
+      // with a tiny local sort. The interpolation algebra below is
+      // unchanged from r10 (Percentile's own: position = p·(n−1), result
+      // = (ceil−pos)·lower + (pos−floor)·upper — identical doubles given
+      // identical rank values; the uv==lv short-circuit makes the guard
+      // conditions explicit, and equality to Percentile holds at the
+      // round(4) output grain, fixture-pinned). The value at a global
+      // rank is independent of how row_number breaks price ties (the
+      // sorted multiset is unique), so the two-level rank is exact —
+      // pinned bit-equal against the r10 window form in
+      // R11RewriteEquivalenceSpec. NULL prices are excluded up front
+      // exactly as Percentile ignores them (ADVICE r10 #2; a no-op on
+      // the fixture, where the column is non-null).
       val ps = Seq(0.25, 0.5, 0.75, 0.95)
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      val wp = Window.partitionBy("l_returnflag")
-      val base = Tables.lineitem(s, dir)
+      val nb = BucketRank.nBuckets(s)
+      val base0 = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wp))
+        .filter(col("l_extendedprice").isNotNull)
+      val mm = base0.groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      val b = base0.join(broadcast(mm), Seq("l_returnflag"))
+        .withColumn("bkt",
+          BucketRank.bucketOf(col("l_extendedprice"), col("mn"), col("mx"), nb))
+        .select(col("l_returnflag"), col("l_extendedprice"), col("bkt"))
+      val wB = Window.partitionBy("l_returnflag").orderBy("bkt")
+      val stats = b.groupBy("l_returnflag", "bkt").agg(count(lit(1)).as("bc"))
+        .withColumn("off", sum("bc").over(wB) - col("bc"))
+        .withColumn("n", sum("bc").over(Window.partitionBy("l_returnflag")))
+      // buckets holding any cut's ranked rows (global 1-based ranks
+      // flo_i+1 / hi_i+1, contiguous across buckets by construction)
+      val needed = ps.map { p =>
+        val pos = lit(p) * (col("n") - 1)
+        (floor(pos) + 1).between(col("off") + 1, col("off") + col("bc")) ||
+          (ceil(pos) + 1).between(col("off") + 1, col("off") + col("bc"))
+      }.reduce(_ || _)
+      val want = stats.filter(needed)
+        .select(col("l_returnflag").as("w_rf"), col("bkt").as("w_bkt"),
+          col("off"), col("n"))
+      val wL = Window.partitionBy("l_returnflag", "bkt").orderBy("l_extendedprice")
+      val base = b.join(broadcast(want),
+          col("l_returnflag") === col("w_rf") && col("bkt") === col("w_bkt"))
+        .withColumn("rn", col("off") + row_number().over(wL))
       val withPos = ps.zipWithIndex.foldLeft(base) { case (df, (p, i)) =>
         df.withColumn(s"pos$i", lit(p) * (col("n") - 1))
           .withColumn(s"flo$i", floor(col(s"pos$i")))
@@ -692,17 +741,32 @@ object RelationalOps {
     // r10 (guide §2.3): TWO distinct columns in one aggregate plan as
     // Expand × 3 — every raw row replicated before any aggregation. Each
     // distinct count instead collapses its own (flag, key) pairs first
-    // (map-side partial dedup, no Expand anywhere), and the three 3-row
-    // branches join back broadcast-cheap. Exact counts either way.
+    // (map-side partial dedup, no Expand anywhere), and the branches join
+    // back broadcast-cheap.
+    // r11 (ADVICE r10 #1): the branch form is now NULL-equivalent to
+    // countDistinct, not just fixture-equivalent: countDistinct EXCLUDES
+    // null values (the isNotNull filter reproduces that), and a NULL group
+    // key never equi-joins, so the count(1) branch — which alone carries
+    // every group — is the LEFT side with null-safe (<=>) join keys and
+    // coalesce(…, 0) for groups whose column is all-null. Pinned by a
+    // null-bearing case in R11RewriteEquivalenceSpec.
     "agg_distinct" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
+      val base = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       def dcount(c: String, as: String) =
-        li.select(col("l_returnflag"), col(c)).distinct()
+        li.select(col("l_returnflag"), col(c))
+          .filter(col(c).isNotNull).distinct()
           .groupBy("l_returnflag").agg(count(lit(1)).as(as))
-      dcount("l_suppkey", "n_supp")
-        .join(dcount("l_partkey", "n_part"), "l_returnflag")
-        .join(li.groupBy("l_returnflag").agg(count(lit(1)).as("n")),
-          "l_returnflag")
+          .withColumnRenamed("l_returnflag", s"${as}_rf")
+      base
+        .join(dcount("l_suppkey", "n_supp"),
+          col("l_returnflag") <=> col("n_supp_rf"), "left")
+        .join(dcount("l_partkey", "n_part"),
+          col("l_returnflag") <=> col("n_part_rf"), "left")
+        .select(col("l_returnflag"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("n_part"), lit(0L)).as("n_part"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
 
@@ -1043,18 +1107,45 @@ object RelationalOps {
 
     // E14: ranking window functions (unique tie-break keeps row_number/ntile
     // deterministic).
+    // r11 (guide §2.5 — VERDICT r10 ask #5): o_orderstatus has 3 values, so
+    // the single window sorted a third of the table on ONE reducer at any
+    // scale. Two-level SALTED top-k: a deterministic hash salt (never
+    // rand() — guide §2.5 on retry-safety) spreads each status over the
+    // session's parallelism, each salted slice keeps its local top-50 (a
+    // superset of the global top-50: any globally top-50 row is top-50 in
+    // its own slice), and the REAL rank/dense_rank/row_number windows run
+    // over the ≤50·S survivors. For the kept rows those equal the
+    // full-partition values because the ordering is TOTAL (o_orderkey
+    // tie-break): the survivor set contains the complete top-50 prefix of
+    // each partition. ntile(4) alone needs the FULL partition count n, so
+    // it is served from (rn, n) by NTile's own bucket algebra
+    // (BucketRank.ntileOf) with n from a broadcast pre-aggregated count —
+    // pinned bit-equal against the single-window form (including n mod 4
+    // and n < 4 cases) in R11RewriteEquivalenceSpec.
     "window_rank" -> ((s, dir) => {
+      val k = 50
+      val salts = math.max(1, s.sparkContext.defaultParallelism).toLong
+      val wLoc = Window.partitionBy("o_orderstatus", "salt")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, dir)
+      val o = Tables.orders(s, dir)
+      val counts = o.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      o.withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(salts)))
+        .withColumn("lrn", row_number().over(wLoc))
+        .filter(col("lrn") <= k)
+        .join(broadcast(counts), Seq("o_orderstatus"))
         // ranks cast to long: DuckDB's window ranks are BIGINT and the
         // driver compares schemas, not just values.
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("n"),
           row_number().over(w).cast(LongType).as("rn"),
           rank().over(w).cast(LongType).as("rnk"),
-          dense_rank().over(w).cast(LongType).as("drnk"),
-          ntile(4).over(w).cast(LongType).as("quartile"))
-        .filter(col("rn") <= 50)
+          dense_rank().over(w).cast(LongType).as("drnk"))
+        .filter(col("rn") <= k)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("rn"), col("rnk"), col("drnk"),
+          BucketRank.ntileOf(col("rn"), col("n"), 4).as("quartile"))
         .orderBy("o_orderstatus", "rn")
     }),
 
@@ -1224,13 +1315,41 @@ object RelationalOps {
     // The window orders by (value, event_id) so every row is its own peer
     // group: rank arithmetic is then exact integer division on both
     // engines, no ties to flap and nothing to round.
+    // r11 (guide §2.5 — VERDICT r10 ask #5): event_type has ~5 values, so
+    // the single window sorted a fifth of the corpus on ONE reducer at any
+    // scale. RANGE-BUCKETED two-level rank (BucketRank): bucket by value
+    // (pure + monotone in the ordering prefix ⇒ tied values never split
+    // and bucket order refines (value, event_id) order), rank locally
+    // within (type, bucket), add the lower buckets' row-count offset.
+    // Every row being its own peer group (unique event_id tie-break — the
+    // premise this key already documents) makes all three functions pure
+    // arithmetic in (rn, n): pr = (rn−1)/(n−1) (0.0 when n = 1) and
+    // cd = rn/n are Spark's own PercentRank/CumeDist evaluate expressions,
+    // ntile(4) is NTile's bucket algebra (BucketRank.ntileOf). Pinned
+    // bit-equal against the single-window form in R11RewriteEquivalenceSpec.
     "window_distribution" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-      Tables.events(s, dir)
+      val nb = BucketRank.nBuckets(s)
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val mm = e.groupBy("event_type")
+        .agg(min("value").as("mn"), max("value").as("mx"),
+          count(lit(1)).as("n"))
+      val b = e.join(broadcast(mm), Seq("event_type"))
+        .withColumn("bkt", BucketRank.bucketOf(col("value"), col("mn"), col("mx"), nb))
+      val wB = Window.partitionBy("event_type").orderBy("bkt")
+      val off = b.groupBy("event_type", "bkt").agg(count(lit(1)).as("bc"))
+        .withColumn("off", sum("bc").over(wB) - col("bc"))
+        .select(col("event_type").as("o_et"), col("bkt").as("o_bkt"), col("off"))
+      val wL = Window.partitionBy("event_type", "bkt").orderBy("value", "event_id")
+      b.join(broadcast(off),
+          col("event_type") === col("o_et") && col("bkt") === col("o_bkt"))
+        .withColumn("rn", col("off") + row_number().over(wL))
         .select(col("event_type"), col("event_id"), col("value"),
-          ntile(4).over(w).cast(LongType).as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          BucketRank.ntileOf(col("rn"), col("n"), 4).as("quartile"),
+          when(col("n") > 1,
+            (col("rn") - 1).cast(DoubleType) / (col("n") - 1).cast(DoubleType))
+            .otherwise(lit(0.0)).as("pr"),
+          (col("rn").cast(DoubleType) / col("n").cast(DoubleType)).as("cd"))
         .orderBy("event_type", "event_id")
     }),
 

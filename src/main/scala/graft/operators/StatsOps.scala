@@ -150,18 +150,51 @@ object StatsOps {
     // the order-by value cannot flip the answer: the crossing always lands
     // inside the tied block, whose value is the output either way. One
     // window exchange on the group key, then a tiny min-per-group.
+    // r11 (guide §2.5 — VERDICT r10 ask #9; r10's broadcast-total variant
+    // was A/B'd and reverted, this is the different technique it asked
+    // for): the two windows sorted a third of the table per flag on ONE
+    // reducer. VALUE-DOMAIN BISECTION (BucketRank): per-(flag, price-
+    // bucket) weight sums locate the CROSSING bucket — the first whose
+    // cumulative weight reaches half the total — and only its rows (≈1/nb
+    // of the data) are sorted to find the crossing row. Exactness: the
+    // bucket id is a pure monotone function of the price, so (a) the
+    // qualifying row with the minimum price lies in the crossing bucket
+    // (all later buckets hold ≥ prices, all earlier buckets end below
+    // half-weight), and (b) a tied price block never splits across
+    // buckets, so the original tie argument ("the crossing lands inside
+    // the tied block, whose value is the output either way") carries over
+    // verbatim. Integer arithmetic throughout as before (2·cum ≥ tot).
+    // Pinned bit-equal against the window form in R11RewriteEquivalenceSpec.
     "agg_weighted_median" -> ((s, dir) => {
-      val cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val part = Window.partitionBy("l_returnflag")
-      Tables.lineitem(s, dir)
+      val nb = BucketRank.nBuckets(s)
+      val base = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"),
           // explicit floor: a bare double→long cast truncates in Spark but
           // ROUNDS in DuckDB — floor() pins one semantics on both engines
           // (no-op here: the fixture quantities are integer-valued)
           floor(col("l_quantity")).as("w"))
-        .withColumn("cum", sum("w").over(cum))
-        .withColumn("tot", sum("w").over(part))
+      val mm = base.groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      val b = base.join(broadcast(mm), Seq("l_returnflag"))
+        .withColumn("bkt",
+          BucketRank.bucketOf(col("l_extendedprice"), col("mn"), col("mx"), nb))
+        .select(col("l_returnflag"), col("l_extendedprice"), col("w"), col("bkt"))
+      val wB = Window.partitionBy("l_returnflag").orderBy("bkt")
+      val stats = b.groupBy("l_returnflag", "bkt").agg(sum("w").as("bw"))
+        .withColumn("cumw", sum("bw").over(wB))
+        .withColumn("tot", sum("bw").over(Window.partitionBy("l_returnflag")))
+      val crossing = stats.filter(lit(2L) * col("cumw") >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min_by(
+          struct(col("bkt"), (col("cumw") - col("bw")).as("off"), col("tot")),
+          col("bkt")).as("cb"))
+        .select(col("l_returnflag").as("c_rf"), col("cb.bkt").as("c_bkt"),
+          col("cb.off").as("off"), col("cb.tot").as("tot"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.join(broadcast(crossing),
+          col("l_returnflag") === col("c_rf") && col("bkt") === col("c_bkt"))
+        .withColumn("cum", col("off") + sum("w").over(cum))
         .filter(lit(2L) * col("cum") >= col("tot"))
         .groupBy("l_returnflag")
         .agg(max("tot").as("total_w"),
@@ -735,9 +768,27 @@ object StatsOps {
     // that needs the double to be odd/2¹⁷ after scaling — measure-zero
     // for log-derived terms (< 2⁻³⁵ per row). Headroom: 2·S₀·10⁶ stays
     // inside 38 digits up to n ≈ 10⁸ rows per day-group.
+    // r11 (guide §2.5 — VERDICT r10 ask #5): the day-partitioned windows
+    // (three unbounded-frame moment aggregates + the rank sort) shuffled
+    // and sorted EVERY event on one reducer per day — the named skew wall.
+    // Two changes, both exact:
+    //  1. The day moments (n, Σc, Σc², and now min/max of value) move from
+    //     window aggregates to ONE partially-aggregated groupBy — the
+    //     day-level cells broadcast back instead of every row riding
+    //     through a day-keyed exchange. The sums are exact integers
+    //     (order-free by the r8 design), so mu/sd are the identical
+    //     doubles; the n>7 / sd>0 day filter now also prunes events BEFORE
+    //     the rank shuffle.
+    //  2. The rank i = row_number over (day | value, event_id) becomes the
+    //     RANGE-BUCKETED two-level rank (BucketRank): local rank within
+    //     (day, bucket) + lower-bucket row-count offset. The bucket id is
+    //     pure and monotone in value, so it refines the total
+    //     (value, event_id) order and the global rank is exact.
+    // Every per-row term is the identical double and the term16 sum was
+    // already order-independent integer arithmetic, so the statistic is
+    // bit-equal — pinned against the window form in
+    // R11RewriteEquivalenceSpec, oracle green.
     "stat_anderson_darling" -> ((s, dir) => {
-      val byDay = Window.partitionBy("day")
-      val ord = Window.partitionBy("day").orderBy("value", "event_id")
       def phi(z: org.apache.spark.sql.Column) = {
         val x = abs(z) / sqrt(lit(2.0))
         val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
@@ -752,22 +803,22 @@ object StatsOps {
       // n = 3.34M the statistic moved past the 6-dp grain. Cents are
       // exact integers: mu and sd² are integer rationals, each converted
       // to double ONCE (exact-rounded, engine-identical).
-      Tables.events(s, dir)
+      val ev = Tables.events(s, dir)
         .select(to_date(col("ts")).as("day"), col("value"), col("event_id"))
-        .withColumn("c",
-          (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
-        // r9 (driver-bench triage): the day moments accumulate as LONG, not
-        // DECIMAL(38,0) — the sums are exact integers either way (identical
-        // values, same order-independence), but decimal window aggregation
-        // was the dominant cost of the r8 order-free rewrite (0.58 -> 1.46 s
-        // at sf0.1). Headroom: Σc ≤ n·10⁵, Σc² ≤ n·10¹⁰ — inside Long to
-        // n ≈ 10⁸ rows/day-group (the same bound as the 38-digit term sum);
-        // ANSI mode raises on overflow rather than wrapping. Only the
-        // (n·Σc² − (Σc)²) cross term still widens to DECIMAL before the
-        // one exact-rounded conversion to double.
-        .withColumn("n", count(lit(1)).over(byDay))
-        .withColumn("svc", sum(col("c")).over(byDay))
-        .withColumn("sq4", sum(col("c") * col("c")).over(byDay))
+      // r9 (driver-bench triage): the day moments accumulate as LONG, not
+      // DECIMAL(38,0) — the sums are exact integers either way (identical
+      // values, same order-independence), but decimal aggregation was the
+      // dominant cost of the r8 order-free rewrite (0.58 -> 1.46 s at
+      // sf0.1). Headroom: Σc ≤ n·10⁵, Σc² ≤ n·10¹⁰ — inside Long to
+      // n ≈ 10⁸ rows/day-group (the same bound as the 38-digit term sum);
+      // ANSI mode raises on overflow rather than wrapping. Only the
+      // (n·Σc² − (Σc)²) cross term still widens to DECIMAL before the
+      // one exact-rounded conversion to double.
+      val cc = (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType)
+      val mom = ev.groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(cc).as("svc"),
+          sum(cc * cc).as("sq4"),
+          min("value").as("mn"), max("value").as("mx"))
         .withColumn("mu",
           col("svc").cast(DoubleType) / (lit(100.0) * col("n")))
         .withColumn("sd", sqrt(
@@ -776,7 +827,18 @@ object StatsOps {
             / (lit(10000L).cast(DecimalType(38, 0)) * col("n")
               * (col("n") - 1)).cast(DoubleType)))
         .filter(col("n") > 7 && col("sd") > 0)
-        .withColumn("i", row_number().over(ord))
+        .select(col("day"), col("n"), col("mn"), col("mx"), col("mu"), col("sd"))
+      val nb = BucketRank.nBuckets(s)
+      val b = ev.join(broadcast(mom), Seq("day"))
+        .withColumn("bkt", BucketRank.bucketOf(col("value"), col("mn"), col("mx"), nb))
+      val wB = Window.partitionBy("day").orderBy("bkt")
+      val off = b.groupBy("day", "bkt").agg(count(lit(1)).as("bc"))
+        .withColumn("off", sum("bc").over(wB) - col("bc"))
+        .select(col("day").as("o_day"), col("bkt").as("o_bkt"), col("off"))
+      val wL = Window.partitionBy("day", "bkt").orderBy("value", "event_id")
+      b.join(broadcast(off),
+          col("day") === col("o_day") && col("bkt") === col("o_bkt"))
+        .withColumn("i", col("off") + row_number().over(wL))
         .withColumn("p", least(greatest(
           phi((col("value") - col("mu")) / col("sd")),
           lit(1e-15)), lit(0.999999999999999)))
