@@ -150,14 +150,25 @@ object DedupOps {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var cur = edges.select(col("u"), col("v")).distinct().localCheckpoint()
+    // r11 (guide §2.4/§5): the per-round checkpoints are LAZY — the very
+    // next statement's checksum action materializes them, so semantics and
+    // failure behavior are unchanged (the driver still sees each round
+    // complete before deciding to continue), but each round runs ONE job
+    // instead of two (eager localCheckpoint ran its own job, then the
+    // checksum re-scanned the cached blocks). On a multi-node cluster use
+    // reliable checkpoint() instead: locally-checkpointed blocks die with
+    // their executor, and under the lazy form a late executor loss costs a
+    // full recompute of that round (ADVICE r10 #4 caveat — acceptable
+    // here, the checksum bounds laziness to a single round).
+    var cur = edges.select(col("u"), col("v")).distinct()
+      .localCheckpoint(false)
     var sig = checksum(cur)
     var converged = sig._1 == 0L
     var rounds = 0
     // 2^(2^15) nodes exceeds any corpus: the bound is a defect guard, not a
     // tuning knob — O(log n) convergence is the algorithm's theorem.
     while (!converged && rounds < 15) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nsig = checksum(next)
       cur = next
       converged = nsig == sig

@@ -235,6 +235,12 @@ object EventOps {
         // lazy lineage cuts compute the edge derivation once instead of
         // re-deriving it per consumer (the before-plan compiled to 17
         // scans / 50 exchanges for a |V|=97 graph). Values unchanged.
+        // ADVICE r10 #4 caveat (applies to every lazy localCheckpoint in
+        // this query): all cuts materialize under ONE action, and locally-
+        // checkpointed blocks are NOT replayable — an executor lost late
+        // in the job recomputes from the source instead of failing fast
+        // per stage. Right trade locally; on a multi-node cluster use
+        // reliable checkpoint() for these.
         .localCheckpoint(false)
       val deg = und.select(col("a").as("node"))
         .unionAll(und.select(col("b").as("node")))
@@ -1863,6 +1869,13 @@ object EventOps {
       // round's ranks, but materializes under the FINAL action instead of
       // blocking the driver once per round — 12 scheduling round-trips
       // collapse into one job DAG. Same algebra, same per-round cut.
+      // ADVICE r10 #4 caveat (every lazy cut in this loop — edges, nodes,
+      // edgesW, ranks): all 10 rounds materialize under ONE final action,
+      // and locally-checkpointed blocks are not replayable — a single
+      // executor lost late in the job loses earlier rounds' partitions and
+      // recomputes from the source, where the eager form failed fast per
+      // round. Right trade locally; use reliable checkpoint() per round on
+      // a multi-node cluster.
       ranks = base.localCheckpoint(false)
     }
     ranks.select(col("repo"), round(col("r"), 6).as("rank")).orderBy("repo")

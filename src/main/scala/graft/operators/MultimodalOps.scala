@@ -249,13 +249,22 @@ object MultimodalOps {
     import s.implicits._
     val path = OpCache.once(dir + "#media_lake") {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-sink/${OpCache.pathKey(dir)}/media_lake"
-      // r10 (guide §6): documents is a single-row-group fixture file, so
-      // without a rebalance the lake was ONE part file and every downstream
-      // decode stage ran on ONE task. Same cores-floor as the other lakes
-      // (PipelineOps.parallelFloor); consumers sort their output, so layout
-      // cannot change results.
-      PipelineOps.parallelFloor(s, Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"), col("source")))
+      // r10 floored this write at the session's cores like the text lakes
+      // (PipelineOps.parallelFloor); r11 A/B'd the floor ON vs OFF for all
+      // four multimodal keys at sf0.1 AND sf1 (VERDICT r10 ask #3) and
+      // REMOVED it here: the timed region of every key was faster without
+      // it at both scales (near_dup 0.54→0.28 s at sf0.1, 0.65→0.62 at
+      // sf1; features 0.42→0.35 / 0.52→0.48) because the steady-state
+      // work reads the tiny cached hash/feature tables, where 32-way
+      // layout only buys task overhead — r10's 2.5× on these keys came
+      // from ImageIO.setUseCache(false), not the floor. The TEXT lakes
+      // keep the floor (json_nested_event is 3.4× faster WITH it — there
+      // the timed work parses the lake itself). At any real scale the
+      // documents source is multi-partition and the write inherits that
+      // layout, so this is a fixture-scale decision either way; consumers
+      // sort their output, so layout cannot change results.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("source"))
         .as[(Long, Long, String)]
         .map { case (id, nc, src) => MediaRecord(id, renderMedia(id, nc), src) }
         .write.mode("overwrite").parquet(out)

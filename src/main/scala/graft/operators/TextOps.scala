@@ -699,6 +699,10 @@ object TextOps {
         // the output union and the rewrite) keeps every round one plan
         // deep. Identical algebra -- only the DAG is deduplicated. (At
         // cluster scale: reliable checkpoint / a materialized merge table.)
+        // ADVICE r10 #4 caveat: every round's lazy cut materializes under
+        // the ONE final action and local blocks are not replayable, so a
+        // late executor loss recomputes all rounds instead of failing fast
+        // per round — acceptable locally, reliable checkpoint() beyond.
         .localCheckpoint(false)
       var out: DataFrame = null
       for (r <- 1 to 5) {
